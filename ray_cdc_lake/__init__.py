@@ -1,0 +1,57 @@
+"""ray_cdc_lake — a from-scratch Ray-Data-native CDC / incremental-ingest engine.
+
+Re-expresses the data-processing capabilities of
+``NationalLibraryOfNorway/nifi-tekst-bundle`` (NiFi processors applying keyed
+rename/upsert/delete change batches against a content store with two-phase
+staged commits — see SURVEY.md) as a binlog-style change-event replay over
+Parquet tables of source-code repositories:
+
+* change events ``(lsn, op, repo, path, new_path, commit, lang, content)``
+  are compiled and normalized by stateless ``map_batches`` UDFs over
+  zero-copy Arrow batches (``events.py``, ``transforms.py``),
+* hash-partitioned on ``(repo, path)`` and merged last-writer-wins by commit
+  LSN (``merge.py``), with per-batch combiners and salted sub-partitioning
+  for hot keys,
+* upserted into a partitioned Parquet lake through an exactly-once sink with
+  staged writes + atomic commit manifests + per-partition high-watermark
+  lineage (``sink.py``, ``checkpoint.py``),
+* plus the large-scale training-data operators a 100 TB pipeline needs:
+  dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+  similarity search, text analysis, multimodal column plumbing.
+
+No module here calls ``ray.init()`` — the driver / bench / test fixture owns
+the Ray session.
+"""
+
+__version__ = "0.1.0"
+
+
+def enable_self_contained_pickling() -> None:
+    """Register every ray_cdc_lake module for pickle-by-value so Ray workers
+    can execute our UDFs even when the repo directory is not on the worker's
+    ``sys.path`` (e.g. a driver process started from another cwd). One-time,
+    per-process; the cost is per-UDF-serialization, not per batch."""
+    import sys
+
+    from ray import cloudpickle
+
+    from . import (  # noqa: F401 — force-import all submodules first
+        dedup,
+        events,
+        merge,
+        multimodal,
+        pipeline,
+        queries,
+        schemas,
+        similarity,
+        textstats,
+        transforms,
+    )
+
+    for name, mod in list(sys.modules.items()):
+        if name.startswith(__name__) and mod is not None:
+            try:
+                cloudpickle.register_pickle_by_value(mod)
+            except Exception:
+                pass
+

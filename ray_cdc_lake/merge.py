@@ -1,0 +1,128 @@
+"""Last-writer-wins CDC merge — the engine's one logical shuffle.
+
+Reference analog: the per-batch staged rename apply of
+``RenameDiskUtils.kt:32-105`` / ``RenameS3Utils.kt:35-135``, where "latest
+batch wins" (``StandardCopyOption.REPLACE_EXISTING``, RenameDiskUtils.kt:72,91)
+— made explicit here as LWW by commit LSN per ``(repo, path)``
+(SURVEY.md §2.9, §7 step 5).
+
+Scale design:
+* ``partial_lww`` is a per-batch COMBINER run inside ``map_batches`` before
+  the shuffle: it keeps only the winning event per key per batch, so the
+  all-to-all exchange moves one row per (key, batch) instead of every event.
+  LWW is an associative/commutative reduce, so combining is lossless —
+  including tombstones, which must survive to the final reduce.
+* the shuffle is a ``groupby("bucket")`` on a stable hash of (repo, path)
+  (transforms.key_hash_u64) — B buckets sized to the cluster, NOT one group
+  per key (millions of tiny groups would drown the scheduler).
+* ``final_lww`` runs per bucket, fully vectorized (sort + first-per-key).
+* hot keys need no salting for the pure reduce (the combiner already
+  collapses them), but ``salted`` buckets are supported for skewed *group*
+  work; salted LWW must equal unsalted (tested).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schemas import DEFAULT_NUM_BUCKETS
+from .transforms import add_bucket
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
+    """Vectorized LWW: order by (lsn, commit) descending within key, keep
+    the first row per key. Ties on (lsn, commit) only occur for exact
+    duplicate deliveries, where any pick is identical — the deterministic
+    tie-break the reference lacks (SURVEY.md §2.9 'Ordering semantics')."""
+    if t.num_rows == 0:
+        return t
+    sort_keys = [(k, "ascending") for k in keys] + [
+        ("lsn", "descending"),
+        ("commit", "descending"),
+    ]
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    t = t.take(idx)
+    # first row of each key run: vectorized "key differs from previous row"
+    import numpy as np
+
+    first = np.ones(t.num_rows, dtype=bool)
+    for k in keys:
+        col = t[k]
+        neq = pc.not_equal(col.slice(1), col.slice(0, t.num_rows - 1))
+        neq = neq.combine_chunks().to_numpy(zero_copy_only=False)
+        if k == keys[0]:
+            diff = np.asarray(neq, dtype=bool)
+        else:
+            diff |= np.asarray(neq, dtype=bool)
+    first[1:] = diff
+    return t.filter(pa.array(first))
+
+
+def partial_lww(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: winning event per (repo, path) within this batch.
+    Keeps tombstones (op='delete') — they must reach the final reduce."""
+    return _winner_per_key(batch, ["repo", "path"])
+
+
+def final_lww(group: pa.Table) -> pa.Table:
+    """Per-bucket final reduce: LWW winner per key, then drop tombstones.
+    Input columns: compiled-event columns + 'bucket'."""
+    t = _winner_per_key(group, ["repo", "path"])
+    t = t.filter(pc.not_equal(t["op"], "delete"))
+    drop = [c for c in ("op", "bucket") if c in t.column_names]
+    return t.drop_columns(drop)
+
+
+def lww_winners(
+    compiled: "ray.data.Dataset",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> "ray.data.Dataset":
+    """LWW winner per key INCLUDING tombstones (op column kept) — the merge
+    core exposed for inspection/oracle checks."""
+    ds = compiled.map_batches(partial_lww, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        lambda g: _winner_per_key(g, ["repo", "path"]).drop_columns(["bucket"]),
+        batch_format="pyarrow",
+    )
+
+
+def lww_merge(
+    compiled: "ray.data.Dataset",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salt_mod: int = 0,
+) -> "ray.data.Dataset":
+    """compiled change events -> final surviving rows (one per live key).
+
+    Pipeline: map_batches(combiner) -> groupby(bucket) -> map_groups(LWW).
+    With ``salt_mod > 0``, events are first reduced within
+    ``num_buckets * salt_mod`` salted sub-partitions, then merged back by a
+    second (much smaller) groupby on the true bucket — the skew path of
+    SURVEY.md §7 step 9.
+    """
+    ds = compiled.map_batches(partial_lww, batch_format="pyarrow")
+    if salt_mod > 0:
+        ds = ds.map_batches(
+            lambda b: add_bucket(b, num_buckets, salt_mod=salt_mod),
+            batch_format="pyarrow",
+        )
+        # sub-partition reduce: winner per key within each salted bucket
+        ds = ds.groupby("bucket").map_groups(
+            lambda g: _winner_per_key(g, ["repo", "path"]), batch_format="pyarrow"
+        )
+        # merge-back: recompute the unsalted bucket and do the final reduce
+        ds = ds.map_batches(
+            lambda b: add_bucket(b.drop_columns(["bucket"]), num_buckets),
+            batch_format="pyarrow",
+        )
+    else:
+        ds = ds.map_batches(
+            lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
+        )
+    return ds.groupby("bucket").map_groups(final_lww, batch_format="pyarrow")

@@ -1,0 +1,83 @@
+"""End-to-end CDC pipelines, composed Ray-Data-first.
+
+The flagship replay (SURVEY.md §3.1 reborn):
+
+    read documents -> map_batches(DeriveEvents)      # binlog source
+      -> map_batches(compile_changes)                # rename -> delete+insert
+      -> map_batches(normalize_content)              # text normalization
+      -> lww_merge(...)                              # THE shuffle (bucketed)
+      -> map_batches(add_sha256)                     # per-row invariant
+      [-> exactly-once sink via sink.commit_txn]
+
+Everything streams; nothing materializes the full dataset on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pyarrow as pa
+
+from .events import DeriveEvents, compile_changes
+from .merge import lww_merge
+from .schemas import DEFAULT_EPOCHS, DEFAULT_NUM_BUCKETS
+from .transforms import add_sha256, normalize_content
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def derive_event_log(
+    sf_dir: str, epochs: int = DEFAULT_EPOCHS, parallelism: int = -1
+) -> "ray.data.Dataset":
+    """documents.parquet -> the deterministic change-event log (events.py)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "text"],
+    )
+    return docs.map_batches(DeriveEvents(epochs), batch_format="pyarrow")
+
+
+def replay_to_lake(
+    events: "ray.data.Dataset",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salt_mod: int = 0,
+    base_state: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """Change-event log -> final lake rows (LAKE_SCHEMA minus partition col).
+
+    ``base_state``: existing lake rows to merge against — each behaves as an
+    insert event at its recorded LSN (SURVEY.md §7 step 5). Returned dataset
+    is lazy; consume with write_parquet / iter_batches.
+    """
+    compiled = events.map_batches(compile_changes, batch_format="pyarrow")
+    compiled = compiled.map_batches(normalize_content, batch_format="pyarrow")
+    if base_state is not None:
+        compiled = compiled.union(
+            base_state.map_batches(_lake_rows_as_events, batch_format="pyarrow")
+        )
+    merged = lww_merge(compiled, num_buckets=num_buckets, salt_mod=salt_mod)
+    return merged.map_batches(add_sha256, batch_format="pyarrow")
+
+
+def _lake_rows_as_events(batch: pa.Table) -> pa.Table:
+    """Lake rows re-entering a merge behave as inserts at their stored LSN."""
+    cols = ["lsn", "repo", "path", "commit", "lang", "content"]
+    t = batch.select(cols)
+    t = t.add_column(1, "op", pa.array(["insert"] * t.num_rows, type=pa.string()))
+    return t
+
+
+def cdc_final_state(
+    sf_dir: str,
+    epochs: int = DEFAULT_EPOCHS,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    salt_mod: int = 0,
+) -> "ray.data.Dataset":
+    """The flagship pipeline: full replay of the derived binlog into the
+    final lake state, with content_sha256 per row."""
+    return replay_to_lake(
+        derive_event_log(sf_dir, epochs), num_buckets=num_buckets, salt_mod=salt_mod
+    )

@@ -1,0 +1,863 @@
+"""Query registry: every implemented operator/pipeline exposed as a
+``fn(sf_dir) -> Dataset`` plus (where SQL-expressible) the exact DuckDB
+oracle SQL over the driver's pre-registered views.
+
+Column names are kept identical between the Ray result and the SQL (the
+driver hash-compares values after sorting columns by name).
+
+SURVEY.md §2 coverage map (operator id -> query name):
+  S1 read            -> every query (read_parquet with column pruning)
+  S2 delete op       -> cdc_lww_latest / cdc_final_state (tombstones)
+  M1 json project    -> props_json_extract, doc_nested_project
+  M2 event compile   -> cdc_compile_events
+  M3 fan-out         -> cdc_compiled_changes (rename -> delete+insert)
+  M4 key extraction  -> doc_extract_key
+  M5 ext normalize   -> doc_canonical_name
+  M6 path safety     -> doc_safe_paths
+  M7 metadata extract-> text_quality (regex/token metadata over content)
+  M8 sha256          -> doc_normalize_sha, cdc_final_state
+  M9 key minting     -> doc_mint_key
+  A1/A2 validator    -> doc_validate_route, validation_summary
+  A4 merge state     -> cdc_lww_latest, cdc_final_state
+  J1 sort-zip        -> doc_seq_assign
+  J2 equality join   -> join_events_customers
+  J4 anti-join       -> anti_join_users
+  G1 summary agg     -> validation_summary
+  G2/G3 manifest agg -> cdc_partition_manifest
+  G4 exact dedup     -> cdc_dedup_events, dedup_exact
+  O1/O2 ordering     -> doc_seq_assign (row_number within group)
+  §2.7 set ops       -> anti_join_users, cdc_dedup_events
+  §2.8 scalar fns    -> doc_extract_key, doc_canonical_name, doc_nested_project
+Training-data extensions (dedup/similarity/text/multimodal) are registered
+at the bottom; see dedup.py / similarity.py / textstats.py / multimodal.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .events import DeriveEvents, compile_changes
+from .merge import lww_merge, lww_winners
+from .pipeline import cdc_final_state, derive_event_log, replay_to_lake
+from .schemas import DEFAULT_EPOCHS, DEFAULT_NUM_BUCKETS
+from .transforms import (
+    add_path_safety,
+    add_sha256,
+    extract_item_id,
+    mint_key,
+    normalize_content,
+    to_canonical_ext,
+)
+
+E = DEFAULT_EPOCHS
+
+# ---------------------------------------------------------------------------
+# Shared SQL: the deterministic event-derivation spec (keep in sync with
+# events.DeriveEvents — the spec lives in events.py's docstring).
+# ---------------------------------------------------------------------------
+
+EVENTS_CTE = f"""
+docs AS (
+  SELECT doc_id, source AS repo,
+         'docs/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS path,
+         lang, text
+  FROM documents
+),
+vers AS (
+  SELECT d.doc_id, d.doc_id*1000 + 10*t.e AS lsn,
+         CASE WHEN t.e = 0 THEN 'insert' ELSE 'update' END AS op,
+         d.repo, d.path, CAST(NULL AS VARCHAR) AS new_path, d.lang,
+         d.text || ' [rev ' || CAST(t.e AS VARCHAR) || ']' AS content
+  FROM docs d CROSS JOIN (SELECT CAST(range AS BIGINT) AS e FROM range({E})) t
+),
+dels AS (
+  SELECT doc_id, doc_id*1000 + 10*{E} + 7 AS lsn, 'delete' AS op, repo, path,
+         CAST(NULL AS VARCHAR) AS new_path, CAST(NULL AS VARCHAR) AS lang,
+         CAST(NULL AS VARCHAR) AS content
+  FROM docs WHERE doc_id % 7 = 3
+),
+rens AS (
+  SELECT doc_id, doc_id*1000 + 10*{E} + 8 AS lsn, 'rename' AS op, repo, path,
+         replace(path, '.txt', '.md') AS new_path, lang,
+         text || ' [rev {E - 1}]' AS content
+  FROM docs WHERE doc_id % 5 = 2
+),
+dups AS (SELECT * FROM vers WHERE doc_id % 11 = 0 AND lsn % 1000 = 10),
+raw_ev AS (
+  SELECT * FROM vers UNION ALL SELECT * FROM dels
+  UNION ALL SELECT * FROM rens UNION ALL SELECT * FROM dups
+),
+ev AS (
+  SELECT lsn, op, repo, path, new_path,
+         md5(repo || '/' || path || '@' || CAST(lsn AS VARCHAR)) AS "commit",
+         lang, content
+  FROM raw_ev
+)"""
+
+COMPILED_ONLY_CTE = """
+compiled AS (
+  SELECT lsn, op, repo, path, "commit", lang, content FROM ev WHERE op <> 'rename'
+  UNION ALL
+  SELECT lsn, 'delete' AS op, repo, path, "commit",
+         CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS content
+  FROM ev WHERE op = 'rename'
+  UNION ALL
+  SELECT lsn, 'insert' AS op, repo, new_path AS path, "commit", lang, content
+  FROM ev WHERE op = 'rename'
+)"""
+
+COMPILED_CTE = """
+compiled AS (
+  SELECT lsn, op, repo, path, "commit", lang, content FROM ev WHERE op <> 'rename'
+  UNION ALL
+  SELECT lsn, 'delete' AS op, repo, path, "commit",
+         CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS content
+  FROM ev WHERE op = 'rename'
+  UNION ALL
+  SELECT lsn, 'insert' AS op, repo, new_path AS path, "commit", lang, content
+  FROM ev WHERE op = 'rename'
+),
+normalized AS (
+  SELECT lsn, op, repo, path, "commit", lang,
+         nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                               chr(13), chr(10))) AS content
+  FROM compiled
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY repo, path ORDER BY lsn DESC, "commit" DESC) AS rn
+  FROM normalized
+)"""
+
+FINAL_STATE_SQL = f"""
+WITH {EVENTS_CTE}, {COMPILED_CTE}
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256, lsn
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_compile_events(sf_dir: str):
+    return derive_event_log(sf_dir, E)
+
+
+def q_cdc_compiled_changes(sf_dir: str):
+    return derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+
+
+def q_cdc_lww_latest(sf_dir: str):
+    compiled = q_cdc_compiled_changes(sf_dir).map_batches(
+        normalize_content, batch_format="pyarrow"
+    )
+    winners = lww_winners(compiled, num_buckets=DEFAULT_NUM_BUCKETS)
+    return winners.select_columns(["repo", "path", "lsn", "op", "commit"])
+
+
+def q_cdc_final_state(sf_dir: str):
+    return cdc_final_state(sf_dir, epochs=E)
+
+
+def q_cdc_final_state_salted(sf_dir: str):
+    """Skew path: salted sub-partition reduce + merge-back must equal the
+    unsalted result (SURVEY.md §7 step 9)."""
+    return cdc_final_state(sf_dir, epochs=E, salt_mod=4)
+
+
+def q_cdc_idempotent_replay(sf_dir: str):
+    """Replaying the log twice (at-least-once delivery) converges to the
+    identical final state — idempotence by design (SURVEY.md §2.9)."""
+    ev = derive_event_log(sf_dir, E)
+    return replay_to_lake(ev.union(derive_event_log(sf_dir, E)))
+
+
+def q_cdc_dedup_events(sf_dir: str):
+    """Exact event dedup (G4 analog, RenameS3Utils.kt:52-58): distinct over
+    the full event row, bucketed by key hash so no single group explodes."""
+    from .transforms import add_bucket
+
+    ds = derive_event_log(sf_dir, E).map_batches(
+        lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
+    )
+
+    def distinct(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = pl.from_arrow(group.drop_columns(["bucket"])).unique(maintain_order=False)
+        return out.sort(["lsn", "op", "path"]).to_arrow()
+
+    return ds.groupby("bucket").map_groups(distinct, batch_format="pyarrow")
+
+
+def q_cdc_partition_manifest(sf_dir: str):
+    """Per-partition manifest/lineage aggregate (G3 analog,
+    MetsBrowsingBuilder.kt:38-199): event counts, upsert/delete split and
+    high-watermark LSN per repo. Partial-aggregated per batch before the
+    (tiny) groupby shuffle."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    compiled = q_cdc_compiled_changes(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["repo", "op", "lsn"]))
+        agg = df.group_by("repo").agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            (pl.col("op") == "delete").sum().cast(pl.Int64).alias("n_deletes"),
+            (pl.col("op") != "delete").sum().cast(pl.Int64).alias("n_upserts"),
+            pl.col("lsn").max().alias("hwm_lsn"),
+        )
+        return agg.to_arrow()
+
+    part = compiled.map_batches(partials, batch_format="pyarrow")
+    out = part.groupby("repo").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_deletes", alias_name="n_deletes"),
+        Sum("n_upserts", alias_name="n_upserts"),
+        Max("hwm_lsn", alias_name="hwm_lsn"),
+    )
+    return out
+
+
+CDC_SQL: dict[str, str] = {
+    "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
+    "cdc_compiled_changes": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
+        SELECT * FROM compiled""",
+    "cdc_lww_latest": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, lsn, op, "commit" FROM ranked WHERE rn = 1""",
+    "cdc_final_state": FINAL_STATE_SQL,
+    "cdc_final_state_salted": FINAL_STATE_SQL,
+    "cdc_idempotent_replay": FINAL_STATE_SQL,
+    "cdc_dedup_events": f"""
+        WITH {EVENTS_CTE}
+        SELECT DISTINCT lsn, op, repo, path, new_path, "commit", lang, content FROM ev""",
+    "cdc_partition_manifest": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
+        SELECT repo, count(*) AS n_events,
+               CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+               CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+               max(lsn) AS hwm_lsn
+        FROM compiled GROUP BY repo""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Document transform / scalar-function queries (M-ops)
+# ---------------------------------------------------------------------------
+
+
+def _read_docs(sf_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_doc_normalize_sha(sf_dir: str):
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = normalize_content(batch, column="text")
+        b = add_sha256(b, column="text", out="text_sha256")
+        return b.select(["doc_id", "text_sha256"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_extract_key(sf_dir: str):
+    """Synthesize reference-shaped filenames and extract the item key with
+    the reference regex (RenameUtils.kt:11-14)."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        page = pa.array(
+            (batch["doc_id"].to_numpy(zero_copy_only=False) % 1000).astype(str).tolist(),
+            type=pa.string(),
+        )
+        fname = pc.binary_join_element_wise(
+            "tekst_",
+            pc.cast(batch["source"], pa.string()),
+            "_",
+            pc.utf8_lpad(page, 3, "0"),
+            ".tif",
+            "",
+        )
+        b = batch.append_column("filename", fname)
+        b = extract_item_id(b, column="filename", out="item_id")
+        return b.select(["doc_id", "filename", "item_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_canonical_name(sf_dir: str):
+    """Extension canonicalization (RenameS3Utils.kt:141-150): .jp2/.tiff ->
+    .tif on synthesized names."""
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"]
+        mod3 = batch["doc_id"].to_numpy(zero_copy_only=False) % 3
+        ext = pa.array(
+            np.select([mod3 == 0, mod3 == 1], [".jp2", ".tiff"], ".tif").tolist(),
+            type=pa.string(),
+        )
+        name = pc.binary_join_element_wise(
+            "img_", pc.cast(doc_id, pa.string()), ext, ""
+        )
+        b = batch.append_column("name", name)
+        b = to_canonical_ext(b, "name", "canonical_name")
+        return b.select(["doc_id", "name", "canonical_name"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_safe_paths(sf_dir: str):
+    """Path-safety routing (PathSafety.kt:22-32): inject traversal attempts
+    for doc_id % 13 = 5, route instead of crash (SURVEY.md §2.2 M6)."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"]
+        base = pc.binary_join_element_wise(
+            "docs/", batch["lang"], "/f", pc.cast(doc_id, pa.string()), ".txt", ""
+        )
+        evil = pc.binary_join_element_wise("../", base, "")
+        is_evil = pa.array(batch["doc_id"].to_numpy(zero_copy_only=False) % 13 == 5)
+        path = pc.if_else(is_evil, evil, base)
+        b = batch.append_column("path", path)
+        b = add_path_safety(b, column="path", out="is_safe")
+        return b.select(["doc_id", "path", "is_safe"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_mint_key(sf_dir: str):
+    """Deterministic surrogate-key minting (UUIDv7Generator.kt:11-43 analog,
+    made deterministic like the reference's injected uuidProvider)."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = mint_key(batch, ["source", "doc_id"], out="minted_id")
+        return b.select(["doc_id", "minted_id"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_nested_project(sf_dir: str):
+    """Dotted-path -> nested JSON document construction
+    (GenerateJsonFromProps.kt:215-295 analog). Built by explicit
+    concatenation so the byte layout is deterministic on both sides."""
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc = pc.binary_join_element_wise(
+            '{"metadata":{"lang":"',
+            batch["lang"],
+            '","source":"',
+            batch["source"],
+            '"},"stats":{"n_chars":',
+            pc.cast(batch["n_chars"], pa.string()),
+            "}}",
+            "",
+        )
+        return pa.Table.from_arrays(
+            [batch["doc_id"], doc], names=["doc_id", "doc_json"]
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_props_json_extract(sf_dir: str):
+    """JSON field extraction from the events.props payload
+    (GenerateJsonFromProps merge-mode analog: read side). Vectorized via
+    polars' JSON path kernel."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        df = df.with_columns(
+            pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k")
+        )
+        return df.select(["event_id", "k"]).to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_validate_route(sf_dir: str):
+    """Per-document validation routing (Jhove.kt:519-537 analog): 4-way
+    route column instead of separate datasets mid-pipeline."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+        route = np.select(
+            [doc_id % 17 == 1, n_chars < 120, n_chars > 450],
+            ["empty", "short", "long"],
+            default="ok",
+        )
+        is_valid = route == "ok"
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                batch["source"],
+                pa.array(route.tolist(), type=pa.string()),
+                pa.array(is_valid),
+            ],
+            names=["doc_id", "source", "route", "is_valid"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_validation_summary(sf_dir: str):
+    """Grouped validation summary (Jhove.kt:490-537 analog): per source,
+    counts + all_valid flag, partial-aggregated before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = q_doc_validate_route(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(["source", "is_valid"]))
+        return (
+            df.group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("is_valid").sum().cast(pl.Int64).alias("n_valid"),
+            )
+            .to_arrow()
+        )
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"), Sum("n_valid", alias_name="n_valid")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "all_valid", pc.equal(batch["n_docs"], batch["n_valid"])
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DOC_SQL: dict[str, str] = {
+    "doc_normalize_sha": """
+        SELECT doc_id,
+               sha256(nfc_normalize(replace(replace(text, chr(13)||chr(10), chr(10)),
+                                            chr(13), chr(10)))) AS text_sha256
+        FROM documents""",
+    "doc_extract_key": """
+        SELECT doc_id,
+               'tekst_' || source || '_' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '.tif' AS filename,
+               regexp_extract('tekst_' || source || '_' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '.tif',
+                              '^(.+)_\\d+\\.(jp2|tif|tiff)$', 1) AS item_id
+        FROM documents""",
+    "doc_canonical_name": """
+        WITH named AS (
+          SELECT doc_id,
+                 'img_' || CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 3 = 0 THEN '.jp2'
+                      WHEN doc_id % 3 = 1 THEN '.tiff'
+                      ELSE '.tif' END AS name
+          FROM documents)
+        SELECT doc_id, name,
+               regexp_replace(name, '\\.(jp2|tiff)$', '.tif') AS canonical_name
+        FROM named""",
+    "doc_safe_paths": """
+        WITH pathed AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 5 THEN '../' ELSE '' END ||
+                 'docs/' || lang || '/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+          FROM documents)
+        SELECT doc_id, path,
+               NOT (contains(path, '..') OR contains(path, chr(92))
+                    OR contains(path, chr(0)) OR path LIKE '/%') AS is_safe
+        FROM pathed""",
+    "doc_mint_key": """
+        WITH hashed AS (
+          SELECT doc_id, md5(source || '/' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents)
+        SELECT doc_id,
+               substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
+               substr(h,17,4) || '-' || substr(h,21,12) AS minted_id
+        FROM hashed""",
+    "doc_nested_project": """
+        SELECT doc_id,
+               '{"metadata":{"lang":"' || lang || '","source":"' || source ||
+               '"},"stats":{"n_chars":' || CAST(n_chars AS VARCHAR) || '}}' AS doc_json
+        FROM documents""",
+    "props_json_extract": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events""",
+    "doc_validate_route": """
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 1 THEN 'empty'
+                    WHEN n_chars < 120 THEN 'short'
+                    WHEN n_chars > 450 THEN 'long'
+                    ELSE 'ok' END AS route,
+               (doc_id % 17 <> 1 AND n_chars >= 120 AND n_chars <= 450) AS is_valid
+        FROM documents""",
+    "validation_summary": """
+        WITH routed AS (
+          SELECT source,
+                 (doc_id % 17 <> 1 AND n_chars >= 120 AND n_chars <= 450) AS is_valid
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN is_valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               bool_and(is_valid) AS all_valid
+        FROM routed GROUP BY source""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Joins / aggregates (broadcast join, anti-join, grouped aggregate, top-k)
+# ---------------------------------------------------------------------------
+
+
+def q_join_events_customers(sf_dir: str):
+    """Broadcast hash join (J2 analog, small side shipped once via
+    ``ray.put``): purchase events x customer x nation -> counts per nation."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        c: nk[n]
+        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    lookup_ref = ray.put(cust_to_nation)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    class JoinNation:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.lookup = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+            users = batch["user_id"].to_pylist()
+            names = [self.lookup.get(u) for u in users]
+            t = pa.Table.from_arrays(
+                [pa.array(names, type=pa.string())], names=["n_name"]
+            )
+            t = t.filter(pc.is_valid(t["n_name"]))
+            import polars as pl
+
+            return (
+                pl.from_arrow(t)
+                .group_by("n_name")
+                .agg(pl.len().cast(pl.Int64).alias("n_purchases"))
+                .to_arrow()
+            )
+
+    part = ds.map_batches(
+        JoinNation, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
+        concurrency=2,
+    )
+    return part.groupby("n_name").aggregate(Sum("n_purchases", alias_name="n_purchases"))
+
+
+def q_anti_join_users(sf_dir: str):
+    """Anti-join (J4 analog, ReorderFiles.kt:207-239): event user_ids with no
+    matching supplier row — broadcast key set, filter, distinct."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
+            "s_suppkey"
+        ].to_pylist()
+    )
+    ref = ray.put(keys)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    class AntiJoin:
+        def __init__(self, r):
+            import ray as _ray
+
+            self.keys = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([u not in self.keys for u in batch["user_id"].to_pylist()])
+            t = batch.filter(mask)
+            import polars as pl
+
+            return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
+
+    return (
+        ds.map_batches(AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
+                       concurrency=2)
+        .groupby("user_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def q_doc_seq_assign(sf_dir: str):
+    """Within-group ordered index assignment (J1/O1 analog,
+    CreateMetsBrowsing.kt:222-247): sort by doc_id within source, 1-based
+    seq — a within-group sort, never a global one."""
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        seq = pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        return g.append_column("seq", seq)
+
+    return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
+
+
+def q_q1_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with per-batch partial aggregation
+    (G1/G2 analog at relational scale). Money summed in integer cents so the
+    value hash is exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (
+            df.with_columns(
+                (pl.col("l_quantity") * 100).round(0).cast(pl.Int64).alias("qty_c"),
+                (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64).alias("price_c"),
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_rows"),
+                pl.col("qty_c").sum().alias("sum_qty_cents"),
+                pl.col("price_c").sum().alias("sum_price_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Grouped aggregate + global top-k (sort + limit) + broadcast name
+    lookup. Deterministic tiebreak on the key."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (
+            df.with_columns(
+                (pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).alias("cents")
+            )
+            .group_by("o_custkey")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("cents").sum().alias("total_cents"),
+            )
+            .to_arrow()
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+
+    names = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    lookup = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
+    ref = ray.put(lookup)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        nm = [lk.get(c) for c in batch["o_custkey"].to_pylist()]
+        return batch.append_column("c_name", pa.array(nm, type=pa.string()))
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def q_events_daily(sf_dir: str):
+    """Tumbling-window-shaped aggregate over event time (§2.9 streaming
+    analog): day x event_type counts + value in integer cents."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        import polars as pl
+
+        df = pl.from_arrow(
+            pa.Table.from_arrays(
+                [day, batch["event_type"], batch["value"]],
+                names=["day", "event_type", "value"],
+            )
+        )
+        return (
+            df.with_columns(
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents")
+            )
+            .group_by(["day", "event_type"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cents").sum().alias("value_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+REL_SQL: dict[str, str] = {
+    "join_events_customers": """
+        SELECT n.n_name, count(*) AS n_purchases
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY n.n_name""",
+    "anti_join_users": """
+        SELECT DISTINCT e.user_id
+        FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+        WHERE s.s_suppkey IS NULL""",
+    "doc_seq_assign": """
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+        FROM documents""",
+    "q1_lineitem": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus""",
+    "top_customers": """
+        SELECT o.o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               any_value(c.c_name) AS c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey
+        ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+    "events_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events GROUP BY 1, 2""",
+}
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+
+def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
+    """Returns (queries, oracle_sql). Keys without SQL get the driver's
+    weaker rows-only check."""
+    queries: dict[str, Callable[[str], Any]] = {
+        "cdc_compile_events": q_cdc_compile_events,
+        "cdc_compiled_changes": q_cdc_compiled_changes,
+        "cdc_lww_latest": q_cdc_lww_latest,
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_final_state_salted": q_cdc_final_state_salted,
+        "cdc_idempotent_replay": q_cdc_idempotent_replay,
+        "cdc_dedup_events": q_cdc_dedup_events,
+        "cdc_partition_manifest": q_cdc_partition_manifest,
+        "doc_normalize_sha": q_doc_normalize_sha,
+        "doc_extract_key": q_doc_extract_key,
+        "doc_canonical_name": q_doc_canonical_name,
+        "doc_safe_paths": q_doc_safe_paths,
+        "doc_mint_key": q_doc_mint_key,
+        "doc_nested_project": q_doc_nested_project,
+        "props_json_extract": q_props_json_extract,
+        "doc_validate_route": q_doc_validate_route,
+        "validation_summary": q_validation_summary,
+        "join_events_customers": q_join_events_customers,
+        "anti_join_users": q_anti_join_users,
+        "doc_seq_assign": q_doc_seq_assign,
+        "q1_lineitem": q_q1_lineitem,
+        "top_customers": q_top_customers,
+        "events_daily": q_events_daily,
+    }
+    sql: dict[str, str] = {}
+    sql.update(CDC_SQL)
+    sql.update(DOC_SQL)
+    sql.update(REL_SQL)
+
+    # training-data extensions (registered lazily so a bug in one module
+    # doesn't break the core registry)
+    from . import dedup, similarity, textstats, multimodal
+
+    for mod in (dedup, similarity, textstats, multimodal):
+        q, s = mod.registry()
+        queries.update(q)
+        sql.update(s)
+
+    return queries, sql

@@ -1,0 +1,7 @@
+"""similarity operators (training-data extensions) — filled in incrementally."""
+
+from __future__ import annotations
+
+
+def registry():
+    return {}, {}

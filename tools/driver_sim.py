@@ -1,0 +1,68 @@
+"""Simulate the graft driver: ray.init BEFORE import, entry() smoke,
+queries() vs oracle_sql() at sf0.01 via DuckDB, like CORRECTNESS_r{N}.json."""
+
+import sys
+import time
+
+import ray
+
+ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+
+DataContext.get_current().enable_progress_bars = False
+
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as e
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].astype("string")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+t0 = time.time()
+res = e.entry()
+df = res.to_pandas() if hasattr(res, "to_pandas") else res
+print(f"entry(): {len(df)} rows, cols={list(df.columns)} in {time.time()-t0:.1f}s")
+assert len(df) > 0
+
+Q = e.queries()
+S = e.oracle_sql()
+print(f"{len(Q)} queries, {len(S)} with oracle")
+fails = []
+for name, fn in sorted(Q.items()):
+    t0 = time.time()
+    try:
+        got = fn(SF)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        if name in S:
+            want = con.sql(S[name]).df()
+            g, w = canon(got), canon(want)
+            ok = (
+                list(g.columns) == list(w.columns)
+                and len(g) == len(w)
+                and g.fillna("<N>").equals(w.fillna("<N>"))
+            )
+            status = "MATCH" if ok else "MISMATCH"
+            if not ok:
+                fails.append(name)
+        else:
+            status = f"rows-only ({len(got)})"
+        print(f"  {name}: {status} [{len(got)} rows, {time.time()-t0:.1f}s]")
+    except Exception as ex:
+        fails.append(name)
+        print(f"  {name}: ERROR {type(ex).__name__}: {ex}")
+
+print("FAILS:", fails if fails else "none")
+ray.shutdown()
+sys.exit(1 if fails else 0)
