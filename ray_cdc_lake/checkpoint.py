@@ -1,0 +1,106 @@
+"""Checkpoint / resume: per-partition high-watermark lineage.
+
+Reference analog: NiFi's FlowFile repository persists queue state so a
+restarted flow re-processes only undelivered FlowFiles (SURVEY.md §4
+"Checkpoint / resume" row). Here the manifest's per-bucket ``hwm_lsn`` IS
+the checkpoint: an incremental apply filters incoming events to
+``lsn > hwm[bucket]`` (events at or below the watermark were already
+applied — duplicates from at-least-once delivery are dropped for free),
+merges against the prior committed bucket state, and commits a new txn.
+Kill-and-resume therefore converges to the byte-identical final state
+(tested in tests/test_sink_resume.py).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pyarrow as pa
+
+from .merge import lww_winners_keep_bucket
+from .schemas import DEFAULT_NUM_BUCKETS
+from .sink import Manifest, commit_txn, read_lake, read_manifest
+from .transforms import add_bucket
+
+if TYPE_CHECKING:
+    import ray.data
+
+
+def filter_after_hwm(hwm: dict[int, int]):
+    """Vectorized event filter: keep rows with lsn > hwm[bucket] (bucket
+    column must exist). hwm is small (one entry per bucket) and shipped in
+    the closure — broadcast once per task, not per batch."""
+    if not hwm:
+        return lambda batch: batch
+    max_bucket = max(hwm) + 1
+    table = np.full(max_bucket, -1, dtype=np.int64)
+    for b, w in hwm.items():
+        table[b] = w
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        lsn = batch["lsn"].to_numpy(zero_copy_only=False)
+        wm = np.where(bucket < max_bucket, table[np.minimum(bucket, max_bucket - 1)], -1)
+        return batch.filter(pa.array(lsn > wm))
+
+    return fn
+
+
+def apply_incremental(
+    lake_dir: str,
+    txn_id: str,
+    compiled_events: "ray.data.Dataset",
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    fail_before_publish: bool = False,
+) -> Manifest:
+    """One exactly-once incremental CDC apply:
+
+    1. bucket the incoming compiled events (stable hash),
+    2. drop events at or below the committed per-bucket watermark,
+    3. union with the prior committed state (tombstones included — they
+       are inserts of 'delete' winners and keep winning against stale
+       lower-LSN events),
+    4. LWW-reduce per bucket, keep tombstones in the output,
+    5. staged write + atomic manifest publish via sink.commit_txn.
+
+    Re-running with the same txn_id after a crash is safe at every point.
+    """
+    manifest = read_manifest(lake_dir)
+    ds = compiled_events.map_batches(
+        lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
+
+    if manifest.buckets:
+        prior = read_lake(lake_dir, live_only=False)
+        prior = prior.map_batches(
+            lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
+        )
+        # conform both branches to one column order/schema before union
+        # (schema evolution: missing columns null-backfilled — the
+        # pa.unify_schemas analog of SURVEY.md §7 step 8)
+        s_new, s_old = ds.schema(), prior.schema()
+        types: dict[str, pa.DataType] = {}
+        for s in (s_old, s_new):  # new wins on retype (promotion)
+            for n, t in zip(s.names, s.types):
+                types[n] = t
+        names = sorted(types)
+
+        def conform(batch: pa.Table) -> pa.Table:
+            cols = []
+            for n in names:
+                if n in batch.column_names:
+                    cols.append(batch[n].cast(types[n]))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, types[n]))
+            return pa.Table.from_arrays(cols, names=names)
+
+        ds = ds.map_batches(conform, batch_format="pyarrow").union(
+            prior.map_batches(conform, batch_format="pyarrow")
+        )
+
+    winners = lww_winners_keep_bucket(ds)
+    return commit_txn(
+        lake_dir, txn_id, winners, fail_before_publish=fail_before_publish
+    )

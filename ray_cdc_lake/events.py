@@ -14,15 +14,18 @@ mirrors the reference's test corpus (SURVEY.md §5, FIXTURES.md §2):
 * exact duplicate deliveries for ``doc_id % 11 == 0`` (idempotence; the
   reference replays batches at-least-once, SURVEY.md §2.9).
 
-Derivation spec (shared with the SQL in queries.py — keep in sync):
+Derivation spec (shared with the SQL in queries.py — keep in sync).
+LSNs are EPOCH-MAJOR (a real binlog is globally ordered: later deliveries
+carry higher LSNs — required for per-bucket high-watermark resume):
 
+    STRIDE  = 10_000_000
     repo    = source
     path    = 'docs/<lang>/doc_<doc_id zero-padded to 6>.txt'
-    version e in [0, E): lsn = doc_id*1000 + 10*e,
+    version e in [0, E): lsn = e*STRIDE + doc_id,
                          op  = insert (e=0) / update, content = text||' [rev e]'
-    delete:  lsn = doc_id*1000 + 10*E + 7
-    rename:  lsn = doc_id*1000 + 10*E + 8, new_path = path with .txt -> .md,
-             content = text||' [rev E-1]'
+    delete:  lsn = E*STRIDE + 2*doc_id        (after all epochs; even)
+    rename:  lsn = E*STRIDE + 2*doc_id + 1    (odd; wins over same-key delete),
+             new_path = path with .txt -> .md, content = text||' [rev E-1]'
     dup:     exact copy of the e=1 event
     commit  = md5(repo || '/' || path || '@' || lsn)
 
@@ -39,6 +42,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .schemas import COMPILED_SCHEMA, DEFAULT_EPOCHS, EVENT_SCHEMA
+
+STRIDE = 10_000_000  # lsn stride per epoch (epoch-major global LSN order)
 
 
 def _md5_hex(keys: list[str]) -> list[str]:
@@ -70,7 +75,7 @@ class DeriveEvents:
         # versioned upserts: fan out n rows -> n*E rows (repeat-major by doc)
         idx = np.repeat(np.arange(n), E)
         e = np.tile(np.arange(E, dtype=np.int64), n)
-        lsn = doc_id[idx] * 1000 + 10 * e
+        lsn = e * STRIDE + doc_id[idx]
         op = np.where(e == 0, "insert", "update")
         content = [f"{text[i]} [rev {ep}]" for i, ep in zip(idx, e)]
         tables.append(
@@ -89,7 +94,7 @@ class DeriveEvents:
         dmask = doc_id % 7 == 3
         didx = np.nonzero(dmask)[0]
         if len(didx):
-            dlsn = doc_id[didx] * 1000 + 10 * E + 7
+            dlsn = E * STRIDE + 2 * doc_id[didx]
             tables.append(
                 _events_table(
                     lsn=dlsn,
@@ -106,7 +111,7 @@ class DeriveEvents:
         rmask = doc_id % 5 == 2
         ridx = np.nonzero(rmask)[0]
         if len(ridx):
-            rlsn = doc_id[ridx] * 1000 + 10 * E + 8
+            rlsn = E * STRIDE + 2 * doc_id[ridx] + 1
             tables.append(
                 _events_table(
                     lsn=rlsn,
@@ -124,7 +129,7 @@ class DeriveEvents:
             qmask = doc_id % 11 == 0
             qidx = np.nonzero(qmask)[0]
             if len(qidx):
-                qlsn = doc_id[qidx] * 1000 + 10
+                qlsn = STRIDE + doc_id[qidx]
                 tables.append(
                     _events_table(
                         lsn=qlsn,

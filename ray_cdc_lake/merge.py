@@ -93,6 +93,16 @@ def lww_winners(
     )
 
 
+def lww_winners_keep_bucket(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """LWW winners per key for a dataset that ALREADY has a 'bucket'
+    column; keeps 'bucket', 'op' and tombstone rows (the sink persists
+    tombstones LSM-style so stale events can't resurrect deleted keys)."""
+    ds = ds.map_batches(partial_lww, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        lambda g: _winner_per_key(g, ["repo", "path"]), batch_format="pyarrow"
+    )
+
+
 def lww_merge(
     compiled: "ray.data.Dataset",
     num_buckets: int = DEFAULT_NUM_BUCKETS,

@@ -69,25 +69,25 @@ docs AS (
   FROM documents
 ),
 vers AS (
-  SELECT d.doc_id, d.doc_id*1000 + 10*t.e AS lsn,
+  SELECT d.doc_id, t.e*10000000 + d.doc_id AS lsn,
          CASE WHEN t.e = 0 THEN 'insert' ELSE 'update' END AS op,
          d.repo, d.path, CAST(NULL AS VARCHAR) AS new_path, d.lang,
          d.text || ' [rev ' || CAST(t.e AS VARCHAR) || ']' AS content
   FROM docs d CROSS JOIN (SELECT CAST(range AS BIGINT) AS e FROM range({E})) t
 ),
 dels AS (
-  SELECT doc_id, doc_id*1000 + 10*{E} + 7 AS lsn, 'delete' AS op, repo, path,
+  SELECT doc_id, {E}*10000000 + 2*doc_id AS lsn, 'delete' AS op, repo, path,
          CAST(NULL AS VARCHAR) AS new_path, CAST(NULL AS VARCHAR) AS lang,
          CAST(NULL AS VARCHAR) AS content
   FROM docs WHERE doc_id % 7 = 3
 ),
 rens AS (
-  SELECT doc_id, doc_id*1000 + 10*{E} + 8 AS lsn, 'rename' AS op, repo, path,
+  SELECT doc_id, {E}*10000000 + 2*doc_id + 1 AS lsn, 'rename' AS op, repo, path,
          replace(path, '.txt', '.md') AS new_path, lang,
          text || ' [rev {E - 1}]' AS content
   FROM docs WHERE doc_id % 5 = 2
 ),
-dups AS (SELECT * FROM vers WHERE doc_id % 11 = 0 AND lsn % 1000 = 10),
+dups AS (SELECT * FROM vers WHERE doc_id % 11 = 0 AND lsn >= 10000000 AND lsn < 20000000),
 raw_ev AS (
   SELECT * FROM vers UNION ALL SELECT * FROM dels
   UNION ALL SELECT * FROM rens UNION ALL SELECT * FROM dups
@@ -229,7 +229,47 @@ def q_cdc_partition_manifest(sf_dir: str):
     return out
 
 
+def q_cdc_replay_committed(sf_dir: str):
+    """Full exactly-once path: the derived log is split into two
+    transactions (epochs 0-1, then the rest), applied incrementally through
+    the staged-write + manifest-commit sink into a scratch lake, and the
+    COMMITTED state read back — must equal the one-shot replay oracle.
+    Exercises checkpoint (hwm), tombstone persistence, atomic publish."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .sink import read_lake
+
+    lake = f"/tmp/ray_cdc_lake_q/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    from .events import STRIDE
+
+    cut = 2 * STRIDE  # epochs 0-1 in txn 1, everything later in txn 2
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    apply_incremental(lake, "txn-0001", seg1)
+    apply_incremental(lake, "txn-0002", seg2)
+    out = read_lake(lake)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 CDC_SQL: dict[str, str] = {
+    "cdc_replay_committed": FINAL_STATE_SQL,
     "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
     "cdc_compiled_changes": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
@@ -823,6 +863,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     weaker rows-only check."""
     queries: dict[str, Callable[[str], Any]] = {
         "cdc_compile_events": q_cdc_compile_events,
+        "cdc_replay_committed": q_cdc_replay_committed,
         "cdc_compiled_changes": q_cdc_compiled_changes,
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,

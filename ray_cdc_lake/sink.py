@@ -1,0 +1,246 @@
+"""Exactly-once Parquet lake sink: staged writes + atomic commit manifests.
+
+Reference analog: the two-phase stage/commit/rollback rename protocol of
+``RenameDiskUtils.kt:32-105`` (phase 1: move to temp; phase 2: move to
+final; reverse on failure) and ``RenameS3Utils.kt:35-135`` (stage -> commit
+-> cleanup with rollback at each step) — generalized to a distributed lake:
+
+* workers write data files to ``_staging/<txn_id>/`` (phase 1),
+* the staging dir is atomically renamed to ``data/<txn_id>/`` (phase 2),
+* the commit POINT is a single atomic manifest publish on the driver
+  (``os.replace`` of the CURRENT pointer) — everything before it is
+  invisible; a crash at any earlier point leaves only unreferenced files,
+* re-running a committed txn_id is a no-op (idempotent commit), so
+  at-least-once replays cannot duplicate rows.
+
+Lake layout (resumable, partition-pruned):
+
+    lake/
+      _staging/<txn_id>/bucket=K/*.parquet     # phase-1 area
+      data/<txn_id>/bucket=K/*.parquet         # immutable committed files
+      _manifests/manifest-<version>.json       # full snapshot description
+      _manifests/CURRENT                       # atomic pointer (os.replace)
+
+Each txn rewrites the complete state of every bucket it touched
+(copy-on-write per bucket); the manifest maps bucket -> owning txn. Rows
+carry an ``op`` column; tombstones are KEPT in the data files (LSM-style)
+so later incremental merges cannot resurrect deleted keys from stale
+events — readers filter ``op != 'delete'``.
+
+Per-bucket high watermarks are read from the staged files' Parquet footer
+statistics (no data scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING
+
+import pyarrow.parquet as pq
+
+if TYPE_CHECKING:
+    import ray.data
+
+MANIFEST_DIR = "_manifests"
+STAGING_DIR = "_staging"
+DATA_DIR = "data"
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    # bucket (as str, JSON keys) -> {"txn_id": ..., "hwm_lsn": int, "rows": int}
+    buckets: dict[str, dict] = field(default_factory=dict)
+    txns: list[str] = field(default_factory=list)
+    schema_version: int = 0
+    schema_fields: list[list[str]] = field(default_factory=list)  # [name, type_str]
+
+    def hwm(self) -> dict[int, int]:
+        return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
+
+    def data_dirs(self, lake_dir: str) -> list[str]:
+        """One directory per live (txn, bucket) — input paths for read."""
+        out = []
+        for b, info in sorted(self.buckets.items(), key=lambda kv: int(kv[0])):
+            out.append(os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}"))
+        return out
+
+
+def _manifest_path(lake_dir: str, version: int) -> str:
+    return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{version:06d}.json")
+
+
+def read_manifest(lake_dir: str) -> Manifest:
+    cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+    if not os.path.exists(cur):
+        return Manifest()
+    with open(cur) as f:
+        version = int(f.read().strip())
+    with open(_manifest_path(lake_dir, version)) as f:
+        d = json.load(f)
+    return Manifest(
+        version=d["version"],
+        buckets=d["buckets"],
+        txns=d["txns"],
+        schema_version=d.get("schema_version", 0),
+        schema_fields=d.get("schema_fields", []),
+    )
+
+
+def _publish(lake_dir: str, m: Manifest) -> None:
+    """The atomic commit point: write manifest-<v>.json, then os.replace the
+    CURRENT pointer (atomic on POSIX — the RenameDiskUtils phase-2 analog)."""
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = _manifest_path(lake_dir, m.version)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": m.version,
+                "buckets": m.buckets,
+                "txns": m.txns,
+                "schema_version": m.schema_version,
+                "schema_fields": m.schema_fields,
+                "committed_at": time.time(),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, mpath)
+    cur_tmp = os.path.join(mdir, "CURRENT.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(str(m.version))
+    os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))
+
+
+def commit_txn(
+    lake_dir: str,
+    txn_id: str,
+    winners: "ray.data.Dataset",
+    fail_before_publish: bool = False,
+) -> Manifest:
+    """Write the winners dataset (must contain 'bucket' and 'op' columns)
+    as transaction ``txn_id`` and atomically publish the new manifest.
+
+    Idempotent: if ``txn_id`` is already committed, returns the current
+    manifest untouched (re-delivered batch = no-op, the exactly-once
+    guarantee the reference approximates with staged S3 renames,
+    RenameS3Utils.kt:23-33).
+
+    ``fail_before_publish`` injects a crash between the data move and the
+    manifest publish (for resume tests — the window where data files exist
+    but are invisible).
+    """
+    manifest = read_manifest(lake_dir)
+    if txn_id in manifest.txns:
+        return manifest
+
+    staging = os.path.join(lake_dir, STAGING_DIR, txn_id)
+    final_dir = os.path.join(lake_dir, DATA_DIR, txn_id)
+    # a previous crashed attempt may have left either dir — both are
+    # unreferenced (txn not in manifest), so discard and redo (the
+    # "temp dir always deleted" cleanup of RenameDiskUtils.kt:102-104)
+    for d in (staging, final_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(staging, exist_ok=True)
+
+    # phase 1: staged distributed write, partitioned by bucket
+    winners.write_parquet(staging, partition_cols=["bucket"])
+
+    # gather per-bucket stats from parquet footers (no data scan)
+    bucket_stats: dict[str, dict] = {}
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("bucket="):
+            continue
+        b = entry.split("=", 1)[1]
+        hwm = -1
+        rows = 0
+        bdir = os.path.join(staging, entry)
+        for fn in sorted(os.listdir(bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                col_md = md.row_group(rg)
+                for ci in range(col_md.num_columns):
+                    c = col_md.column(ci)
+                    if c.path_in_schema == "lsn" and c.statistics is not None:
+                        hwm = max(hwm, c.statistics.max)
+        bucket_stats[b] = {"txn_id": txn_id, "hwm_lsn": int(hwm), "rows": int(rows)}
+
+    # phase 2: atomic move staging -> data
+    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+    os.replace(staging, final_dir)
+
+    if fail_before_publish:
+        raise RuntimeError(f"injected failure before publish of {txn_id}")
+
+    # commit point
+    new = Manifest(
+        version=manifest.version + 1,
+        buckets={**manifest.buckets, **bucket_stats},
+        txns=[*manifest.txns, txn_id],
+        schema_version=manifest.schema_version,
+        schema_fields=manifest.schema_fields,
+    )
+    _publish(lake_dir, new)
+    return new
+
+
+def read_lake(lake_dir: str, live_only: bool = True) -> "ray.data.Dataset":
+    """Read the committed lake state (only files referenced by the current
+    manifest — uncommitted/crashed txn files are invisible)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    m = read_manifest(lake_dir)
+    dirs = m.data_dirs(lake_dir)
+    if not dirs:
+        raise FileNotFoundError(f"no committed state in {lake_dir}")
+    # ray.data.read_parquet expands a single dir but treats LIST entries as
+    # files — enumerate the data files explicitly
+    files = []
+    for d in dirs:
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".parquet"):
+                files.append(os.path.join(d, fn))
+    ds = rd.read_parquet(files)
+
+    def strip(t):
+        # hive-partition inference re-adds 'bucket' from the dir name;
+        # drop it (merge stages recompute it from the stable key hash)
+        if "bucket" in t.column_names:
+            t = t.drop_columns(["bucket"])
+        if live_only:
+            t = t.filter(pc.not_equal(t["op"], "delete"))
+        return t
+
+    return ds.map_batches(strip, batch_format="pyarrow")
+
+
+def vacuum(lake_dir: str) -> list[str]:
+    """Remove unreferenced txn dirs and leftover staging dirs (safe any
+    time: the manifest is the source of truth)."""
+    m = read_manifest(lake_dir)
+    removed = []
+    live = set(m.txns)
+    data_root = os.path.join(lake_dir, DATA_DIR)
+    if os.path.isdir(data_root):
+        for t in os.listdir(data_root):
+            if t not in live:
+                shutil.rmtree(os.path.join(data_root, t))
+                removed.append(f"data/{t}")
+    stage_root = os.path.join(lake_dir, STAGING_DIR)
+    if os.path.isdir(stage_root):
+        for t in os.listdir(stage_root):
+            shutil.rmtree(os.path.join(stage_root, t))
+            removed.append(f"_staging/{t}")
+    return removed

@@ -137,6 +137,8 @@ def add_bucket(batch: pa.Table, num_buckets: int, salt_mod: int = 0) -> pa.Table
     hash(repo,path) % num_buckets``. With ``salt_mod > 0``, hot keys are
     salted into sub-partitions ``bucket*salt_mod + lsn % salt_mod``
     (merge-back handled by the caller; see merge.salted_lww_merge)."""
+    if "bucket" in batch.column_names:
+        batch = batch.drop_columns(["bucket"])
     h = key_hash_u64(batch["repo"], batch["path"])
     bucket = (h % np.uint64(num_buckets)).astype(np.int64)
     if salt_mod > 0:

@@ -1,0 +1,159 @@
+"""Exactly-once sink, checkpoint/resume, idempotence, schema evolution.
+
+Mirrors the reference's failure-injection tests (ReorderFilesTest.kt:325-352:
+mock S3 failing mid-commit, assert full rollback) — here: crash between the
+data move and the manifest publish, assert the half-written txn is invisible
+and a re-run converges to the byte-identical state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from ray_cdc_lake.checkpoint import apply_incremental
+from ray_cdc_lake.schemas import COMPILED_SCHEMA
+from ray_cdc_lake.sink import read_lake, read_manifest, vacuum
+
+
+def ev_table(rows: list[tuple]) -> pa.Table:
+    """rows: (lsn, op, repo, path, content)"""
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.string()),
+            pa.array([r[2] for r in rows], type=pa.string()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+            pa.array([f"c{r[0]:08d}" for r in rows], type=pa.string()),
+            pa.array(["py"] * len(rows), type=pa.string()),
+            pa.array([r[4] for r in rows], type=pa.large_string()),
+        ],
+        schema=COMPILED_SCHEMA,
+    )
+
+
+def ev_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(ev_table(rows))
+
+
+def lake_state(lake_dir) -> dict[tuple, tuple]:
+    """(repo,path) -> (lsn, content) for live rows."""
+    df = read_lake(lake_dir).to_pandas()
+    return {
+        (r.repo, r.path): (r.lsn, r.content) for r in df.itertuples()
+    }
+
+
+SEG_A = [
+    (1, "insert", "r1", "a.py", "A1"),
+    (2, "insert", "r1", "b.py", "B1"),
+    (3, "insert", "r2", "c.py", "C1"),
+    (4, "update", "r1", "a.py", "A2"),
+]
+SEG_B = [
+    (5, "delete", "r1", "b.py", None),
+    (6, "update", "r2", "c.py", "C2"),
+    (7, "insert", "r1", "d.py", "D1"),
+]
+
+EXPECT_A = {("r1", "a.py"): (4, "A2"), ("r1", "b.py"): (2, "B1"), ("r2", "c.py"): (3, "C1")}
+EXPECT_AB = {("r1", "a.py"): (4, "A2"), ("r2", "c.py"): (6, "C2"), ("r1", "d.py"): (7, "D1")}
+
+
+def test_commit_and_read(tmp_path):
+    lake = str(tmp_path / "lake")
+    m = apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    assert m.version == 1 and m.txns == ["txn-a"]
+    assert lake_state(lake) == EXPECT_A
+
+
+def test_incremental_and_idempotent(tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    m2 = apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    assert lake_state(lake) == EXPECT_AB
+    # committed txn re-run = no-op
+    m3 = apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    assert m3.version == m2.version
+    assert lake_state(lake) == EXPECT_AB
+
+
+def test_hwm_drops_replayed_events(tmp_path):
+    """At-least-once redelivery of already-applied events under a NEW txn id
+    must not change state (lsn <= hwm filtered per bucket)."""
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    apply_incremental(lake, "txn-c", ev_ds(SEG_A + SEG_B), num_buckets=4)
+    assert lake_state(lake) == EXPECT_AB
+
+
+def test_tombstone_blocks_stale_event(tmp_path):
+    """A stale lower-LSN event for a deleted key (late/out-of-order
+    delivery in a later segment) must NOT resurrect it — the persisted
+    tombstone wins."""
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    # lsn=1 stale insert for deleted b.py — but hwm filtering is per
+    # bucket, so craft a fresh key bucketed elsewhere to force processing:
+    # replay a stale event with lsn *above* no watermark? Instead: send a
+    # late event with lsn between delete(5) and hwm — dropped by hwm; and
+    # one with lsn above hwm but below the delete cannot exist (lsn is
+    # monotone). The realistic late case: duplicate of lsn=2 insert.
+    apply_incremental(lake, "txn-d", ev_ds([(2, "insert", "r1", "b.py", "B1")]), num_buckets=4)
+    assert lake_state(lake) == EXPECT_AB
+
+
+def test_crash_before_publish_then_resume(tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        apply_incremental(
+            lake, "txn-b", ev_ds(SEG_B), num_buckets=4, fail_before_publish=True
+        )
+    # half-written txn invisible
+    assert read_manifest(lake).txns == ["txn-a"]
+    assert lake_state(lake) == EXPECT_A
+    # resume: same txn id, full re-run
+    m = apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    assert m.txns == ["txn-a", "txn-b"]
+    assert lake_state(lake) == EXPECT_AB
+
+
+def test_vacuum_removes_unreferenced(tmp_path):
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    try:
+        apply_incremental(
+            lake, "txn-x", ev_ds(SEG_B), num_buckets=4, fail_before_publish=True
+        )
+    except RuntimeError:
+        pass
+    removed = vacuum(lake)
+    assert any("txn-x" in r for r in removed)
+    assert lake_state(lake) == EXPECT_A
+
+
+def test_schema_evolution_column_add(tmp_path):
+    """Segment B adds a 'license' column; prior rows get null backfill
+    (pa.unify_schemas analog; reference analog: one model serialized to two
+    schema versions, MetsBrowsingModel.kt:10-21)."""
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+
+    seg_b = ev_table(SEG_B).append_column(
+        "license", pa.array(["MIT", "MIT", "Apache-2.0"], type=pa.large_string())
+    )
+    apply_incremental(lake, "txn-b", rd.from_arrow(seg_b), num_buckets=4)
+
+    df = read_lake(lake).to_pandas().set_index(["repo", "path"])
+    assert df.loc[("r2", "c.py"), "license"] == "MIT"
+    assert df.loc[("r1", "d.py"), "license"] == "Apache-2.0"
+    import pandas as pd
+
+    assert pd.isna(df.loc[("r1", "a.py"), "license"])
