@@ -1,7 +1,200 @@
-"""textstats operators (training-data extensions) — filled in incrementally."""
+"""Text-analysis operators over the ``documents`` table — the reference's
+per-document metadata-extraction transforms (JhoveParser.kt:12-184 pulling
+typed metadata out of content) reborn for training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All stages are stateless ``map_batches`` UDFs except language ID, which is
+an actor-pool stage (stopword tables built once per actor — the
+``Jhove.init()`` one-time-state shape, Jhove.kt:148-217).
+"""
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "a", "of", "to", "and")
+
+# tiny per-language function-word tables for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "una", "en"),
+    "zh": ("de", "shi", "le", "zai", "he", "you"),
+}
+
+
+def _token_counts(texts: pa.ChunkedArray):
+    """Vectorized per-row token counts + flattened token array using Arrow
+    list kernels (single-space split matches the SQL oracle
+    ``string_split(text, ' ')``)."""
+    toks = pc.split_pattern(texts, " ")
+    n = pc.list_value_length(toks)
+    return toks, n
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    _, n = _token_counts(batch["text"])
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pc.cast(n, pa.int64())], names=["doc_id", "n_tokens"]
+    )
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Quality metrics: token count, chars/token, stopword ratio. Ratios
+    are single integer divisions so they are bit-identical to the SQL
+    oracle's DOUBLE division."""
+    toks, n = _token_counts(batch["text"])
+    n64 = pc.cast(n, pa.int64())
+    nchars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+
+    flat = toks.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = flat.flatten()
+    is_stop = pc.is_in(values, value_set=pa.array(STOPWORDS))
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = n.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    stop_counts = np.add.reduceat(stop_np, offsets[:-1]) if len(stop_np) else np.zeros(0, dtype=np.int64)
+    stop_counts = np.where(lengths == 0, 0, stop_counts)
+
+    n_np = lengths
+    chars_np = nchars.to_numpy(zero_copy_only=False).astype(np.int64)
+    chars_per_token = chars_np / np.maximum(n_np, 1)
+    stop_ratio = stop_counts / np.maximum(n_np, 1)
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pa.array(chars_np),
+            pa.array(n_np),
+            pa.array(stop_counts),
+            pa.array(chars_per_token),
+            pa.array(stop_ratio),
+        ],
+        names=["doc_id", "n_chars", "n_tokens", "n_stopwords", "chars_per_token", "stopword_ratio"],
+    )
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker tables compiled once per actor
+    (``__init__``), batches scored vectorized (``__call__``).
+    Deterministic tie-break: highest score wins, ties broken by language
+    code ascending; zero hits -> 'und'."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.marker_sets = [frozenset(LANG_MARKERS[lg]) for lg in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks, n = _token_counts(batch["text"])
+        tok_lists = toks.to_pylist()
+        preds = []
+        for words in tok_lists:
+            ws = set(w.lower() for w in words)
+            best_lang, best_score = "und", 0
+            for lg, markers in zip(self.langs, self.marker_sets):
+                s = len(ws & markers)
+                if s > best_score:
+                    best_lang, best_score = lg, s
+            preds.append(best_lang)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(preds, type=pa.string())],
+            names=["doc_id", "lang_pred"],
+        )
+
+
+def fingerprint(batch: pa.Table, k: int = 8, w: int = 16) -> pa.Table:
+    """Winnowing document fingerprint (rolling Rabin-Karp hash over byte
+    k-grams, min per window, xor-folded to one u64). Deterministic across
+    workers and runs — pure integer arithmetic, no dict order."""
+    B = np.uint64(1000003)
+    MOD_MASK = np.uint64((1 << 61) - 1)
+    out = []
+    for s in batch["text"].to_pylist():
+        data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(data) < k:
+            out.append(int(np.bitwise_xor.reduce(data) if len(data) else 0))
+            continue
+        # rolling polynomial hash over k-grams, vectorized via cumulative trick
+        powers = np.array([int(B) ** i % (1 << 61) for i in range(k)][::-1], dtype=np.uint64)
+        m = len(data) - k + 1
+        grams = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (grams * powers).sum(axis=1, dtype=np.uint64) & MOD_MASK
+        if m <= w:
+            mins = np.array([h.min()], dtype=np.uint64)
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(h, w)
+            mins = np.unique(wins.min(axis=1))
+        out.append(int(np.bitwise_xor.reduce(mins)))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pa.array(out, type=pa.uint64())],
+        names=["doc_id", "fingerprint"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def _read_docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_text_token_count(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count, batch_format="pyarrow"
+    )
+
+
+def q_text_quality(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_score, batch_format="pyarrow"
+    )
+
+
+def q_text_langid(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def q_text_fingerprint(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+
+
+SQL = {
+    "text_token_count": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "text_quality": f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 string_split(text, ' ') AS w
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(w, x -> x IN {STOPWORDS!r})) AS BIGINT) AS n_stopwords,
+               CAST(n_chars AS DOUBLE) / greatest(len(w), 1) AS chars_per_token,
+               CAST(len(list_filter(w, x -> x IN {STOPWORDS!r})) AS DOUBLE)
+                   / greatest(len(w), 1) AS stopword_ratio
+        FROM toks""",
+}
+
 
 def registry():
-    return {}, {}
+    queries = {
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+    }
+    return queries, dict(SQL)
