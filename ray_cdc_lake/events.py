@@ -62,83 +62,105 @@ class DeriveEvents:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         E = self.epochs
-        doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lang = batch["lang"].to_pylist()
-        source = batch["source"].to_pylist()
-        text = batch["text"].to_pylist()
+        doc_id_a = batch["doc_id"].combine_chunks()
+        doc_id = doc_id_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = batch["lang"].combine_chunks()
+        source = batch["source"].combine_chunks()
+        # all-string inside the join kernels (mixed string/large_string has
+        # no kernel); _events_table casts content to large_string at the end
+        text = pc.cast(batch["text"].combine_chunks(), pa.string())
         n = len(doc_id)
 
-        path = [f"docs/{lg}/doc_{d:06d}.txt" for lg, d in zip(lang, doc_id)]
+        path = pc.binary_join_element_wise(
+            "docs/",
+            lang,
+            "/doc_",
+            pc.utf8_lpad(pc.cast(doc_id_a, pa.string()), 6, "0"),
+            ".txt",
+            "",
+        )
+
+        def rev_suffix(e_arr: np.ndarray) -> pa.Array:
+            return pc.binary_join_element_wise(
+                " [rev ",
+                pa.array(e_arr.astype(str), type=pa.string()),
+                "]",
+                "",
+            )
 
         tables: list[pa.Table] = []
 
         # versioned upserts: fan out n rows -> n*E rows (repeat-major by doc)
-        idx = np.repeat(np.arange(n), E)
+        idx = pa.array(np.repeat(np.arange(n), E))
         e = np.tile(np.arange(E, dtype=np.int64), n)
-        lsn = e * STRIDE + doc_id[idx]
-        op = np.where(e == 0, "insert", "update")
-        content = [f"{text[i]} [rev {ep}]" for i, ep in zip(idx, e)]
+        lsn = e * STRIDE + np.repeat(doc_id, E)
+        op = pc.if_else(pa.array(e == 0), pa.scalar("insert"), pa.scalar("update"))
+        content = pc.binary_join_element_wise(
+            pc.take(text, idx), rev_suffix(e), ""
+        )
         tables.append(
             _events_table(
                 lsn=lsn,
-                op=op.tolist(),
-                repo=[source[i] for i in idx],
-                path=[path[i] for i in idx],
-                new_path=[None] * len(idx),
-                lang=[lang[i] for i in idx],
+                op=op,
+                repo=pc.take(source, idx),
+                path=pc.take(path, idx),
+                new_path=pa.nulls(len(idx), pa.string()),
+                lang=pc.take(lang, idx),
                 content=content,
             )
         )
 
         # deletes
-        dmask = doc_id % 7 == 3
-        didx = np.nonzero(dmask)[0]
+        didx_np = np.nonzero(doc_id % 7 == 3)[0]
+        didx = pa.array(didx_np)
         if len(didx):
-            dlsn = E * STRIDE + 2 * doc_id[didx]
             tables.append(
                 _events_table(
-                    lsn=dlsn,
-                    op=["delete"] * len(didx),
-                    repo=[source[i] for i in didx],
-                    path=[path[i] for i in didx],
-                    new_path=[None] * len(didx),
-                    lang=[None] * len(didx),
-                    content=[None] * len(didx),
+                    lsn=E * STRIDE + 2 * doc_id[didx_np],
+                    op=pa.array(["delete"] * len(didx)),
+                    repo=pc.take(source, didx),
+                    path=pc.take(path, didx),
+                    new_path=pa.nulls(len(didx), pa.string()),
+                    lang=pa.nulls(len(didx), pa.string()),
+                    content=pa.nulls(len(didx), pa.large_string()),
                 )
             )
 
         # renames
-        rmask = doc_id % 5 == 2
-        ridx = np.nonzero(rmask)[0]
+        ridx_np = np.nonzero(doc_id % 5 == 2)[0]
+        ridx = pa.array(ridx_np)
         if len(ridx):
-            rlsn = E * STRIDE + 2 * doc_id[ridx] + 1
+            path_r = pc.take(path, ridx)
             tables.append(
                 _events_table(
-                    lsn=rlsn,
-                    op=["rename"] * len(ridx),
-                    repo=[source[i] for i in ridx],
-                    path=[path[i] for i in ridx],
-                    new_path=[path[i].replace(".txt", ".md") for i in ridx],
-                    lang=[lang[i] for i in ridx],
-                    content=[f"{text[i]} [rev {E - 1}]" for i in ridx],
+                    lsn=E * STRIDE + 2 * doc_id[ridx_np] + 1,
+                    op=pa.array(["rename"] * len(ridx)),
+                    repo=pc.take(source, ridx),
+                    path=path_r,
+                    new_path=pc.replace_substring(path_r, ".txt", ".md"),
+                    lang=pc.take(lang, ridx),
+                    content=pc.binary_join_element_wise(
+                        pc.take(text, ridx), f" [rev {E - 1}]", ""
+                    ),
                 )
             )
 
         # exact duplicate delivery of the e=1 event
         if E > 1:
-            qmask = doc_id % 11 == 0
-            qidx = np.nonzero(qmask)[0]
+            qidx_np = np.nonzero(doc_id % 11 == 0)[0]
+            qidx = pa.array(qidx_np)
             if len(qidx):
-                qlsn = STRIDE + doc_id[qidx]
                 tables.append(
                     _events_table(
-                        lsn=qlsn,
-                        op=["update"] * len(qidx),
-                        repo=[source[i] for i in qidx],
-                        path=[path[i] for i in qidx],
-                        new_path=[None] * len(qidx),
-                        lang=[lang[i] for i in qidx],
-                        content=[f"{text[i]} [rev 1]" for i in qidx],
+                        lsn=STRIDE + doc_id[qidx_np],
+                        op=pa.array(["update"] * len(qidx)),
+                        repo=pc.take(source, qidx),
+                        path=pc.take(path, qidx),
+                        new_path=pa.nulls(len(qidx), pa.string()),
+                        lang=pc.take(lang, qidx),
+                        content=pc.binary_join_element_wise(
+                            pc.take(text, qidx), " [rev 1]", ""
+                        ),
                     )
                 )
 
@@ -146,17 +168,32 @@ class DeriveEvents:
 
 
 def _events_table(lsn, op, repo, path, new_path, lang, content) -> pa.Table:
-    commit = _md5_hex([f"{r}/{p}@{l}" for r, p, l in zip(repo, path, lsn)])
+    """Assemble one event sub-table from pyarrow arrays (lsn: numpy int64).
+
+    Everything is vectorized except the md5 of the short commit-key string
+    (no columnar md5 kernel exists); the key strings themselves are built
+    with one binary_join_element_wise.
+    """
+    lsn_a = pa.array(np.asarray(lsn, dtype=np.int64))
+    key = pc.binary_join_element_wise(
+        pc.cast(repo, pa.string()),
+        "/",
+        pc.cast(path, pa.string()),
+        "@",
+        pc.cast(lsn_a, pa.string()),
+        "",
+    )
+    commit = pa.array(_md5_hex(key.to_pylist()), type=pa.string())
     return pa.Table.from_arrays(
         [
-            pa.array(np.asarray(lsn, dtype=np.int64)),
-            pa.array(op, type=pa.string()),
-            pa.array(repo, type=pa.string()),
-            pa.array(path, type=pa.string()),
-            pa.array(new_path, type=pa.string()),
-            pa.array(commit, type=pa.string()),
-            pa.array(lang, type=pa.string()),
-            pa.array(content, type=pa.large_string()),
+            lsn_a,
+            pc.cast(op, pa.string()),
+            pc.cast(repo, pa.string()),
+            pc.cast(path, pa.string()),
+            pc.cast(new_path, pa.string()),
+            commit,
+            pc.cast(lang, pa.string()),
+            pc.cast(content, pa.large_string()),
         ],
         schema=EVENT_SCHEMA,
     )

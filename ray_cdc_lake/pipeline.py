@@ -30,13 +30,26 @@ if TYPE_CHECKING:
 def derive_event_log(
     sf_dir: str, epochs: int = DEFAULT_EPOCHS, parallelism: int = -1
 ) -> "ray.data.Dataset":
-    """documents.parquet -> the deterministic change-event log (events.py)."""
+    """documents.parquet -> the deterministic change-event log (events.py).
+
+    ``parallelism``: number of input blocks for the derive fan-out. The test
+    corpus is a single small parquet file (= one read block), which would
+    serialize the whole derive stage; at real scale the input is thousands
+    of files and this override is a no-op cost-wise. Defaults to 2 blocks
+    per available CPU.
+    """
+    import ray
     import ray.data as rd
 
+    if parallelism <= 0:
+        parallelism = 2 * int(ray.cluster_resources().get("CPU", 8))
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang", "source", "text"],
     )
+    # The test file is one row group, so the parquet read yields ONE block;
+    # split it so the derive fan-out uses the whole cluster.
+    docs = docs.repartition(parallelism)
     return docs.map_batches(DeriveEvents(epochs), batch_format="pyarrow")
 
 
