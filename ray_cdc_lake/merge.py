@@ -64,6 +64,22 @@ def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
     return t.filter(pa.array(first))
 
 
+# Reduce-side memory guard: groups above this row count go through the
+# sorted-run dedup index (state.SortedRunIndex) instead of one big sort —
+# peak heap O(chunk), not O(group). The threshold is deliberately high:
+# partial_lww already collapses each map-side block to <=1 row per key,
+# so only a pathologically hot bucket reaches it.
+SPILL_THRESHOLD_ROWS = 500_000
+
+
+def _group_winners(group: pa.Table, keys: list[str]) -> pa.Table:
+    if group.num_rows > SPILL_THRESHOLD_ROWS:
+        from .state import merge_group_spilling
+
+        return merge_group_spilling(group, keys)
+    return _winner_per_key(group, keys)
+
+
 def partial_lww(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: winning event per (repo, path) within this batch.
     Keeps tombstones (op='delete') — they must reach the final reduce."""
@@ -73,7 +89,7 @@ def partial_lww(batch: pa.Table) -> pa.Table:
 def final_lww(group: pa.Table) -> pa.Table:
     """Per-bucket final reduce: LWW winner per key, then drop tombstones.
     Input columns: compiled-event columns + 'bucket'."""
-    t = _winner_per_key(group, ["repo", "path"])
+    t = _group_winners(group, ["repo", "path"])
     t = t.filter(pc.not_equal(t["op"], "delete"))
     drop = [c for c in ("op", "bucket") if c in t.column_names]
     return t.drop_columns(drop)
@@ -88,7 +104,7 @@ def lww_winners(
     ds = compiled.map_batches(partial_lww, batch_format="pyarrow")
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
     return ds.groupby("bucket").map_groups(
-        lambda g: _winner_per_key(g, ["repo", "path"]).drop_columns(["bucket"]),
+        lambda g: _group_winners(g, ["repo", "path"]).drop_columns(["bucket"]),
         batch_format="pyarrow",
     )
 
@@ -99,7 +115,7 @@ def lww_winners_keep_bucket(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     tombstones LSM-style so stale events can't resurrect deleted keys)."""
     ds = ds.map_batches(partial_lww, batch_format="pyarrow")
     return ds.groupby("bucket").map_groups(
-        lambda g: _winner_per_key(g, ["repo", "path"]), batch_format="pyarrow"
+        lambda g: _group_winners(g, ["repo", "path"]), batch_format="pyarrow"
     )
 
 
@@ -124,7 +140,7 @@ def lww_merge(
         )
         # sub-partition reduce: winner per key within each salted bucket
         ds = ds.groupby("bucket").map_groups(
-            lambda g: _winner_per_key(g, ["repo", "path"]), batch_format="pyarrow"
+            lambda g: _group_winners(g, ["repo", "path"]), batch_format="pyarrow"
         )
         # merge-back: recompute the unsalted bucket and do the final reduce
         ds = ds.map_batches(

@@ -14,14 +14,20 @@ SURVEY.md §2 coverage map (operator id -> query name):
   M4 key extraction  -> doc_extract_key
   M5 ext normalize   -> doc_canonical_name
   M6 path safety     -> doc_safe_paths
-  M7 metadata extract-> text_quality (regex/token metadata over content)
+  M7 metadata extract-> doc_xml_extract (XML parse, JhoveParser analog),
+                        text_quality (regex/token metadata over content)
+  M10 xml helpers     -> doc_xml_extract
   M8 sha256          -> doc_normalize_sha, cdc_final_state
   M9 key minting     -> doc_mint_key
-  A1/A2 validator    -> doc_validate_route, validation_summary
+  A1/A2 validator    -> doc_validate_actor (stateful actor pool),
+                        doc_validate_route, validation_summary
   A4 merge state     -> cdc_lww_latest, cdc_final_state
   J1 sort-zip        -> doc_seq_assign
   J2 equality join   -> join_events_customers
+  J3/J5 semi-join    -> semi_join_users (broadcast key-set membership)
   J4 anti-join       -> anti_join_users
+  §2.9 windows       -> user_sessions (gap sessionization), events_daily
+  §7 step 8 schema   -> cdc_schema_evolution (column add through the sink)
   G1 summary agg     -> validation_summary
   G2/G3 manifest agg -> cdc_partition_manifest
   G4 exact dedup     -> cdc_dedup_events, dedup_exact
@@ -55,6 +61,8 @@ from .transforms import (
 )
 
 E = DEFAULT_EPOCHS
+
+from .events import STRIDE as STRIDE_SQL  # noqa: E402 — shared with the SQL text
 
 # ---------------------------------------------------------------------------
 # Shared SQL: the deterministic event-derivation spec (keep in sync with
@@ -268,7 +276,53 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_schema_evolution(sf_dir: str):
+    """Schema evolution through the committed sink (SURVEY.md §7 step 8;
+    reference analog: one METS model serialized to two schema versions,
+    MetsBrowsingModel.kt:10-21): txn-2's events carry a NEW ``license``
+    column; txn-1 rows are null-backfilled via schema unification in
+    apply_incremental. Result read back from the COMMITTED lake."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .sink import read_lake
+
+    lake = f"/tmp/ray_cdc_lake_evo/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    cut = 2 * STRIDE
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["lsn"], cut))
+        lic = pc.binary_join_element_wise(
+            "lic-", pc.cast(t["lang"], pa.string()), ""
+        )
+        return t.append_column("license", lic)
+
+    seg2 = ev.map_batches(widen, batch_format="pyarrow")
+    apply_incremental(lake, "txn-0001", seg1)
+    apply_incremental(lake, "txn-0002", seg2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "license", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
 CDC_SQL: dict[str, str] = {
+    "cdc_schema_evolution": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               CASE WHEN lsn >= 2*{STRIDE_SQL} THEN 'lic-' || lang END AS license,
+               lsn, sha256(content) AS content_sha256
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
     "cdc_replay_committed": FINAL_STATE_SQL,
     "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
     "cdc_compiled_changes": f"""
@@ -497,7 +551,58 @@ def q_validation_summary(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_doc_validate_actor(sf_dir: str):
+    """Stateful actor-pool validator (A1/A2 analog, Jhove.kt:44-556 +
+    XsdValidator.kt:17-319): regex/registry state compiled once per actor
+    in __init__, vectorized per-batch checks, 4-way route column."""
+    from .validate import ContentValidator
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+    out = ds.map_batches(
+        ContentValidator, batch_format="pyarrow", concurrency=2
+    )
+    return out.select_columns(["doc_id", "route", "is_valid"])
+
+
+def q_doc_xml_extract(sf_dir: str):
+    """XML metadata extraction (M7/M10 analog, JhoveParser.kt:12-184):
+    synthesize a JHOVE-shaped XML payload per document (vectorized), then
+    parse it in an actor pool extracting uri/size/width/height/status."""
+    from .validate import XmlMetadataExtractor, build_jhove_xml
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    ds = ds.map_batches(build_jhove_xml, batch_format="pyarrow")
+    out = ds.map_batches(
+        XmlMetadataExtractor, batch_format="pyarrow", concurrency=2
+    )
+    return out.select_columns(
+        ["doc_id", "xml_uri", "xml_size", "xml_width", "xml_height", "xml_valid"]
+    )
+
+
 DOC_SQL: dict[str, str] = {
+    "doc_validate_actor": """
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
+                    WHEN lang NOT IN ('en','de','fr','es') THEN 'invalid_lang'
+                    WHEN regexp_matches(text, '[' || chr(1) || '-' || chr(8) ||
+                         chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']')
+                         THEN 'malformed'
+                    WHEN length(text) < 1 OR length(text) > 1000000 THEN 'short'
+                    ELSE 'ok' END AS route,
+               (text IS NOT NULL AND length(text) >= 1 AND length(text) <= 1000000
+                AND lang IN ('en','de','fr','es')
+                AND NOT regexp_matches(text, '[' || chr(1) || '-' || chr(8) ||
+                    chr(11) || chr(12) || chr(14) || '-' || chr(31) || ']')) AS is_valid
+        FROM documents""",
+    "doc_xml_extract": """
+        SELECT doc_id,
+               'docs/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS xml_uri,
+               CAST(n_chars AS BIGINT) AS xml_size,
+               CAST(800 + doc_id % 1200 AS BIGINT) AS xml_width,
+               CAST(600 + doc_id % 900 AS BIGINT) AS xml_height,
+               TRUE AS xml_valid
+        FROM documents""",
     "doc_normalize_sha": """
         SELECT doc_id,
                sha256(nfc_normalize(replace(replace(text, chr(13)||chr(10), chr(10)),
@@ -661,6 +766,72 @@ def q_anti_join_users(sf_dir: str):
         .groupby("user_id")
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
+
+
+def q_semi_join_users(sf_dir: str):
+    """Semi-join (J3/J5 analog, ReorderFiles.kt:155-161 / S3Utils.kt:27-33):
+    distinct event user_ids that EXIST in the supplier key set — broadcast
+    membership set, filter, distinct."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    keys = set(
+        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
+            "s_suppkey"
+        ].to_pylist()
+    )
+    ref = ray.put(keys)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    class SemiJoin:
+        def __init__(self, r):
+            import ray as _ray
+
+            self.keys = _ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array([u in self.keys for u in batch["user_id"].to_pylist()])
+            t = batch.filter(mask)
+            import polars as pl
+
+            return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
+
+    return (
+        ds.map_batches(SemiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
+                       concurrency=2)
+        .groupby("user_id")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (§2.9 streaming-window analog): per user,
+    events sorted by (ts, event_id); a >30-min gap starts a new session.
+    Within-group sort + vectorized diff — never a global sort."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_sessions = int(1 + (np.diff(ts) > GAP_US).sum()) if len(ts) else 0
+        return pa.Table.from_arrays(
+            [
+                g["user_id"].slice(0, 1),
+                pa.array([g.num_rows], type=pa.int64()),
+                pa.array([n_sessions], type=pa.int64()),
+            ],
+            names=["user_id", "n_events", "n_sessions"],
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
 def q_doc_seq_assign(sf_dir: str):
@@ -828,6 +999,19 @@ REL_SQL: dict[str, str] = {
         SELECT DISTINCT e.user_id
         FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
         WHERE s.s_suppkey IS NULL""",
+    "semi_join_users": """
+        SELECT DISTINCT e.user_id
+        FROM events e
+        WHERE e.user_id IN (SELECT s_suppkey FROM supplier)""",
+    "user_sessions": """
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(1 + sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM o GROUP BY user_id""",
     "doc_seq_assign": """
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
@@ -871,6 +1055,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "doc_normalize_sha": q_doc_normalize_sha,
         "doc_extract_key": q_doc_extract_key,
         "doc_canonical_name": q_doc_canonical_name,
@@ -879,7 +1064,11 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_nested_project": q_doc_nested_project,
         "props_json_extract": q_props_json_extract,
         "doc_validate_route": q_doc_validate_route,
+        "doc_validate_actor": q_doc_validate_actor,
+        "doc_xml_extract": q_doc_xml_extract,
         "validation_summary": q_validation_summary,
+        "semi_join_users": q_semi_join_users,
+        "user_sessions": q_user_sessions,
         "join_events_customers": q_join_events_customers,
         "anti_join_users": q_anti_join_users,
         "doc_seq_assign": q_doc_seq_assign,

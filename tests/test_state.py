@@ -1,0 +1,83 @@
+"""SortedRunIndex: spilling LWW merge must equal the one-shot reduce.
+
+Reference analog for the invariant: applying a batch through the staged
+temp area (RenameDiskUtils.kt:32-105) yields the same final folder state
+as applying it directly — staging is a memory/atomicity mechanism, not a
+semantic one.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ray_cdc_lake.merge import _winner_per_key
+from ray_cdc_lake.state import SortedRunIndex, merge_group_spilling
+
+
+def _random_events(n: int, n_keys: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, n_keys, n)
+    lsn = rng.integers(0, 10 * n, n)
+    op = np.where(rng.random(n) < 0.1, "delete", "update")
+    return pa.table(
+        {
+            "repo": pa.array([f"r{k % 7}" for k in key]),
+            "path": pa.array([f"p{k}" for k in key]),
+            "lsn": pa.array(lsn, type=pa.int64()),
+            "commit": pa.array([f"c{x:08d}" for x in rng.integers(0, 1 << 30, n)]),
+            "op": pa.array(op.tolist()),
+            "content": pa.array([f"v{x}" for x in lsn], type=pa.large_string()),
+        }
+    )
+
+
+def _canon(t: pa.Table) -> list:
+    return sorted(map(tuple, t.to_pandas().astype(str).values.tolist()))
+
+
+@pytest.mark.parametrize("max_rows", [50, 200, 10_000])
+def test_index_equals_oneshot(max_rows, tmp_path):
+    ev = _random_events(5_000, 300, seed=7)
+    want = _winner_per_key(ev, ["repo", "path"])
+    idx = SortedRunIndex(max_rows_in_mem=max_rows, spill_dir=str(tmp_path))
+    for off in range(0, ev.num_rows, 333):  # odd chunking on purpose
+        idx.add(ev.slice(off, 333))
+    got = idx.finish()
+    assert _canon(got) == _canon(want)
+
+
+def test_compaction_bounds_runs(tmp_path):
+    # 40 chunks of 250 rows with budget 300 -> must compact, not accumulate
+    ev = _random_events(10_000, 2_000, seed=11)
+    idx = SortedRunIndex(max_rows_in_mem=300, spill_dir=str(tmp_path))
+    for off in range(0, ev.num_rows, 250):
+        idx.add(ev.slice(off, 250))
+        assert len(idx._runs) <= 40
+    got = idx.finish()
+    want = _winner_per_key(ev, ["repo", "path"])
+    assert _canon(got) == _canon(want)
+    # spill files cleaned up
+    assert list(tmp_path.iterdir()) == []
+
+
+def test_merge_group_spilling_wrapper():
+    ev = _random_events(3_000, 100, seed=3)
+    got = merge_group_spilling(ev, ["repo", "path"], chunk_rows=170, max_rows_in_mem=120)
+    want = _winner_per_key(ev, ["repo", "path"])
+    assert _canon(got) == _canon(want)
+
+
+def test_spill_with_schema_evolution(tmp_path):
+    """Later chunks carry an extra column; promotion/null-backfill must
+    survive the spill path (pa.concat_tables promote)."""
+    a = _random_events(1_000, 50, seed=1)
+    b = _random_events(1_000, 50, seed=2)
+    b = b.append_column("license", pa.array(["MIT"] * b.num_rows))
+    idx = SortedRunIndex(max_rows_in_mem=80, spill_dir=str(tmp_path))
+    idx.add(a)
+    idx.add(b)
+    got = idx.finish()
+    both = pa.concat_tables([a, b], promote_options="permissive")
+    want = _winner_per_key(both, ["repo", "path"])
+    assert _canon(got) == _canon(want)
+    assert "license" in got.column_names
