@@ -31,6 +31,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+from .sources import read_table
 
 # ---------------------------------------------------------------------------
 # corpus with planted duplicates
@@ -66,7 +67,7 @@ def corpus_batch(batch: pa.Table) -> pa.Table:
 def corpus_ds(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(corpus_batch, batch_format="pyarrow")
 
 
@@ -122,73 +123,125 @@ _A = _RNG.randint(1, (1 << 61) - 1, size=NUM_HASHES).astype(np.uint64)
 _B = _RNG.randint(0, (1 << 61) - 1, size=NUM_HASHES).astype(np.uint64)
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingle hashes (stable: md5-based, not PYTHONHASHSEED)."""
-    words = text.split(" ")
-    if len(words) < k:
-        grams = [" ".join(words)]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = np.uint64(
-            int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "little")
-        )
-    return out
+NUM_PAIR_BUCKETS = 128  # coarse shuffle key: many band_keys per group
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    sh = _shingles(text)
-    # (a*x + b) mod M for all hash fns x all shingles, min per fn — vectorized
-    prod = sh[None, :] * _A[:, None] + _B[:, None]  # wraps mod 2^64 (deterministic)
+class _WordHashCache:
+    """Shared per-actor vocabulary cache: word -> stable 64-bit hash
+    (md5-derived). Natural text is Zipfian, so after warmup nearly every
+    word is a dict hit instead of an md5 call — the one-time-state-per-
+    actor pattern of SURVEY.md §2.3."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def hashes(self, words: list[str]) -> np.ndarray:
+        c = self.cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = c.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                c[w] = h
+            out[i] = h
+        return out
+
+
+_P1 = np.uint64(1_000_003)
+_P2 = _P1 * _P1  # wraps mod 2^64 — fine, deterministic
+
+
+def _gram_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
+    """Word k-gram hashes as a polynomial combine of word hashes —
+    vectorized (no per-gram digest)."""
+    if len(wh) < k:
+        return np.array([wh.astype(np.uint64).sum() * _P1], dtype=np.uint64)
+    return wh[:-2] * _P2 + wh[1:-1] * _P1 + wh[2:]
+
+
+def minhash_signature(text: str, _cache: _WordHashCache | None = None) -> np.ndarray:
+    cache = _cache or _WordHashCache()
+    g = _gram_hashes(cache.hashes(text.split(" ")))
+    prod = g[None, :] * _A[:, None] + _B[:, None]  # wraps mod 2^64
     return prod.min(axis=1)
 
 
-def minhash_lsh_batch(batch: pa.Table) -> pa.Table:
-    """Stateless-per-batch signature + band explosion. Emits one row per
-    (doc, band) with the band-bucket key; the signature travels with the
-    row so verification is bucket-local (see module docstring for the
-    at-scale variant)."""
-    if True:
+class MinHashLSH:
+    """Actor-pool stage: signature + band explosion. One row per
+    (doc, band): band_key (exact bucket id) + coarse ``bucket`` column so
+    the downstream groupby shuffles into O(NUM_PAIR_BUCKETS) groups, not
+    one group per band_key (millions of tiny groups drown the scheduler
+    at scale). The signature travels with the row so candidate
+    verification is group-local — no second join."""
+
+    def __init__(self):
+        self.words = _WordHashCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out_key, out_id, out_sig = [], [], []
+        out_key, out_bucket, out_id, out_sig = [], [], [], []
         for d, t in zip(ids, texts):
-            sig = minhash_signature(t)
+            sig = minhash_signature(t, self.words)
+            sb = sig.tobytes()
             for b in range(BANDS):
                 band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                bh = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
-                out_key.append(f"{b}:{bh}")
+                dig = hashlib.md5(band.tobytes() + bytes([b])).digest()
+                out_key.append(dig[:8].hex())
+                out_bucket.append(int.from_bytes(dig[8:10], "little") % NUM_PAIR_BUCKETS)
                 out_id.append(d)
-                out_sig.append(sig.tobytes())
+                out_sig.append(sb)
         return pa.Table.from_arrays(
             [
                 pa.array(out_key, type=pa.string()),
+                pa.array(out_bucket, type=pa.int64()),
                 pa.array(out_id, type=pa.int64()),
                 pa.array(out_sig, type=pa.binary()),
             ],
-            names=["band_key", "doc_id", "sig"],
+            names=["band_key", "bucket", "doc_id", "sig"],
         )
 
 
+def _runs(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
+    """[start, end) index ranges of equal-key runs in a sorted array."""
+    if len(sorted_keys) == 0:
+        return []
+    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(sorted_keys)]))
+    return list(zip(starts, ends))
+
+
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
-    ds = corpus_ds(sf_dir).map_batches(minhash_lsh_batch, batch_format="pyarrow")
+    from .sources import actor_pool_size
+
+    ds = corpus_ds(sf_dir).map_batches(
+        MinHashLSH, batch_format="pyarrow", concurrency=actor_pool_size()
+    )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
-        seen = {}
-        for i, d in enumerate(ids):
-            seen[d] = sigs[i]
-        uids = sorted(seen)
+        keys = np.asarray(group["band_key"].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        sigs = group["sig"].to_pylist()
         out_a, out_b, out_j = [], [], []
-        for i in range(len(uids)):
-            for j in range(i + 1, len(uids)):
-                est = float(np.mean(seen[uids[i]] == seen[uids[j]]))
-                if est >= threshold:
-                    out_a.append(uids[i])
-                    out_b.append(uids[j])
-                    out_j.append(est)
+        for s, e in _runs(keys):
+            if e - s < 2:
+                continue
+            seen: dict[int, np.ndarray] = {}
+            for i in range(s, e):
+                d = int(ids[i])
+                if d not in seen:
+                    seen[d] = np.frombuffer(sigs[order[i]], dtype=np.uint64)
+            uids = sorted(seen)
+            for i in range(len(uids)):
+                for j in range(i + 1, len(uids)):
+                    est = float(np.mean(seen[uids[i]] == seen[uids[j]]))
+                    if est >= threshold:
+                        out_a.append(uids[i])
+                        out_b.append(uids[j])
+                        out_j.append(est)
         return pa.Table.from_arrays(
             [
                 pa.array(out_a, type=pa.int64()),
@@ -198,11 +251,33 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
             names=["id_a", "id_b", "jaccard_est"],
         )
 
-    pairs = ds.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    # a pair can surface from several bands — keep one row per pair
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    return _dedup_pairs(pairs)
+
+
+def _dedup_pairs(pairs, num_buckets: int = 64):
+    """A pair can surface from several bands with identical payload — keep
+    one row per (id_a, id_b). Bucketed by id_a hash, polars unique inside."""
+
+    def add_pb(batch: pa.Table) -> pa.Table:
+        ida = batch["id_a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "pair_bucket", pa.array((ida * 2654435761 % num_buckets).astype(np.int64))
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(group.drop_columns(["pair_bucket"]))
+            .unique(subset=["id_a", "id_b"], keep="any", maintain_order=False)
+            .sort(["id_a", "id_b"])
+            .to_arrow()
+        )
+
+    return pairs.map_batches(add_pb, batch_format="pyarrow").groupby(
+        "pair_bucket"
+    ).map_groups(uniq, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -210,58 +285,81 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
+_BITS64 = np.arange(64, dtype=np.uint64)
+
+
+def _simhash64(words_cache: _WordHashCache, text: str) -> int:
+    """Vectorized simhash: bit matrix of cached word hashes, +/-1 vote sum."""
+    ws = list(set(text.split(" ")))
+    hs = words_cache.hashes(ws)
+    bits = ((hs[:, None] >> _BITS64[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BITS64).sum(dtype=np.uint64))
+
+
 def simhash64(text: str) -> int:
-    words = text.split(" ")
-    acc = np.zeros(64, dtype=np.int64)
-    for w in set(words):
-        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    return _simhash64(_WordHashCache(), text)
 
 
-def simhash_bands_batch(batch: pa.Table) -> pa.Table:
-    if True:
+class SimHashBands:
+    """Actor-pool stage: simhash + 4x16-bit band explosion (hamming<=3 =>
+    pigeonhole guarantees one equal band). Emits the coarse ``bucket``
+    column like MinHashLSH so the groupby stays O(NUM_PAIR_BUCKETS)."""
+
+    def __init__(self):
+        self.words = _WordHashCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        key, did, sh = [], [], []
+        key, bucket, did, sh = [], [], [], []
         for d, t in zip(ids, texts):
-            h = simhash64(t)
-            for b in range(4):  # 4x16-bit bands: hamming<=3 => one band equal
+            h = _simhash64(self.words, t)
+            for b in range(4):
                 band = (h >> (16 * b)) & 0xFFFF
                 key.append(f"{b}:{band:04x}")
+                bucket.append((b * 65536 + band) % NUM_PAIR_BUCKETS)
                 did.append(d)
                 sh.append(h)
         return pa.Table.from_arrays(
             [
                 pa.array(key, type=pa.string()),
+                pa.array(bucket, type=pa.int64()),
                 pa.array(did, type=pa.int64()),
                 pa.array(sh, type=pa.uint64()),
             ],
-            names=["band_key", "doc_id", "simhash"],
+            names=["band_key", "bucket", "doc_id", "simhash"],
         )
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    ds = corpus_ds(sf_dir).map_batches(simhash_bands_batch, batch_format="pyarrow")
+    from .sources import actor_pool_size
 
-    def pairs(group: pa.Table) -> pa.Table:
-        seen: dict[int, int] = {}
-        for d, h in zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()):
-            seen[d] = h
-        uids = sorted(seen)
+    ds = corpus_ds(sf_dir).map_batches(
+        SimHashBands, batch_format="pyarrow", concurrency=actor_pool_size()
+    )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        keys = np.asarray(group["band_key"].to_pylist())
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        hashes = group["simhash"].to_numpy(zero_copy_only=False)[order]
         a, b, dist = [], [], []
-        for i in range(len(uids)):
-            for j in range(i + 1, len(uids)):
-                hd = bin(seen[uids[i]] ^ seen[uids[j]]).count("1")
-                if hd <= max_hamming:
-                    a.append(uids[i])
-                    b.append(uids[j])
-                    dist.append(hd)
+        for s_, e_ in _runs(keys):
+            if e_ - s_ < 2:
+                continue
+            seen: dict[int, int] = {}
+            for i in range(s_, e_):
+                seen.setdefault(int(ids[i]), int(hashes[i]))
+            uids = sorted(seen)
+            for i in range(len(uids)):
+                for j in range(i + 1, len(uids)):
+                    hd = bin(seen[uids[i]] ^ seen[uids[j]]).count("1")
+                    if hd <= max_hamming:
+                        a.append(uids[i])
+                        b.append(uids[j])
+                        dist.append(hd)
         return pa.Table.from_arrays(
             [
                 pa.array(a, type=pa.int64()),
@@ -271,10 +369,8 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
             names=["id_a", "id_b", "hamming"],
         )
 
-    out = ds.groupby("band_key").map_groups(pairs, batch_format="pyarrow")
-    return out.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
+    return _dedup_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +385,7 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     isolated and oracle-checked."""
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -344,7 +440,7 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids_all, mat_n))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class NearDup:
         def __init__(self, r):

@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+from .sources import read_table
 
 BINARY_SCHEMA = pa.schema(
     [
@@ -100,7 +101,7 @@ class FakeDecoder:
 def q_mm_decode_meta(sf_dir: str):
     import ray.data as rd
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bins = docs.map_batches(encode_payloads, batch_format="pyarrow")
     # small batch_size: binary payloads are wide rows
     return bins.map_batches(

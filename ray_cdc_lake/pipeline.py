@@ -38,18 +38,14 @@ def derive_event_log(
     of files and this override is a no-op cost-wise. Defaults to 2 blocks
     per available CPU.
     """
-    import ray
-    import ray.data as rd
+    from .sources import read_table
 
-    if parallelism <= 0:
-        parallelism = 2 * int(ray.cluster_resources().get("CPU", 8))
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
+    docs = read_table(
+        sf_dir,
+        "documents",
         columns=["doc_id", "lang", "source", "text"],
+        parallelism=parallelism,
     )
-    # The test file is one row group, so the parquet read yields ONE block;
-    # split it so the derive fan-out uses the whole cluster.
-    docs = docs.repartition(parallelism)
     return docs.map_batches(DeriveEvents(epochs), batch_format="pyarrow")
 
 

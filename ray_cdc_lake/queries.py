@@ -63,6 +63,7 @@ from .transforms import (
 E = DEFAULT_EPOCHS
 
 from .events import STRIDE as STRIDE_SQL  # noqa: E402 — shared with the SQL text
+from .sources import read_table
 
 # ---------------------------------------------------------------------------
 # Shared SQL: the deterministic event-derivation spec (keep in sync with
@@ -355,7 +356,7 @@ CDC_SQL: dict[str, str] = {
 def _read_docs(sf_dir: str, columns: list[str]):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_table(sf_dir, "documents", columns=columns)
 
 
 def q_doc_normalize_sha(sf_dir: str):
@@ -478,7 +479,7 @@ def q_props_json_extract(sf_dir: str):
     polars' JSON path kernel."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
 
     def fn(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -697,8 +698,7 @@ def q_join_events_customers(sf_dir: str):
     }
     lookup_ref = ray.put(cust_to_nation)
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"]
     )
 
     class JoinNation:
@@ -745,7 +745,7 @@ def q_anti_join_users(sf_dir: str):
     )
     ref = ray.put(keys)
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_table(sf_dir, "events", columns=["user_id"])
 
     class AntiJoin:
         def __init__(self, r):
@@ -760,11 +760,35 @@ def q_anti_join_users(sf_dir: str):
 
             return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
-    return (
-        ds.map_batches(AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
-                       concurrency=2)
-        .groupby("user_id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    out = ds.map_batches(
+        AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+    )
+    return _distinct_by_bucket(out, "user_id")
+
+
+def _distinct_by_bucket(ds, col: str, num_buckets: int = 64):
+    """Distinct rows bucketed by a hash of ``col`` — O(num_buckets) groups
+    instead of one group per value (millions of tiny groups drown the
+    scheduler at scale); polars unique inside each bucket."""
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_b", pa.array((v * 2654435761 % num_buckets).astype(np.int64))
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g.drop_columns(["_b"]))
+            .unique(maintain_order=False)
+            .sort(col)
+            .to_arrow()
+        )
+
+    return ds.map_batches(add_b, batch_format="pyarrow").groupby("_b").map_groups(
+        uniq, batch_format="pyarrow"
     )
 
 
@@ -783,7 +807,7 @@ def q_semi_join_users(sf_dir: str):
     )
     ref = ray.put(keys)
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_table(sf_dir, "events", columns=["user_id"])
 
     class SemiJoin:
         def __init__(self, r):
@@ -798,12 +822,10 @@ def q_semi_join_users(sf_dir: str):
 
             return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
-    return (
-        ds.map_batches(SemiJoin, fn_constructor_args=(ref,), batch_format="pyarrow",
-                       concurrency=2)
-        .groupby("user_id")
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    out = ds.map_batches(
+        SemiJoin, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
     )
+    return _distinct_by_bucket(out, "user_id")
 
 
 def q_user_sessions(sf_dir: str):
@@ -812,8 +834,7 @@ def q_user_sessions(sf_dir: str):
     Within-group sort + vectorized diff — never a global sort."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"]
     )
 
     GAP_US = 30 * 60 * 1_000_000
@@ -855,8 +876,7 @@ def q_q1_lineitem(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    ds = read_table(sf_dir, "lineitem",
         columns=[
             "l_returnflag",
             "l_linestatus",
@@ -906,8 +926,7 @@ def q_top_customers(sf_dir: str):
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
     )
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -934,7 +953,21 @@ def q_top_customers(sf_dir: str):
             Sum("total_cents", alias_name="total_cents"),
         )
     )
-    top = agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(10)
+    # top-k without a global sort: local top-10 per block, single tiny
+    # final reduce (the all-to-all sort would move every group row)
+    def topk(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .sort(["total_cents", "o_custkey"], descending=[True, False])
+            .head(10)
+            .to_arrow()
+        )
+
+    top = agg.map_batches(topk, batch_format="pyarrow").repartition(1).map_batches(
+        topk, batch_format="pyarrow"
+    )
 
     names = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     lookup = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
@@ -954,8 +987,7 @@ def q_events_daily(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"]
     )
 
     def partials(batch: pa.Table) -> pa.Table:

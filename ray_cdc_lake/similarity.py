@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from .sources import read_table
 
 K = 5
 N_QUERIES = 8  # query set: vec_id < 8
@@ -46,7 +47,7 @@ def q_knn_bruteforce(sf_dir: str):
     qids, qmat = ids[qmask], _normalize(mat[qmask])
     ref = ray.put((qids, qmat))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class PartialTopK:
         def __init__(self, r):
@@ -147,7 +148,7 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
     }
     ref = ray.put((qids, qmat, probes, cent_mat))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     class ProbePartial:
         def __init__(self, r):

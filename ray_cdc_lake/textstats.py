@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+from .sources import read_table
 
 STOPWORDS = ("the", "a", "of", "to", "and")
 
@@ -144,7 +145,7 @@ def fingerprint(batch: pa.Table, k: int = 8, w: int = 16) -> pa.Table:
 def _read_docs(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_table(sf_dir, "documents", columns=columns)
 
 
 def q_text_token_count(sf_dir: str):
