@@ -104,3 +104,36 @@ def apply_incremental(
     return commit_txn(
         lake_dir, txn_id, winners, fail_before_publish=fail_before_publish
     )
+
+
+def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
+    """Rewrite the whole lake as ONE transaction and drop superseded files.
+
+    After many incremental applies each bucket's state is spread over one
+    file per touching txn; compaction (the LSM major-compaction analog —
+    and the engine's answer to "never one giant file, but not a million
+    tiny ones either") reads the committed state INCLUDING tombstones,
+    re-buckets, commits it as ``compact-<version>``, publishes a manifest
+    referencing only that txn, and vacuums everything else. State before
+    and after is byte-identical (tested); per-bucket high watermarks are
+    preserved because each bucket's max-LSN winner survives LWW.
+    """
+    from .sink import Manifest as _Manifest
+    from .sink import _publish, read_manifest, vacuum
+
+    m = read_manifest(lake_dir)
+    txn = f"compact-{m.version + 1:06d}"
+    ds = read_lake(lake_dir, live_only=False)  # tombstones kept
+    ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
+    new_m = commit_txn(lake_dir, txn, ds)
+    # drop history: only the compact txn stays referenced, then vacuum
+    final = _Manifest(
+        version=new_m.version + 1,
+        buckets=new_m.buckets,
+        txns=[txn],
+        schema_version=new_m.schema_version,
+        schema_fields=new_m.schema_fields,
+    )
+    _publish(lake_dir, final)
+    vacuum(lake_dir)
+    return final

@@ -552,6 +552,93 @@ def q_validation_summary(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_doc_json_merge(sf_dir: str):
+    """Recursive JSON object-merge — GenerateJsonFromProps MERGE mode
+    (GenerateJsonFromProps.kt:302-322): overlay object merged into the
+    base document; nested objects merge recursively, scalars/arrays
+    overwrite, new keys append after existing ones (insertion order, which
+    Jackson also preserves — making the byte layout deterministic)."""
+    import json
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        sources = batch["source"].to_pylist()
+        n_chars = batch["n_chars"].to_pylist()
+        out = []
+        for d, lg, src, nc in zip(doc_ids, langs, sources, n_chars):
+            base = {"metadata": {"lang": lg, "source": src}, "stats": {"n_chars": nc}}
+            overlay = {
+                "metadata": {"rights": "public"},
+                "stats": {"n_tokens": d % 50 + 10},
+            }
+            merged = _merge_json(base, overlay)
+            out.append(json.dumps(merged, separators=(",", ":")))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(out, type=pa.string())],
+            names=["doc_id", "doc_json"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _merge_json(base: dict, overlay: dict) -> dict:
+    """Recursive merge: dict+dict merge, everything else overwritten
+    (GenerateJsonFromProps.kt:302-322 — arrays/scalars are replaced)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge_json(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def q_cdc_lake_lineage(sf_dir: str):
+    """Per-partition lineage/metrics (SURVEY.md §4 observability row):
+    apply two txns through the sink, then surface the manifest as a table
+    — one row per bucket: owning txn, high-watermark LSN, row count. At
+    scale this IS the ops surface for resume/debug (which partition is
+    behind, which txn owns it). Bucket ids come from the engine's own key
+    hash, so this query has a rows-only oracle."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .sink import read_manifest
+
+    lake = f"/tmp/ray_cdc_lake_lineage/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    cut = 2 * STRIDE
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    apply_incremental(lake, "txn-0001", seg1)
+    apply_incremental(lake, "txn-0002", seg2)
+
+    m = read_manifest(lake)
+    rows = sorted(
+        (int(b), info["txn_id"], int(info["hwm_lsn"]), int(info["rows"]))
+        for b, info in m.buckets.items()
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.string()),
+            pa.array([r[2] for r in rows], type=pa.int64()),
+            pa.array([r[3] for r in rows], type=pa.int64()),
+        ],
+        names=["bucket", "txn_id", "hwm_lsn", "n_rows"],
+    )
+
+
 def q_doc_validate_actor(sf_dir: str):
     """Stateful actor-pool validator (A1/A2 analog, Jhove.kt:44-556 +
     XsdValidator.kt:17-319): regex/registry state compiled once per actor
@@ -644,6 +731,12 @@ DOC_SQL: dict[str, str] = {
                substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
                substr(h,17,4) || '-' || substr(h,21,12) AS minted_id
         FROM hashed""",
+    "doc_json_merge": """
+        SELECT doc_id,
+               '{"metadata":{"lang":"' || lang || '","source":"' || source ||
+               '","rights":"public"},"stats":{"n_chars":' || CAST(n_chars AS VARCHAR) ||
+               ',"n_tokens":' || CAST(doc_id % 50 + 10 AS VARCHAR) || '}}' AS doc_json
+        FROM documents""",
     "doc_nested_project": """
         SELECT doc_id,
                '{"metadata":{"lang":"' || lang || '","source":"' || source ||
@@ -1088,6 +1181,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_lake_lineage": q_cdc_lake_lineage,
+        "doc_json_merge": q_doc_json_merge,
         "doc_normalize_sha": q_doc_normalize_sha,
         "doc_extract_key": q_doc_extract_key,
         "doc_canonical_name": q_doc_canonical_name,

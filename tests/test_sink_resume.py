@@ -157,3 +157,31 @@ def test_schema_evolution_column_add(tmp_path):
     import pandas as pd
 
     assert pd.isna(df.loc[("r1", "a.py"), "license"])
+
+
+def test_compaction_preserves_state(tmp_path):
+    """compact() rewrites the lake as one txn: identical live state,
+    identical watermarks, old txn dirs gone, stale events still rejected
+    afterwards (tombstones survive compaction)."""
+    import os
+
+    from ray_cdc_lake.checkpoint import compact
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    before = lake_state(lake)
+    hwm_before = read_manifest(lake).hwm()
+
+    m = compact(lake, num_buckets=4)
+    assert len(m.txns) == 1 and m.txns[0].startswith("compact-")
+    assert lake_state(lake) == before == EXPECT_AB
+    assert read_manifest(lake).hwm() == hwm_before
+    data_dirs = os.listdir(os.path.join(lake, "data"))
+    assert data_dirs == m.txns
+
+    # a stale event (lsn below the watermark) must still be a no-op:
+    # the tombstone for b.py survived compaction
+    stale = [(4, "insert", "r1", "b.py", "B-stale")]
+    apply_incremental(lake, "txn-c", ev_ds(stale), num_buckets=4)
+    assert lake_state(lake) == EXPECT_AB
