@@ -36,18 +36,30 @@ if TYPE_CHECKING:
 
 
 def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
-    """Vectorized LWW: order by (lsn, commit) descending within key, keep
-    the first row per key. Ties on (lsn, commit) only occur for exact
-    duplicate deliveries, where any pick is identical — the deterministic
-    tie-break the reference lacks (SURVEY.md §2.9 'Ordering semantics')."""
+    """Vectorized LWW: order by (lsn, op!='delete', commit) descending
+    within key, keep the first row per key.
+
+    The op rank implements rename-set semantics: a swap/cycle rename
+    (A->B, B->A in one batch, RenameS3Utils.kt:62-66,120-127) compiles to
+    delete+insert pairs AT THE SAME LSN on the same key — the batch is a
+    set, deletes apply before inserts, so the insert wins. Remaining ties
+    on (lsn, op, commit) are exact duplicate deliveries, where any pick is
+    identical — the deterministic tie-break the reference lacks
+    (SURVEY.md §2.9 'Ordering semantics')."""
     if t.num_rows == 0:
         return t
-    sort_keys = [(k, "ascending") for k in keys] + [
-        ("lsn", "descending"),
-        ("commit", "descending"),
-    ]
+    added_rank = False
+    if "op" in t.column_names:
+        t = t.append_column("_op_rank", pc.cast(pc.not_equal(t["op"], "delete"), pa.int8()))
+        added_rank = True
+    sort_keys = [(k, "ascending") for k in keys] + [("lsn", "descending")]
+    if added_rank:
+        sort_keys.append(("_op_rank", "descending"))
+    sort_keys.append(("commit", "descending"))
     idx = pc.sort_indices(t, sort_keys=sort_keys)
     t = t.take(idx)
+    if added_rank:
+        t = t.drop_columns(["_op_rank"])
     # first row of each key run: vectorized "key differs from previous row"
     import numpy as np
 

@@ -138,8 +138,11 @@ normalized AS (
   FROM compiled
 ),
 ranked AS (
+  -- lsn DESC, then insert/update over delete at the same lsn (rename-set
+  -- semantics: deletes apply before inserts within one batch), then commit
   SELECT *, row_number() OVER (
-      PARTITION BY repo, path ORDER BY lsn DESC, "commit" DESC) AS rn
+      PARTITION BY repo, path
+      ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
   FROM normalized
 )"""
 

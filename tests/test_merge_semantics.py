@@ -1,0 +1,96 @@
+"""Rename-set semantics: swap/cycle fixtures mirroring the reference's
+staged-rename tests (ReorderFilesTest.kt:145-162, swap safety
+RenameS3Utils.kt:62-66,120-127; SURVEY.md §7 'What's hard').
+
+A rename batch is applied as a SET: A->B, B->A must leave both keys live
+with swapped contents — the compiled delete+insert pairs share one LSN
+and the insert must beat the delete on the same key.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray_cdc_lake.events import compile_changes
+from ray_cdc_lake.merge import _winner_per_key
+from ray_cdc_lake.schemas import EVENT_SCHEMA
+
+
+def _ev(rows):
+    """rows: (lsn, op, repo, path, new_path, content)"""
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.int64()),
+            pa.array([r[1] for r in rows], type=pa.string()),
+            pa.array([r[2] for r in rows], type=pa.string()),
+            pa.array([r[3] for r in rows], type=pa.string()),
+            pa.array([r[4] for r in rows], type=pa.string()),
+            pa.array([f"c-{r[3]}-{r[0]}" for r in rows], type=pa.string()),
+            pa.array(["py"] * len(rows), type=pa.string()),
+            pa.array([r[5] for r in rows], type=pa.large_string()),
+        ],
+        schema=EVENT_SCHEMA,
+    )
+
+
+def _final(compiled: pa.Table) -> dict:
+    import pyarrow.compute as pc
+
+    w = _winner_per_key(compiled, ["repo", "path"])
+    w = w.filter(pc.not_equal(w["op"], "delete"))
+    return {
+        (r, p): c
+        for r, p, c in zip(
+            w["repo"].to_pylist(), w["path"].to_pylist(), w["content"].to_pylist()
+        )
+    }
+
+
+def test_swap_rename_keeps_both_keys():
+    ev = _ev(
+        [
+            (1, "insert", "r", "A", None, "contentA"),
+            (2, "insert", "r", "B", None, "contentB"),
+            (5, "rename", "r", "A", "B", "contentA"),  # A -> B
+            (5, "rename", "r", "B", "A", "contentB"),  # B -> A, same batch/LSN
+        ]
+    )
+    state = _final(compile_changes(ev))
+    assert state == {("r", "A"): "contentB", ("r", "B"): "contentA"}
+
+
+def test_cycle_rename_three_keys():
+    ev = _ev(
+        [
+            (1, "insert", "r", "A", None, "a"),
+            (1, "insert", "r", "B", None, "b"),
+            (1, "insert", "r", "C", None, "c"),
+            (9, "rename", "r", "A", "B", "a"),
+            (9, "rename", "r", "B", "C", "b"),
+            (9, "rename", "r", "C", "A", "c"),
+        ]
+    )
+    state = _final(compile_changes(ev))
+    assert state == {("r", "A"): "c", ("r", "B"): "a", ("r", "C"): "b"}
+
+
+def test_plain_rename_moves_key():
+    ev = _ev(
+        [
+            (1, "insert", "r", "A", None, "a"),
+            (5, "rename", "r", "A", "Z", "a"),
+        ]
+    )
+    state = _final(compile_changes(ev))
+    assert state == {("r", "Z"): "a"}
+
+
+def test_delete_still_wins_over_older_insert():
+    ev = _ev(
+        [
+            (1, "insert", "r", "A", None, "a"),
+            (7, "delete", "r", "A", None, None),
+        ]
+    )
+    state = _final(compile_changes(ev))
+    assert state == {}
