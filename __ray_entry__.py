@@ -12,6 +12,7 @@ from typing import Any
 import ray_cdc_lake
 
 ray_cdc_lake.enable_self_contained_pickling()
+ray_cdc_lake.tune_data_context()
 
 from ray_cdc_lake import queries as _q
 

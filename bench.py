@@ -70,10 +70,15 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from ray_cdc_lake import enable_self_contained_pickling
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
     from ray_cdc_lake.pipeline import cdc_final_state, derive_event_log
 
     enable_self_contained_pickling()
+    tune_data_context()
+
+    # Fixed input partitioning across parallelism levels (the cluster
+    # analog: same splits, more workers); 0 = auto (2 blocks/CPU).
+    blocks = int(os.environ.get("BENCH_BLOCKS", "0")) or -1
 
     # warmup: spin up worker processes so timings measure the pipelines,
     # not Ray cold-start
@@ -81,7 +86,7 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
 
     # ---- flagship: full CDC replay (events derived + compiled + merged) ----
     t0 = time.perf_counter()
-    n_events = _consume(derive_event_log(sf_dir, epochs=BENCH_EPOCHS))
+    n_events = _consume(derive_event_log(sf_dir, epochs=BENCH_EPOCHS, parallelism=blocks))
     derive_sec = time.perf_counter() - t0
 
     # Sustained (steady-state) throughput: best of two runs — the first
@@ -90,7 +95,9 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     replay_sec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        n_final = _consume(cdc_final_state(sf_dir, epochs=BENCH_EPOCHS))
+        n_final = _consume(
+            cdc_final_state(sf_dir, epochs=BENCH_EPOCHS, parallelism=blocks)
+        )
         replay_sec = min(replay_sec, time.perf_counter() - t0)
 
     queries = {"cdc_derive_events": round(derive_sec, 3), "cdc_replay": round(replay_sec, 3)}
@@ -136,7 +143,7 @@ def run_scaling() -> dict:
     """
     lo = int(os.environ.get("SCALE_CPUS_LO", "2"))
     hi = int(os.environ.get("SCALE_CPUS_HI", "8"))
-    epochs = os.environ.get("BENCH_EPOCHS", "512")  # ~2.56M events at sf0.1
+    epochs = os.environ.get("BENCH_EPOCHS", "1024")  # ~5.1M events at sf0.1
     results = {}
     for cpus in (lo, hi):
         env = dict(
@@ -144,6 +151,8 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(cpus),
             GRAFT_SF_DIR=SF_DIR,
             BENCH_EPOCHS=epochs,
+            # both levels process the same 2-blocks-per-high-CPU splits
+            BENCH_BLOCKS=os.environ.get("BENCH_BLOCKS", str(2 * hi)),
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--one"],

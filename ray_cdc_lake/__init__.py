@@ -55,3 +55,21 @@ def enable_self_contained_pickling() -> None:
             except Exception:
                 pass
 
+
+def tune_data_context() -> None:
+    """Per-process Ray Data executor tuning for this engine's pipelines.
+
+    Disables the streaming executor's per-operator resource reservation:
+    with it on (default ratio 0.5), the hot fused map stage of the CDC
+    replay was capped at ~2.5 effective CPUs out of 8 while downstream
+    operators idled on reserved slots — measured 5.5s -> 2.0s on the
+    512-epoch replay at num_cpus=8. Safe here because every shuffle input
+    is pre-combined (partial_lww) so intermediate outputs are small; a
+    memory-pressure-bound deployment may prefer the default."""
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().op_resource_reservation_enabled = False
+    except Exception:
+        pass
+

@@ -84,9 +84,12 @@ def cdc_final_state(
     epochs: int = DEFAULT_EPOCHS,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     salt_mod: int = 0,
+    parallelism: int = -1,
 ) -> "ray.data.Dataset":
     """The flagship pipeline: full replay of the derived binlog into the
     final lake state, with content_sha256 per row."""
     return replay_to_lake(
-        derive_event_log(sf_dir, epochs), num_buckets=num_buckets, salt_mod=salt_mod
+        derive_event_log(sf_dir, epochs, parallelism=parallelism),
+        num_buckets=num_buckets,
+        salt_mod=salt_mod,
     )

@@ -18,6 +18,9 @@ def ray_session():
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    import ray_cdc_lake
+
+    ray_cdc_lake.tune_data_context()
     yield
     ray.shutdown()
 
