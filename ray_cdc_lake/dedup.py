@@ -212,12 +212,23 @@ def _runs(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts, ends))
 
 
-def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
-    from .sources import actor_pool_size
+_MINHASH_WORKER: MinHashLSH | None = None
 
-    ds = corpus_ds(sf_dir).map_batches(
-        MinHashLSH, batch_format="pyarrow", concurrency=actor_pool_size()
-    )
+
+def minhash_lsh_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of MinHashLSH: the word-hash cache lives in a
+    module global, i.e. once per WORKER PROCESS (Ray reuses workers), so
+    no actor-pool startup is paid while the cache still persists across
+    batches. Use the MinHashLSH class with concurrency=N when explicit
+    pool sizing matters more than task flexibility."""
+    global _MINHASH_WORKER
+    if _MINHASH_WORKER is None:
+        _MINHASH_WORKER = MinHashLSH()
+    return _MINHASH_WORKER(batch)
+
+
+def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    ds = corpus_ds(sf_dir).map_batches(minhash_lsh_fn, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         keys = np.asarray(group["band_key"].to_pylist())
@@ -332,12 +343,20 @@ class SimHashBands:
         )
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    from .sources import actor_pool_size
+_SIMHASH_WORKER: SimHashBands | None = None
 
-    ds = corpus_ds(sf_dir).map_batches(
-        SimHashBands, batch_format="pyarrow", concurrency=actor_pool_size()
-    )
+
+def simhash_bands_fn(batch: pa.Table) -> pa.Table:
+    """Stateless-task form of SimHashBands (worker-local cache, see
+    minhash_lsh_fn)."""
+    global _SIMHASH_WORKER
+    if _SIMHASH_WORKER is None:
+        _SIMHASH_WORKER = SimHashBands()
+    return _SIMHASH_WORKER(batch)
+
+
+def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    ds = corpus_ds(sf_dir).map_batches(simhash_bands_fn, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         keys = np.asarray(group["band_key"].to_pylist())
@@ -442,29 +461,24 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class NearDup:
-        def __init__(self, r):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.ids, self.mat = _ray.get(r)
+    def near_dup(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b = get_broadcast(ref)  # once per worker process
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        cos = bm @ mat_b.T
+        ai, bj = np.nonzero(cos >= threshold)
+        a = bids[ai]
+        b = ids_b[bj]
+        keep = a < b
+        return pa.Table.from_arrays(
+            [pa.array(a[keep]), pa.array(b[keep])],
+            names=["vec_id_a", "vec_id_b"],
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            cos = bm @ self.mat.T
-            ai, bj = np.nonzero(cos >= threshold)
-            a = bids[ai]
-            b = self.ids[bj]
-            keep = a < b
-            return pa.Table.from_arrays(
-                [pa.array(a[keep]), pa.array(b[keep])],
-                names=["vec_id_a", "vec_id_b"],
-            )
-
-    return ds.map_batches(
-        NearDup, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    return ds.map_batches(near_dup, batch_format="pyarrow")
 
 
 SQL = {

@@ -797,33 +797,27 @@ def q_join_events_customers(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"]
     )
 
-    class JoinNation:
-        def __init__(self, ref):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.lookup = _ray.get(ref)
+    def join_nation(batch: pa.Table) -> pa.Table:
+        lookup = get_broadcast(lookup_ref)  # once per worker, not per batch
+        batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        users = batch["user_id"].to_pylist()
+        names = [lookup.get(u) for u in users]
+        t = pa.Table.from_arrays(
+            [pa.array(names, type=pa.string())], names=["n_name"]
+        )
+        t = t.filter(pc.is_valid(t["n_name"]))
+        import polars as pl
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
-            users = batch["user_id"].to_pylist()
-            names = [self.lookup.get(u) for u in users]
-            t = pa.Table.from_arrays(
-                [pa.array(names, type=pa.string())], names=["n_name"]
-            )
-            t = t.filter(pc.is_valid(t["n_name"]))
-            import polars as pl
+        return (
+            pl.from_arrow(t)
+            .group_by("n_name")
+            .agg(pl.len().cast(pl.Int64).alias("n_purchases"))
+            .to_arrow()
+        )
 
-            return (
-                pl.from_arrow(t)
-                .group_by("n_name")
-                .agg(pl.len().cast(pl.Int64).alias("n_purchases"))
-                .to_arrow()
-            )
-
-    part = ds.map_batches(
-        JoinNation, fn_constructor_args=(lookup_ref,), batch_format="pyarrow",
-        concurrency=2,
-    )
+    part = ds.map_batches(join_nation, batch_format="pyarrow")
     return part.groupby("n_name").aggregate(Sum("n_purchases", alias_name="n_purchases"))
 
 
@@ -843,22 +837,17 @@ def q_anti_join_users(sf_dir: str):
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
-    class AntiJoin:
-        def __init__(self, r):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.keys = _ray.get(r)
+    def anti_join(batch: pa.Table) -> pa.Table:
+        keys = get_broadcast(ref)
+        mask = pa.array([u not in keys for u in batch["user_id"].to_pylist()])
+        t = batch.filter(mask)
+        import polars as pl
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([u not in self.keys for u in batch["user_id"].to_pylist()])
-            t = batch.filter(mask)
-            import polars as pl
+        return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
-            return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
-
-    out = ds.map_batches(
-        AntiJoin, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    out = ds.map_batches(anti_join, batch_format="pyarrow")
     return _distinct_by_bucket(out, "user_id")
 
 
@@ -905,22 +894,17 @@ def q_semi_join_users(sf_dir: str):
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
-    class SemiJoin:
-        def __init__(self, r):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.keys = _ray.get(r)
+    def semi_join(batch: pa.Table) -> pa.Table:
+        keys = get_broadcast(ref)
+        mask = pa.array([u in keys for u in batch["user_id"].to_pylist()])
+        t = batch.filter(mask)
+        import polars as pl
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pa.array([u in self.keys for u in batch["user_id"].to_pylist()])
-            t = batch.filter(mask)
-            import polars as pl
+        return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
-            return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
-
-    out = ds.map_batches(
-        SemiJoin, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    out = ds.map_batches(semi_join, batch_format="pyarrow")
     return _distinct_by_bucket(out, "user_id")
 
 
@@ -1069,8 +1053,10 @@ def q_top_customers(sf_dir: str):
     lookup = dict(zip(names["c_custkey"].to_pylist(), names["c_name"].to_pylist()))
     ref = ray.put(lookup)
 
+    from .sources import get_broadcast
+
     def attach(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
+        lk = get_broadcast(ref)
         nm = [lk.get(c) for c in batch["o_custkey"].to_pylist()]
         return batch.append_column("c_name", pa.array(nm, type=pa.string()))
 

@@ -49,42 +49,37 @@ def q_knn_bruteforce(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class PartialTopK:
-        def __init__(self, r):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.qids, self.qmat = _ray.get(r)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = get_broadcast(ref)  # once per worker process
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        cos = qmat @ bm.T  # (Q, B)
+        out_q, out_n, out_c = [], [], []
+        for qi, q in enumerate(qids):
+            mask = bids != q  # exclude self
+            c = cos[qi][mask]
+            n = bids[mask]
+            k = min(K, len(n))
+            if k == 0:
+                continue
+            # partial top-k within the batch — only K rows per query
+            # leave each batch (combiner before the tiny shuffle)
+            top = np.argpartition(-c, k - 1)[:k]
+            out_q.extend([q] * k)
+            out_n.extend(n[top].tolist())
+            out_c.extend(c[top].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_c, type=pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cos"],
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
-            cos = self.qmat @ bm.T  # (Q, B)
-            out_q, out_n, out_c = [], [], []
-            for qi, q in enumerate(self.qids):
-                mask = bids != q  # exclude self
-                c = cos[qi][mask]
-                n = bids[mask]
-                k = min(K, len(n))
-                if k == 0:
-                    continue
-                # partial top-k within the batch — only K rows per query
-                # leave each batch (combiner before the tiny shuffle)
-                top = np.argpartition(-c, k - 1)[:k]
-                out_q.extend([q] * k)
-                out_n.extend(n[top].tolist())
-                out_c.extend(c[top].tolist())
-            return pa.Table.from_arrays(
-                [
-                    pa.array(out_q, type=pa.int64()),
-                    pa.array(out_n, type=pa.int64()),
-                    pa.array(out_c, type=pa.float64()),
-                ],
-                names=["query_id", "neighbor_id", "cos"],
-            )
-
-    partial = ds.map_batches(
-        PartialTopK, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow")
 
     def final_topk(group: pa.Table) -> pa.Table:
         c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
@@ -150,41 +145,36 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    class ProbePartial:
-        def __init__(self, r):
-            import ray as _ray
+    from .sources import get_broadcast
 
-            self.qids, self.qmat, self.probes, self.cents = _ray.get(r)
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        qids_b, qmat_b, probes_b, cents_b = get_broadcast(ref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        blab = np.argmax(bm @ cents_b.T, axis=1)
+        out_q, out_n, out_c = [], [], []
+        for qi, q in enumerate(qids_b):
+            probe = probes_b[int(q)]
+            mask = np.array([lb in probe for lb in blab]) & (bids != q)
+            if not mask.any():
+                continue
+            c = bm[mask] @ qmat_b[qi]
+            n = bids[mask]
+            k = min(K, len(n))
+            top = np.argpartition(-c, k - 1)[:k] if len(c) > k else np.arange(len(c))
+            out_q.extend([q] * len(top))
+            out_n.extend(n[top].tolist())
+            out_c.extend(c[top].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_c, type=pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cos"],
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-            bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
-            blab = np.argmax(bm @ self.cents.T, axis=1)
-            out_q, out_n, out_c = [], [], []
-            for qi, q in enumerate(self.qids):
-                probe = self.probes[int(q)]
-                mask = np.array([lb in probe for lb in blab]) & (bids != q)
-                if not mask.any():
-                    continue
-                c = bm[mask] @ self.qmat[qi]
-                n = bids[mask]
-                k = min(K, len(n))
-                top = np.argpartition(-c, k - 1)[:k] if len(c) > k else np.arange(len(c))
-                out_q.extend([q] * len(top))
-                out_n.extend(n[top].tolist())
-                out_c.extend(c[top].tolist())
-            return pa.Table.from_arrays(
-                [
-                    pa.array(out_q, type=pa.int64()),
-                    pa.array(out_n, type=pa.int64()),
-                    pa.array(out_c, type=pa.float64()),
-                ],
-                names=["query_id", "neighbor_id", "cos"],
-            )
-
-    partial = ds.map_batches(
-        ProbePartial, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    partial = ds.map_batches(probe_partial, batch_format="pyarrow")
 
     def final_topk(group: pa.Table) -> pa.Table:
         c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)

@@ -35,6 +35,24 @@ def actor_pool_size(max_actors: int = 8) -> int:
     return max(1, min(max_actors, cpus // 2))
 
 
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def get_broadcast(ref):
+    """Worker-local cache around ``ray.get`` for ``ray.put`` broadcast
+    objects: the object is shipped to a node's plasma store once and
+    deserialized once per WORKER PROCESS, not per task/batch — the
+    broadcast-small-side pattern without paying actor-pool startup."""
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        import ray
+
+        v = ray.get(ref)
+        _BCAST_CACHE[key] = v
+    return v
+
+
 def read_table(
     sf_dir: str,
     name: str,
