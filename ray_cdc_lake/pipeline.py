@@ -71,6 +71,57 @@ def replay_to_lake(
     return merged.map_batches(add_sha256, batch_format="pyarrow")
 
 
+def tail_replay(
+    lake_dir: str,
+    sf_dir: str,
+    epochs: int = DEFAULT_EPOCHS,
+    micro_batches: int = 4,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> list[str]:
+    """Binlog-tail simulation: consume the event log as ``micro_batches``
+    consecutive LSN windows, each applied as one exactly-once transaction
+    (stage -> commit -> watermark advance). Re-running after a crash in
+    window k re-applies only window k (txn idempotence) and later windows
+    skip already-applied events via the per-bucket high watermark — the
+    NiFi infinite-flow delivery model (SURVEY.md §2.9) made explicit.
+
+    Returns the committed txn ids in order.
+    """
+    import pyarrow.compute as pc
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+
+    # window boundaries in LSN space: the epoch band split evenly, then one
+    # final window for the post-epoch delete/rename band (lsn >= E*STRIDE)
+    hi = (epochs + 1) * STRIDE * 3  # past every derivable lsn
+    cuts = [
+        (i + 1) * epochs * STRIDE // max(1, micro_batches - 1)
+        for i in range(micro_batches - 1)
+    ] + [hi]
+    txns = []
+    lo = 0
+    for i, cut in enumerate(cuts):
+        if cut <= lo:
+            continue
+        ev = derive_event_log(sf_dir, epochs).map_batches(
+            compile_changes, batch_format="pyarrow"
+        )
+        ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+        lo_c, cut_c = lo, cut
+        win = ev.map_batches(
+            lambda t, lo=lo_c, hi_=cut_c: t.filter(
+                pc.and_(pc.greater_equal(t["lsn"], lo), pc.less(t["lsn"], hi_))
+            ),
+            batch_format="pyarrow",
+        )
+        txn_id = f"tail-{i:04d}"
+        apply_incremental(lake_dir, txn_id, win, num_buckets=num_buckets)
+        txns.append(txn_id)
+        lo = cut
+    return txns
+
+
 def _lake_rows_as_events(batch: pa.Table) -> pa.Table:
     """Lake rows re-entering a merge behave as inserts at their stored LSN."""
     cols = ["lsn", "repo", "path", "commit", "lang", "content"]

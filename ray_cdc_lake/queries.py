@@ -280,6 +280,26 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_tail_replay(sf_dir: str):
+    """Binlog-tail mode: the log consumed as 4 consecutive LSN windows,
+    each an exactly-once txn with watermark advance (pipeline.tail_replay)
+    — the committed end state must equal the one-shot replay oracle."""
+    import shutil
+
+    from .pipeline import tail_replay
+    from .sink import read_lake
+
+    lake = f"/tmp/ray_cdc_lake_tail/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+    tail_replay(lake, sf_dir, epochs=E, micro_batches=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_schema_evolution(sf_dir: str):
     """Schema evolution through the committed sink (SURVEY.md §7 step 8;
     reference analog: one METS model serialized to two schema versions,
@@ -321,6 +341,7 @@ def q_cdc_schema_evolution(sf_dir: str):
 
 
 CDC_SQL: dict[str, str] = {
+    "cdc_tail_replay": FINAL_STATE_SQL,
     "cdc_schema_evolution": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE}
         SELECT repo, path, "commit", lang, content,
@@ -1171,6 +1192,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_partition_manifest": q_cdc_partition_manifest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_lake_lineage": q_cdc_lake_lineage,
+        "cdc_tail_replay": q_cdc_tail_replay,
         "doc_json_merge": q_doc_json_merge,
         "doc_normalize_sha": q_doc_normalize_sha,
         "doc_extract_key": q_doc_extract_key,
