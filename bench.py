@@ -184,9 +184,82 @@ def run_scaling() -> dict:
     }
 
 
+def run_stress(replicate: int = 20, epochs: int = 8) -> dict:
+    """Key-cardinality stress: the scaling axis that matters at 100 TB is
+    LIVE KEYS (the merge output), not just events. Replicates the document
+    corpus ``replicate``x with distinct key spaces (bench-only — no oracle),
+    so the final state has ~replicate * 4.4k keys and the shuffle/reduce
+    path handles a wide output instead of a tiny one."""
+    import ray
+    import pyarrow as pa
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.events import DeriveEvents, compile_changes
+    from ray_cdc_lake.merge import lww_merge
+    from ray_cdc_lake.sources import read_table
+    from ray_cdc_lake.transforms import add_sha256, normalize_content
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    docs = read_table(
+        SF_DIR, "documents", columns=["doc_id", "lang", "source", "text"]
+    )
+
+    def replicate_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for r in range(replicate):
+            t = batch.set_column(
+                batch.schema.get_field_index("source"),
+                "source",
+                pc.binary_join_element_wise(
+                    pc.cast(batch["source"], pa.string()), f"-r{r}", ""
+                ),
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    ds = docs.map_batches(replicate_docs, batch_format="pyarrow")
+    ds = ds.map_batches(DeriveEvents(epochs), batch_format="pyarrow")
+    ds = ds.map_batches(compile_changes, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_content, batch_format="pyarrow")
+    t0 = time.perf_counter()
+    out = lww_merge(ds).map_batches(add_sha256, batch_format="pyarrow")
+    n_final = _consume(out)
+    wall = time.perf_counter() - t0
+    out_d = {
+        "metric": "stress_replay_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": {"stress_replay": round(wall, 3)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": replicate,
+        "final_rows": n_final,
+        "final_rows_per_sec": round(n_final / wall, 1),
+    }
+    ray.shutdown()
+    return out_d
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stress" in sys.argv:
+        print(json.dumps(run_stress()))
     elif "--one" in sys.argv:
         # single fresh-process run at $RAY_GRAFT_CPUS, flagship only
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS, flagship_only=True)))
