@@ -280,6 +280,78 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_change_batch_compile(sf_dir: str):
+    """The reference's NATIVE input path (M2, ReorderFiles.kt:304-327):
+    change-batch JSON documents -> rename instructions. One batch per
+    source reverses its page order (pages = docs ranked by doc_id, named
+    tekst_<source>_<rank>.tif); the batch JSON is built per group, then
+    compiled through change_batches.compile_batches_table — the same code
+    path a reference user's flowfile.json would take."""
+    import json
+
+    from .change_batches import compile_batches_table
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def to_batch_json(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        src = g["source"][0].as_py()
+        names = [
+            f"tekst_{src}_{i + 1:05d}.tif" for i in range(g.num_rows)
+        ]
+        doc = {
+            "batchId": f"batch-{src}",
+            "changes": [{"itemId": src, "orderedImageIds": list(reversed(names))}],
+        }
+        return pa.Table.from_arrays(
+            [
+                pa.array([1], type=pa.int64()),
+                pa.array([json.dumps(doc)], type=pa.string()),
+            ],
+            names=["lsn", "batch_json"],
+        )
+
+    batches = ds.groupby("source").map_groups(to_batch_json, batch_format="pyarrow")
+    out = batches.map_batches(
+        lambda b: compile_batches_table(b), batch_format="pyarrow"
+    )
+    return out
+
+
+def q_cdc_repo_manifest(sf_dir: str):
+    """Per-repo manifest DOCUMENT (G3 analog, the METS build reborn:
+    MetsBrowsingBuilder.kt:38-199 folds sorted pages + checksums into one
+    deterministic tree; MetsBrowsingSerializer.kt:296-412 fixes the byte
+    layout). Here: fold the repo's live files, sorted by path, into one
+    compact JSON manifest carrying each file's content sha256 — byte-exact
+    against the SQL oracle."""
+    import json
+
+    final = cdc_final_state(sf_dir, epochs=E)
+
+    def per_repo(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("path", "ascending")])
+        repo = g["repo"][0].as_py()
+        files = [
+            {"path": p, "sha256": h}
+            for p, h in zip(g["path"].to_pylist(), g["content_sha256"].to_pylist())
+        ]
+        doc = json.dumps(
+            {"repo": repo, "n_files": len(files), "files": files},
+            separators=(",", ":"),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([repo], type=pa.string()),
+                pa.array([len(files)], type=pa.int64()),
+                pa.array([doc], type=pa.string()),
+            ],
+            names=["repo", "n_files", "manifest"],
+        )
+
+    return final.groupby("repo").map_groups(per_repo, batch_format="pyarrow")
+
+
 def q_cdc_tail_replay(sf_dir: str):
     """Binlog-tail mode: the log consumed as 4 consecutive LSN windows,
     each an exactly-once txn with watermark advance (pipeline.tail_replay)
@@ -342,6 +414,31 @@ def q_cdc_schema_evolution(sf_dir: str):
 
 CDC_SQL: dict[str, str] = {
     "cdc_tail_replay": FINAL_STATE_SQL,
+    "cdc_change_batch_compile": """
+        WITH pages AS (
+          SELECT source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents)
+        SELECT CAST(1 AS BIGINT) AS lsn,
+               'batch-' || source AS batch_id,
+               source AS item_id,
+               CAST(n - rk + 1 AS BIGINT) AS seq,
+               'tekst_' || source || '_' || lpad(CAST(rk AS VARCHAR), 5, '0') || '.tif' AS original_name,
+               'tekst_' || source || '_' || lpad(CAST(n - rk + 1 AS VARCHAR), 5, '0') || '.tif' AS new_name,
+               TRUE AS safe
+        FROM pages""",
+    "cdc_repo_manifest": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        final AS (
+          SELECT repo, path, sha256(content) AS content_sha256
+          FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+               '{{"repo":"' || repo || '","n_files":' || CAST(count(*) AS VARCHAR) ||
+               ',"files":[' ||
+               string_agg('{{"path":"' || path || '","sha256":"' || content_sha256 || '"}}',
+                          ',' ORDER BY path) || ']}}' AS manifest
+        FROM final GROUP BY repo""",
     "cdc_schema_evolution": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE}
         SELECT repo, path, "commit", lang, content,
@@ -1193,6 +1290,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
+        "cdc_repo_manifest": q_cdc_repo_manifest,
+        "cdc_change_batch_compile": q_cdc_change_batch_compile,
         "doc_json_merge": q_doc_json_merge,
         "doc_normalize_sha": q_doc_normalize_sha,
         "doc_extract_key": q_doc_extract_key,

@@ -83,6 +83,13 @@ def to_canonical_ext(batch: pa.Table, column: str, out: str) -> pa.Table:
     return batch.append_column(out, col)
 
 
+def is_safe_name(name: str) -> bool:
+    """Scalar form of the path-safety predicate (PathSafety.kt:22-32)."""
+    return not (
+        ".." in name or "\\" in name or "\x00" in name or name.startswith("/")
+    )
+
+
 def add_path_safety(batch: pa.Table, column: str = "path", out: str = "is_safe") -> pa.Table:
     """Vectorized path-safety predicate (PathSafety.kt:22-32,38-44 analog):
     reject parent traversal, backslashes, NUL, absolute paths."""
