@@ -94,3 +94,25 @@ def test_delete_still_wins_over_older_insert():
     )
     state = _final(compile_changes(ev))
     assert state == {}
+
+
+def test_out_of_order_delivery_converges():
+    """LWW is delivery-order independent: a randomly shuffled event log
+    replays to the byte-identical final state (FIXTURES.md §2: events
+    'delivered out of order within bounded windows')."""
+    from ray_cdc_lake.pipeline import derive_event_log, replay_to_lake
+
+    sf = "/root/testdata/sf0.001"
+    inorder = replay_to_lake(derive_event_log(sf, 4)).to_pandas()
+    shuffled = replay_to_lake(
+        derive_event_log(sf, 4).random_shuffle(seed=123)
+    ).to_pandas()
+
+    def canon(df):
+        return df[sorted(df.columns)].sort_values(
+            by=["repo", "path"], ignore_index=True
+        )
+
+    a, b = canon(inorder), canon(shuffled)
+    assert len(a) > 0
+    assert a.equals(b)

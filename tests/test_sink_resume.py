@@ -185,3 +185,26 @@ def test_compaction_preserves_state(tmp_path):
     stale = [(4, "insert", "r1", "b.py", "B-stale")]
     apply_incremental(lake, "txn-c", ev_ds(stale), num_buckets=4)
     assert lake_state(lake) == EXPECT_AB
+
+
+def test_schema_evolution_retype_promotion(tmp_path):
+    """Segment B re-delivers an int column as float (type widening); the
+    conform step promotes prior int rows to the NEW type (new wins on
+    retype, checkpoint.apply_incremental)."""
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    seg_a = ev_table(SEG_A).append_column(
+        "size_bytes", pa.array([10, 20, 30, 40], type=pa.int64())
+    )
+    apply_incremental(lake, "txn-a", rd.from_arrow(seg_a), num_buckets=4)
+
+    seg_b = ev_table(SEG_B).append_column(
+        "size_bytes", pa.array([5.5, 6.5, 7.5], type=pa.float64())
+    )
+    apply_incremental(lake, "txn-b", rd.from_arrow(seg_b), num_buckets=4)
+
+    t = read_lake(lake).to_pandas().set_index(["repo", "path"])
+    assert str(t["size_bytes"].dtype) == "float64"
+    assert t.loc[("r1", "a.py"), "size_bytes"] == 40.0  # promoted int row
+    assert t.loc[("r2", "c.py"), "size_bytes"] == 6.5
