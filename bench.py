@@ -39,10 +39,13 @@ SECONDARY = [
     "q1_lineitem",
     "events_daily",
     "top_customers",
+    "user_sessions",
     "dedup_minhash",
+    "dedup_simhash",
     "dedup_exact",
     "text_quality",
     "knn_bruteforce",
+    "cdc_replay_committed",  # the exactly-once sink write path
 ]
 
 

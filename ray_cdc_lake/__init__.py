@@ -36,6 +36,8 @@ def enable_self_contained_pickling() -> None:
     from ray import cloudpickle
 
     from . import (  # noqa: F401 — force-import all submodules first
+        change_batches,
+        checkpoint,
         dedup,
         events,
         merge,
@@ -44,8 +46,12 @@ def enable_self_contained_pickling() -> None:
         queries,
         schemas,
         similarity,
+        sink,
+        sources,
+        state,
         textstats,
         transforms,
+        validate,
     )
 
     for name, mod in list(sys.modules.items()):
