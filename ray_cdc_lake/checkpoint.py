@@ -53,6 +53,7 @@ def apply_incremental(
     compiled_events: "ray.data.Dataset",
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     fail_before_publish: bool = False,
+    events_schema: "pa.Schema | None" = None,
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -79,8 +80,15 @@ def apply_incremental(
         )
         # conform both branches to one column order/schema before union
         # (schema evolution: missing columns null-backfilled — the
-        # pa.unify_schemas analog of SURVEY.md §7 step 8)
-        s_new, s_old = ds.schema(), prior.schema()
+        # pa.unify_schemas analog of SURVEY.md §7 step 8). Pass
+        # events_schema when statically known: ds.schema() on a lazy map
+        # pipeline forces a partial execution just to learn the schema.
+        if events_schema is not None:
+            # caller passes the COMPILED schema; 'bucket' was added above
+            s_new = events_schema.append(pa.field("bucket", pa.int64()))
+        else:
+            s_new = ds.schema()
+        s_old = prior.schema()
         types: dict[str, pa.DataType] = {}
         for s in (s_old, s_new):  # new wins on retype (promotion)
             for n, t in zip(s.names, s.types):

@@ -116,7 +116,12 @@ def tail_replay(
             batch_format="pyarrow",
         )
         txn_id = f"tail-{i:04d}"
-        apply_incremental(lake_dir, txn_id, win, num_buckets=num_buckets)
+        from .schemas import COMPILED_SCHEMA
+
+        apply_incremental(
+            lake_dir, txn_id, win, num_buckets=num_buckets,
+            events_schema=COMPILED_SCHEMA,
+        )
         txns.append(txn_id)
         lo = cut
     return txns

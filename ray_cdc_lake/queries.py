@@ -266,8 +266,10 @@ def q_cdc_replay_committed(sf_dir: str):
     seg2 = ev.map_batches(
         lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
     )
+    from .schemas import COMPILED_SCHEMA
+
     apply_incremental(lake, "txn-0001", seg1)
-    apply_incremental(lake, "txn-0002", seg2)
+    apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
     out = read_lake(lake)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -402,8 +404,15 @@ def q_cdc_schema_evolution(sf_dir: str):
         return t.append_column("license", lic)
 
     seg2 = ev.map_batches(widen, batch_format="pyarrow")
+    from .schemas import COMPILED_SCHEMA
+
     apply_incremental(lake, "txn-0001", seg1)
-    apply_incremental(lake, "txn-0002", seg2)
+    apply_incremental(
+        lake,
+        "txn-0002",
+        seg2,
+        events_schema=COMPILED_SCHEMA.append(pa.field("license", pa.string())),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.select(["repo", "path", "commit", "lang", "content", "license", "lsn"])
@@ -741,8 +750,10 @@ def q_cdc_lake_lineage(sf_dir: str):
     seg2 = ev.map_batches(
         lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
     )
+    from .schemas import COMPILED_SCHEMA
+
     apply_incremental(lake, "txn-0001", seg1)
-    apply_incremental(lake, "txn-0002", seg2)
+    apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
 
     m = read_manifest(lake)
     rows = sorted(
