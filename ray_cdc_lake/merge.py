@@ -19,6 +19,15 @@ Scale design:
 * hot keys need no salting for the pure reduce (the combiner already
   collapses them), but ``salted`` buckets are supported for skewed *group*
   work; salted LWW must equal unsalted (tested).
+
+Why groupby+map_groups and not raw bucket-pinned merge actors: the merge
+is an associative reduce the Dataset API expresses directly, so the
+streaming executor gets to schedule, pipeline and spill it; the "merge
+buffer + sorted-run dedup index" state the north star names lives INSIDE
+the reduce (partial_lww per map-side block; state.SortedRunIndex with
+disk-spilled runs when a group exceeds memory), where it needs no
+cross-task mutability. Raw actors would re-implement the shuffle for no
+semantic gain (the brief's last-resort rule).
 """
 
 from __future__ import annotations

@@ -116,3 +116,52 @@ def test_out_of_order_delivery_converges():
     a, b = canon(inorder), canon(shuffled)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_wide_content_rows_stream_through_merge():
+    """Wide rows (content ~100 KiB) must stream through the merge without
+    concentrating on the driver: ~200 MB of payload, small target block
+    size, consumed batch-by-batch (SURVEY.md §7 'Wide rows')."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from ray_cdc_lake.merge import lww_merge
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+
+    n_keys, versions, width = 500, 4, 100_000
+    blob = "x" * width
+    rows_lsn, rows_path, rows_content = [], [], []
+    for v in range(versions):
+        for k in range(n_keys):
+            rows_lsn.append(v * 10_000 + k)
+            rows_path.append(f"f{k}.bin")
+            rows_content.append(f"{blob}-v{v}-k{k}")
+    t = pa.Table.from_arrays(
+        [
+            pa.array(rows_lsn, type=pa.int64()),
+            pa.array(["update"] * len(rows_lsn), type=pa.string()),
+            pa.array(["r"] * len(rows_lsn), type=pa.string()),
+            pa.array(rows_path, type=pa.string()),
+            pa.array([f"c{x}" for x in rows_lsn], type=pa.string()),
+            pa.array(["bin"] * len(rows_lsn), type=pa.string()),
+            pa.array(rows_content, type=pa.large_string()),
+        ],
+        schema=COMPILED_SCHEMA,
+    )
+    ctx = DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024 * 1024  # 8 MiB blocks
+    try:
+        ds = rd.from_arrow(t).repartition(16)
+        out = lww_merge(ds, num_buckets=8)
+        n = 0
+        seen_width_ok = True
+        for b in out.iter_batches(batch_size=64, batch_format="pyarrow"):
+            n += b.num_rows
+            for c in b["content"].to_pylist():
+                seen_width_ok &= c.startswith("x" * 100) and "-v3-" in c
+        assert n == n_keys  # one winner per key, all from the last version
+        assert seen_width_ok
+    finally:
+        ctx.target_max_block_size = prev
