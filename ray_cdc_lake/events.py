@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 from .schemas import COMPILED_SCHEMA, DEFAULT_EPOCHS, EVENT_SCHEMA
 
 STRIDE = 10_000_000  # lsn stride per epoch (epoch-major global LSN order)
+TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch microseconds
 
 
 def _md5_hex(keys: list[str]) -> list[str]:
@@ -184,6 +185,9 @@ def _events_table(lsn, op, repo, path, new_path, lang, content) -> pa.Table:
         "",
     )
     commit = pa.array(_md5_hex(key.to_pylist()), type=pa.string())
+    ts = pa.array(
+        (TS_BASE_US + np.asarray(lsn, dtype=np.int64)).astype("datetime64[us]")
+    )
     return pa.Table.from_arrays(
         [
             lsn_a,
@@ -194,6 +198,7 @@ def _events_table(lsn, op, repo, path, new_path, lang, content) -> pa.Table:
             commit,
             pc.cast(lang, pa.string()),
             pc.cast(content, pa.large_string()),
+            ts,
         ],
         schema=EVENT_SCHEMA,
     )

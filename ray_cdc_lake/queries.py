@@ -104,7 +104,8 @@ raw_ev AS (
 ev AS (
   SELECT lsn, op, repo, path, new_path,
          md5(repo || '/' || path || '@' || CAST(lsn AS VARCHAR)) AS "commit",
-         lang, content
+         lang, content,
+         TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(lsn) AS ts
   FROM raw_ev
 )"""
 
@@ -467,7 +468,7 @@ CDC_SQL: dict[str, str] = {
     "cdc_idempotent_replay": FINAL_STATE_SQL,
     "cdc_dedup_events": f"""
         WITH {EVENTS_CTE}
-        SELECT DISTINCT lsn, op, repo, path, new_path, "commit", lang, content FROM ev""",
+        SELECT DISTINCT lsn, op, repo, path, new_path, "commit", lang, content, ts FROM ev""",
     "cdc_partition_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
         SELECT repo, count(*) AS n_events,

@@ -17,6 +17,9 @@ SOURCE_SCHEMA = pa.schema(
         pa.field("commit", pa.string()),
         pa.field("lang", pa.string()),
         pa.field("content", pa.large_string()),
+        # event time, informational (FIXTURES.md §2): deterministic
+        # 2024-01-01 + lsn microseconds so the oracle can derive it too
+        pa.field("ts", pa.timestamp("us")),
     ]
 )
 
@@ -33,6 +36,9 @@ EVENT_SCHEMA = pa.schema(
         pa.field("commit", pa.string()),
         pa.field("lang", pa.string()),
         pa.field("content", pa.large_string()),
+        # event time, informational (FIXTURES.md §2): deterministic
+        # 2024-01-01 + lsn microseconds so the oracle derives it too
+        pa.field("ts", pa.timestamp("us")),
     ]
 )
 

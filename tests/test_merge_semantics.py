@@ -28,6 +28,7 @@ def _ev(rows):
             pa.array([f"c-{r[3]}-{r[0]}" for r in rows], type=pa.string()),
             pa.array(["py"] * len(rows), type=pa.string()),
             pa.array([r[5] for r in rows], type=pa.large_string()),
+            pa.array([r[0] * 1000 for r in rows], type=pa.timestamp("us")),
         ],
         schema=EVENT_SCHEMA,
     )
