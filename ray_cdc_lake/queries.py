@@ -8,9 +8,12 @@ driver hash-compares values after sorting columns by name).
 SURVEY.md §2 coverage map (operator id -> query name):
   S1 read            -> every query (read_parquet with column pruning)
   S2 delete op       -> cdc_lww_latest / cdc_final_state (tombstones)
-  M1 json project    -> props_json_extract, doc_nested_project
-  M2 event compile   -> cdc_compile_events
-  M3 fan-out         -> cdc_compiled_changes (rename -> delete+insert)
+  M1 json project    -> props_json_extract, doc_nested_project,
+                        doc_json_merge (recursive merge mode)
+  M2 event compile   -> cdc_compile_events, cdc_change_batch_compile
+                        (the reference's native change-batch JSON path)
+  M3 fan-out         -> cdc_compiled_changes (rename -> delete+insert),
+                        cdc_change_batch_compile (extension discovery)
   M4 key extraction  -> doc_extract_key
   M5 ext normalize   -> doc_canonical_name
   M6 path safety     -> doc_safe_paths
@@ -29,7 +32,10 @@ SURVEY.md §2 coverage map (operator id -> query name):
   §2.9 windows       -> user_sessions (gap sessionization), events_daily
   §7 step 8 schema   -> cdc_schema_evolution (column add through the sink)
   G1 summary agg     -> validation_summary
-  G2/G3 manifest agg -> cdc_partition_manifest
+  G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest
+                        (per-repo manifest document, byte-exact),
+                        cdc_lake_lineage (committed-manifest surface)
+  §2.9 tail/stream   -> cdc_tail_replay (micro-batch exactly-once tail)
   G4 exact dedup     -> cdc_dedup_events, dedup_exact
   O1/O2 ordering     -> doc_seq_assign (row_number within group)
   §2.7 set ops       -> anti_join_users, cdc_dedup_events
