@@ -29,6 +29,10 @@ SURVEY.md §2 coverage map (operator id -> query name):
   J2 equality join   -> join_events_customers
   J3/J5 semi-join    -> semi_join_users (broadcast key-set membership)
   J4 anti-join       -> anti_join_users
+  custom joins       -> asof_purchase_view (as-of join, DuckDB ASOF oracle),
+                        range_join_quantity (broadcast range join)
+  window/rank/stats  -> top_docs_per_source (grouped top-k + rank),
+                        source_median_chars (non-decomposable per-group)
   §2.9 windows       -> user_sessions (gap sessionization), events_daily
   §7 step 8 schema   -> cdc_schema_evolution (column add through the sink)
   G1 summary agg     -> validation_summary
@@ -1085,6 +1089,130 @@ def q_doc_seq_assign(sf_dir: str):
     return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
 
 
+def q_asof_purchase_view(sf_dir: str):
+    """AS-OF JOIN (custom operator per the build brief): for every
+    purchase event, the timestamp of the same user's most recent prior
+    view. Sort-merge within the user group (searchsorted over the view
+    timeline) — the partitioning assumption is one group sees all of a
+    user's events; never a global sort. Oracle: DuckDB's native ASOF JOIN."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist())
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        vmask = et == "view"
+        pmask = et == "purchase"
+        vts = ts[vmask]
+        if not pmask.any() or len(vts) == 0:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.timestamp("us")),
+                    pa.array([], type=pa.timestamp("us")),
+                ],
+                names=["event_id", "user_id", "ts", "last_view_ts"],
+            )
+        pts = ts[pmask]
+        # index of last view strictly before the purchase
+        pos = np.searchsorted(vts, pts, side="left") - 1
+        keep = pos >= 0
+        last = vts[np.maximum(pos, 0)]
+        return pa.Table.from_arrays(
+            [
+                pa.array(eid[pmask][keep]),
+                pa.array(uid[pmask][keep]),
+                pa.array(pts[keep].astype("datetime64[us]")),
+                pa.array(last[keep].astype("datetime64[us]")),
+            ],
+            names=["event_id", "user_id", "ts", "last_view_ts"],
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+# quantity bands for the broadcast range join (inline VALUES on the SQL side)
+QTY_BANDS = [(0, 10, "low"), (10, 25, "mid"), (25, 40, "high"), (40, 100, "max")]
+
+
+def q_range_join_quantity(sf_dir: str):
+    """Broadcast RANGE JOIN (custom operator per the build brief):
+    lineitem rows banded by quantity range via vectorized searchsorted
+    against a broadcast band table — no shuffle for the join itself, one
+    tiny grouped aggregate after."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    edges = np.array([b[0] for b in QTY_BANDS] + [QTY_BANDS[-1][1]], dtype=np.float64)
+    names = [b[2] for b in QTY_BANDS]
+
+    def band(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        bi = np.searchsorted(edges, q, side="right") - 1
+        bi = np.clip(bi, 0, len(names) - 1)
+        import polars as pl
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array([names[i] for i in bi], type=pa.string()),
+                pa.array((q * 100).round().astype(np.int64)),
+            ],
+            names=["band", "qty_cents"],
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("band")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_rows"),
+                pl.col("qty_cents").sum().alias("qty_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"), Sum("qty_cents", alias_name="qty_cents")
+        )
+    )
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Grouped top-k with rank (windowed rank, k=3): longest documents per
+    source, ties broken by doc_id — within-group sort only."""
+    ds = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        k = min(3, g.num_rows)
+        g = g.slice(0, k)
+        return g.append_column("rank", pa.array(np.arange(1, k + 1, dtype=np.int64)))
+
+    return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
+
+
+def q_source_median_chars(sf_dir: str):
+    """Exact per-group median (numpy interpolated, matching DuckDB's
+    median() on even counts). Medians are not decomposable, so this is a
+    genuine per-group computation — grouped by source, never global."""
+    ds = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        med = float(np.median(g["n_chars"].to_numpy(zero_copy_only=False)))
+        return pa.Table.from_arrays(
+            [g["source"].slice(0, 1), pa.array([med], type=pa.float64())],
+            names=["source", "median_chars"],
+        )
+
+    return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
+
+
 def q_q1_lineitem(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate with per-batch partial aggregation
     (G1/G2 analog at relational scale). Money summed in integer cents so the
@@ -1266,6 +1394,28 @@ REL_SQL: dict[str, str] = {
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
         FROM documents""",
+    "asof_purchase_view": """
+        SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts < p.ts""",
+    "range_join_quantity": """
+        WITH bands(lo, hi, band) AS (
+          VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 40, 'high'), (40, 100, 'max'))
+        SELECT b.band, count(*) AS n_rows,
+               CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+        FROM lineitem l JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        GROUP BY b.band""",
+    "top_docs_per_source": """
+        WITH ranked AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        SELECT doc_id, source, n_chars, rank FROM ranked WHERE rank <= 3""",
+    "source_median_chars": """
+        SELECT source, median(n_chars) AS median_chars
+        FROM documents GROUP BY source""",
     "q1_lineitem": """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
@@ -1328,6 +1478,10 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "anti_join_users": q_anti_join_users,
         "doc_seq_assign": q_doc_seq_assign,
         "q1_lineitem": q_q1_lineitem,
+        "asof_purchase_view": q_asof_purchase_view,
+        "range_join_quantity": q_range_join_quantity,
+        "top_docs_per_source": q_top_docs_per_source,
+        "source_median_chars": q_source_median_chars,
         "top_customers": q_top_customers,
         "events_daily": q_events_daily,
     }
