@@ -1327,6 +1327,107 @@ def q_top_customers(sf_dir: str):
     return top.map_batches(attach, batch_format="pyarrow")
 
 
+def q_distinct_users_exact(sf_dir: str):
+    """Exact distinct count, bucketed: per-batch local unique -> per-bucket
+    unique counts -> one tiny sum. The shuffle moves distinct ids only."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(batch).unique(maintain_order=False).to_arrow()
+
+    uniq = _distinct_by_bucket(
+        ds.map_batches(local_unique, batch_format="pyarrow"), "user_id"
+    )
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([batch.num_rows], type=pa.int64())], names=["n_distinct"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        uniq.map_batches(count_rows, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column("g", pa.array([1] * t.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .map_batches(lambda t: t.drop_columns(["g"]), batch_format="pyarrow")
+    )
+
+
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog distinct estimate (sketches.py): per-batch register
+    files merged by elementwise max — the count-distinct that never
+    shuffles values (rows-only oracle; tolerance-tested vs exact)."""
+    from .sketches import hll_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return hll_distinct(ds, "user_id")
+
+
+def q_events_rollup(sf_dir: str):
+    """Multi-level ROLLUP (day, event_type) -> (day) -> (): higher levels
+    re-aggregated from the BASE aggregate (150 rows), never from a rescan
+    of the fact table — the aggregation-reuse pattern that matters at
+    10^10 rows."""
+    from ray.data.aggregate import Sum
+
+    base = q_events_daily(sf_dir)  # day x event_type, n, value_cents
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["day"], batch["n"], batch["value_cents"]],
+            names=["day", "n", "value_cents"],
+        )
+
+    by_day = (
+        base.map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(
+            lambda t: t.append_column("event_type", pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+    )
+    total = (
+        base.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pa.array([1] * t.num_rows, type=pa.int64()), t["n"], t["value_cents"]],
+                names=["g", "n", "value_cents"],
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    pa.nulls(t.num_rows, pa.string()),
+                    pa.nulls(t.num_rows, pa.string()),
+                    t["n"],
+                    t["value_cents"],
+                ],
+                names=["day", "event_type", "n", "value_cents"],
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return t.select(["day", "event_type", "n", "value_cents"])
+
+    return (
+        base.map_batches(order_cols, batch_format="pyarrow")
+        .union(by_day.map_batches(order_cols, batch_format="pyarrow"))
+        .union(total)
+    )
+
+
 def q_events_daily(sf_dir: str):
     """Tumbling-window-shaped aggregate over event time (§2.9 streaming
     analog): day x event_type counts + value in integer cents."""
@@ -1430,6 +1531,16 @@ REL_SQL: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY o.o_custkey
         ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+    "distinct_users_exact": """
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events""",
+    "events_rollup": """
+        WITH e AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT day, event_type, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM e GROUP BY ROLLUP(day, event_type)""",
     "events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
@@ -1484,6 +1595,9 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "source_median_chars": q_source_median_chars,
         "top_customers": q_top_customers,
         "events_daily": q_events_daily,
+        "events_rollup": q_events_rollup,
+        "distinct_users_exact": q_distinct_users_exact,
+        "distinct_users_hll": q_distinct_users_hll,
     }
     sql: dict[str, str] = {}
     sql.update(CDC_SQL)

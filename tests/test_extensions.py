@@ -91,3 +91,12 @@ def test_fake_decoder_deterministic():
     d2 = FakeDecoder()(bins)
     assert d1.equals(d2)
     assert d1["bin_sha256"][0].as_py() != d1["bin_sha256"][1].as_py()
+
+
+def test_hll_within_tolerance_of_exact():
+    from ray_cdc_lake.queries import q_distinct_users_exact, q_distinct_users_hll
+
+    exact = q_distinct_users_exact(SF).to_pandas()["n_distinct"][0]
+    est = q_distinct_users_hll(SF).to_pandas()["n_distinct_est"][0]
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.03  # P=14 HLL: ~1.6% stderr
