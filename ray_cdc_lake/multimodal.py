@@ -109,7 +109,66 @@ def q_mm_decode_meta(sf_dir: str):
     )
 
 
+FRAME_BYTES = 256
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def q_mm_frame_sample(sf_dir: str):
+    """Frame sampling over a binary payload column: the payload is treated
+    as a stream of fixed-size frames; every FRAME_STRIDE-th frame is
+    emitted as its own row (offset, length, sha256) — the video
+    frame-sample plumbing with a deterministic byte-window stand-in for
+    the codec (real decoders aren't in this container). One input row
+    fans out to ceil(n_bytes/FRAME_BYTES)/FRAME_STRIDE rows; batch_size
+    kept small because rows are wide."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bins = docs.map_batches(encode_payloads, batch_format="pyarrow")
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_idx, out_off, out_len, out_sha = [], [], [], [], []
+        for d, p in zip(ids, payloads):
+            n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                off = fi * FRAME_BYTES
+                chunk = p[off : off + FRAME_BYTES]
+                out_id.append(d)
+                out_idx.append(fi)
+                out_off.append(off)
+                out_len.append(len(chunk))
+                out_sha.append(hashlib.sha256(chunk).hexdigest())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, type=pa.int64()),
+                pa.array(out_idx, type=pa.int64()),
+                pa.array(out_off, type=pa.int64()),
+                pa.array(out_len, type=pa.int64()),
+                pa.array(out_sha, type=pa.string()),
+            ],
+            names=["doc_id", "frame_idx", "byte_offset", "frame_len", "frame_sha256"],
+        )
+
+    return bins.map_batches(sample, batch_format="pyarrow", batch_size=256)
+
+
 SQL = {
+    # frames are byte windows; text is ASCII in the corpus, so DuckDB's
+    # char-based substr equals the byte window and sha256(substr) hashes
+    # the same bytes
+    "mm_frame_sample": f"""
+        WITH frames AS (
+          SELECT d.doc_id, CAST(f.range AS BIGINT) AS frame_idx,
+                 CAST(f.range * {FRAME_BYTES} AS BIGINT) AS byte_offset,
+                 substr(d.text, CAST(f.range * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS chunk
+          FROM documents d
+          CROSS JOIN range(0, 64) f
+          WHERE f.range * {FRAME_BYTES} < strlen(d.text)
+            AND f.range % {FRAME_STRIDE} = 0)
+        SELECT doc_id, frame_idx, byte_offset,
+               CAST(strlen(chunk) AS BIGINT) AS frame_len,
+               sha256(chunk) AS frame_sha256
+        FROM frames""",
     # strlen() = BYTE length in DuckDB (length() is chars); payload is the
     # utf-8 encoding of text, and sha256(text) hashes the same utf-8 bytes
     "mm_decode_meta": """
@@ -123,5 +182,8 @@ SQL = {
 
 
 def registry():
-    queries = {"mm_decode_meta": q_mm_decode_meta}
+    queries = {
+        "mm_decode_meta": q_mm_decode_meta,
+        "mm_frame_sample": q_mm_frame_sample,
+    }
     return queries, dict(SQL)
