@@ -1089,6 +1089,84 @@ def q_doc_seq_assign(sf_dir: str):
     return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
 
 
+def q_shuffle_join_revenue(sf_dir: str):
+    """Large x large CO-PARTITIONED shuffle join (neither side broadcast):
+    lineitem and orders are tagged, bucketed by hash(orderkey), shuffled
+    ONCE by bucket, and joined inside each bucket group (polars hash
+    join) — the join shape for two fact tables at 100 TB. Lineitem is
+    pre-aggregated to one row per orderkey per batch BEFORE the shuffle
+    (combiner), so the exchange moves ~|orders| rows per side, not
+    |lineitem|. Result: revenue per order priority."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    NB = 32
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    od = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        agg = (
+            df.with_columns(
+                (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64).alias("cents")
+            )
+            .group_by("l_orderkey")
+            .agg(pl.col("cents").sum().alias("cents"))
+        )
+        t = agg.to_arrow()
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((key * 2654435761 % NB).astype(np.int64)),
+                t["l_orderkey"],
+                t["cents"],
+                pa.nulls(t.num_rows, pa.string()),
+            ],
+            names=["jb", "orderkey", "cents", "o_orderpriority"],
+        )
+
+    def od_tag(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array((key * 2654435761 % NB).astype(np.int64)),
+                batch["o_orderkey"],
+                pa.nulls(batch.num_rows, pa.int64()),
+                batch["o_orderpriority"],
+            ],
+            names=["jb", "orderkey", "cents", "o_orderpriority"],
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow").union(
+        od.map_batches(od_tag, batch_format="pyarrow")
+    )
+
+    def join_in_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g)
+        left = df.filter(pl.col("cents").is_not_null()).select(["orderkey", "cents"])
+        right = df.filter(pl.col("o_orderpriority").is_not_null()).select(
+            ["orderkey", "o_orderpriority"]
+        )
+        j = left.join(right, on="orderkey", how="inner")
+        return (
+            j.group_by("o_orderpriority")
+            .agg(pl.col("cents").sum().alias("revenue_cents"))
+            .to_arrow()
+        )
+
+    return (
+        both.groupby("jb")
+        .map_groups(join_in_bucket, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
 def q_asof_purchase_view(sf_dir: str):
     """AS-OF JOIN (custom operator per the build brief): for every
     purchase event, the timestamp of the same user's most recent prior
@@ -1495,6 +1573,14 @@ REL_SQL: dict[str, str] = {
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
         FROM documents""",
+    "shuffle_join_revenue": """
+        SELECT o.o_orderpriority,
+               CAST(sum(li.cents) AS BIGINT) AS revenue_cents
+        FROM (SELECT l_orderkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+              FROM lineitem GROUP BY l_orderkey) li
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority""",
     "asof_purchase_view": """
         SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1590,6 +1676,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_seq_assign": q_doc_seq_assign,
         "q1_lineitem": q_q1_lineitem,
         "asof_purchase_view": q_asof_purchase_view,
+        "shuffle_join_revenue": q_shuffle_join_revenue,
         "range_join_quantity": q_range_join_quantity,
         "top_docs_per_source": q_top_docs_per_source,
         "source_median_chars": q_source_median_chars,
