@@ -1405,6 +1405,27 @@ def q_top_customers(sf_dir: str):
     return top.map_batches(attach, batch_format="pyarrow")
 
 
+def q_events_moving_sum(sf_dir: str):
+    """Sliding-window aggregate: 7-row (= 7-day, days are dense) moving
+    sum of daily value per event_type, computed over the BASE daily
+    aggregate with a within-group cumsum — integer cents so the oracle
+    hash is exact; never a global sort."""
+    base = q_events_daily(sf_dir)  # day x event_type, n, value_cents
+
+    def per_type(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("day", "ascending")])
+        v = g["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.concatenate(([0], np.cumsum(v)))
+        w = np.minimum(np.arange(1, len(v) + 1), 7)
+        mov = c[1:] - c[np.arange(1, len(v) + 1) - w]
+        return pa.Table.from_arrays(
+            [g["day"], g["event_type"], pa.array(mov)],
+            names=["day", "event_type", "mov7_value_cents"],
+        )
+
+    return base.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
+
+
 def q_distinct_users_exact(sf_dir: str):
     """Exact distinct count, bucketed: per-batch local unique -> per-bucket
     unique counts -> one tiny sum. The shuffle moves distinct ids only."""
@@ -1617,6 +1638,16 @@ REL_SQL: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY o.o_custkey
         ORDER BY total_cents DESC, o_custkey LIMIT 10""",
+    "events_moving_sum": """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+          FROM events GROUP BY 1, 2)
+        SELECT day, event_type,
+               CAST(sum(value_cents) OVER (
+                 PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_value_cents
+        FROM daily""",
     "distinct_users_exact": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events""",
     "events_rollup": """
@@ -1683,6 +1714,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "top_customers": q_top_customers,
         "events_daily": q_events_daily,
         "events_rollup": q_events_rollup,
+        "events_moving_sum": q_events_moving_sum,
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
     }
