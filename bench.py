@@ -152,7 +152,10 @@ def run_scaling() -> dict:
     hi = int(os.environ.get("SCALE_CPUS_HI", "8"))
     epochs = os.environ.get("BENCH_EPOCHS", "1024")  # ~5.1M events at sf0.1
     results = {}
-    for cpus in (lo, hi):
+    # interleave the levels (lo, hi, lo, hi) in fresh processes and keep
+    # the best per level: this box is shared, and a co-tenant burst during
+    # one level's single window would otherwise bias the ratio
+    for cpus in (lo, hi, lo, hi):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(cpus),
@@ -161,7 +164,7 @@ def run_scaling() -> dict:
             # both levels process the same 4-blocks-per-high-CPU splits
             # (finer tasks pack the last wave better than 2/CPU)
             BENCH_BLOCKS=os.environ.get("BENCH_BLOCKS", str(4 * hi)),
-            BENCH_RUNS=os.environ.get("BENCH_RUNS", "3"),
+            BENCH_RUNS=os.environ.get("BENCH_RUNS", "2"),
         )
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--one"],
@@ -171,7 +174,9 @@ def run_scaling() -> dict:
             timeout=1200,
         )
         line = proc.stdout.strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
+        r = json.loads(line)
+        if cpus not in results or r["value"] < results[cpus]["value"]:
+            results[cpus] = r
     t_lo = results[lo]["events_per_sec"]
     t_hi = results[hi]["events_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
