@@ -269,11 +269,39 @@ def run_stress(replicate: int = 20, epochs: int = 8) -> dict:
     return out_d
 
 
+def run_stats() -> None:
+    """Print the flagship replay's per-stage Ray Data stats (operator wall
+    / UDF time / rows / memory) — the profiling surface behind BASELINE.md."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.pipeline import cdc_final_state, derive_event_log
+
+    enable_self_contained_pickling()
+    tune_data_context()
+    _consume(derive_event_log(SF_DIR, epochs=1))  # warmup
+    ds = cdc_final_state(SF_DIR, epochs=BENCH_EPOCHS)
+    _consume(ds)
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stress" in sys.argv:
         print(json.dumps(run_stress()))
+    elif "--stats" in sys.argv:
+        run_stats()
     elif "--one" in sys.argv:
         # single fresh-process run at $RAY_GRAFT_CPUS, flagship only
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS, flagship_only=True)))
