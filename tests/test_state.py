@@ -81,3 +81,23 @@ def test_spill_with_schema_evolution(tmp_path):
     want = _winner_per_key(both, ["repo", "path"])
     assert _canon(got) == _canon(want)
     assert "license" in got.column_names
+
+
+def test_spill_path_through_ray_merge(monkeypatch):
+    """Force the sorted-run spill inside the real Ray reduce (tiny
+    threshold) — result must equal the in-memory path."""
+    import ray.data as rd
+
+    import ray_cdc_lake.merge as merge_mod
+    from ray_cdc_lake.merge import lww_merge
+
+    ev = _random_events(30_000, 500, seed=21)
+    want = _canon_ds(lww_merge(rd.from_arrow(ev), num_buckets=4))
+    monkeypatch.setattr(merge_mod, "SPILL_THRESHOLD_ROWS", 200)
+    got = _canon_ds(lww_merge(rd.from_arrow(ev), num_buckets=4))
+    assert len(want) > 0
+    assert got == want
+
+
+def _canon_ds(ds) -> list:
+    return sorted(map(tuple, ds.to_pandas().astype(str).values.tolist()))
