@@ -737,6 +737,41 @@ def _merge_json(base: dict, overlay: dict) -> dict:
     return out
 
 
+def q_doc_json_paths(sf_dir: str):
+    """Dotted-path + bracket-index document construction (M1,
+    GenerateJsonFromProps.kt:215-295 incl. array support): per document,
+    property paths including ``pages[i].seq`` build a nested doc with an
+    ARRAY, serialized byte-deterministically."""
+    from .jsonpaths import build_document
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for d, lg, src, nc in zip(
+            batch["doc_id"].to_pylist(),
+            batch["lang"].to_pylist(),
+            batch["source"].to_pylist(),
+            batch["n_chars"].to_pylist(),
+        ):
+            n_pages = d % 3 + 1
+            props: dict[str, object] = {
+                "metadata.lang": lg,
+                "metadata.source.name": src,
+                "stats.n_chars": nc,
+            }
+            for i in range(n_pages):
+                props[f"pages[{i}].seq"] = i + 1
+                props[f"pages[{i}].id"] = f"p{d}_{i}"
+            out.append(build_document(props))
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(out, type=pa.string())],
+            names=["doc_id", "doc_json"],
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_cdc_lake_lineage(sf_dir: str):
     """Per-partition lineage/metrics (SURVEY.md §4 observability row):
     apply two txns through the sink, then surface the manifest as a table
@@ -874,6 +909,19 @@ DOC_SQL: dict[str, str] = {
                substr(h,1,8) || '-' || substr(h,9,4) || '-' || substr(h,13,4) || '-' ||
                substr(h,17,4) || '-' || substr(h,21,12) AS minted_id
         FROM hashed""",
+    "doc_json_paths": """
+        SELECT doc_id,
+               '{"metadata":{"lang":"' || lang || '","source":{"name":"' || source ||
+               '"}},"stats":{"n_chars":' || CAST(n_chars AS VARCHAR) || '},"pages":[' ||
+               '{"seq":1,"id":"p' || CAST(doc_id AS VARCHAR) || '_0"}' ||
+               CASE WHEN doc_id % 3 >= 1
+                    THEN ',{"seq":2,"id":"p' || CAST(doc_id AS VARCHAR) || '_1"}'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 3 >= 2
+                    THEN ',{"seq":3,"id":"p' || CAST(doc_id AS VARCHAR) || '_2"}'
+                    ELSE '' END ||
+               ']}' AS doc_json
+        FROM documents""",
     "doc_json_merge": """
         SELECT doc_id,
                '{"metadata":{"lang":"' || lang || '","source":"' || source ||
@@ -1689,6 +1737,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_repo_manifest": q_cdc_repo_manifest,
         "cdc_change_batch_compile": q_cdc_change_batch_compile,
         "doc_json_merge": q_doc_json_merge,
+        "doc_json_paths": q_doc_json_paths,
         "doc_normalize_sha": q_doc_normalize_sha,
         "doc_extract_key": q_doc_extract_key,
         "doc_canonical_name": q_doc_canonical_name,

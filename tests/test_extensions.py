@@ -100,3 +100,21 @@ def test_hll_within_tolerance_of_exact():
     est = q_distinct_users_hll(SF).to_pandas()["n_distinct_est"][0]
     assert exact > 0
     assert abs(est - exact) / exact < 0.03  # P=14 HLL: ~1.6% stderr
+
+
+def test_put_nested_paths_and_arrays():
+    from ray_cdc_lake.jsonpaths import build_document, put_nested
+
+    doc = {}
+    put_nested(doc, "a.b.c", 1)
+    put_nested(doc, "items[2].name", "x")   # pads [null, null, {...}]
+    put_nested(doc, "items[0].name", "y")
+    put_nested(doc, "grid[1][0]", 7)        # multi-dim brackets
+    put_nested(doc, "a.b.d", 2)             # sibling into existing object
+    assert doc == {
+        "a": {"b": {"c": 1, "d": 2}},
+        "items": [{"name": "y"}, None, {"name": "x"}],
+        "grid": [None, [7]],
+    }
+    s = build_document({"k.v": 1, "k.w": 2})
+    assert s == '{"k":{"v":1,"w":2}}'
