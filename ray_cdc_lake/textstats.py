@@ -172,7 +172,32 @@ def q_text_fingerprint(sf_dir: str):
     )
 
 
+def _markers_values_sql() -> str:
+    rows = []
+    for lg in sorted(LANG_MARKERS):
+        for w in LANG_MARKERS[lg]:
+            rows.append(f"('{lg}', '{w}')")
+    return ", ".join(rows)
+
+
+LANGID_SQL = f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, lower(unnest(string_split(text, ' '))) AS w
+      FROM documents),
+    markers(lg, w) AS (VALUES {_markers_values_sql()}),
+    scores AS (
+      SELECT doc_id, lg, count(*) AS s
+      FROM words JOIN markers USING (w) GROUP BY doc_id, lg),
+    best AS (
+      SELECT doc_id, lg,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lg) AS rn
+      FROM scores WHERE s > 0)
+    SELECT d.doc_id, COALESCE(b.lg, 'und') AS lang_pred
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1"""
+
+
 SQL = {
+    "text_langid": LANGID_SQL,
     "text_token_count": """
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents""",
