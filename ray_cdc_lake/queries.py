@@ -1137,6 +1137,103 @@ def q_doc_seq_assign(sf_dir: str):
     return ds.groupby("source").map_groups(per_group, batch_format="pyarrow")
 
 
+def q_suppliers_by_region(sf_dir: str):
+    """Multi-way chained broadcast join (region -> nation -> supplier):
+    both dimension maps composed driver-side into ONE lookup shipped
+    once — a 3-table join with zero shuffles."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    rname = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nation_to_region = {
+        n: rname[r]
+        for n, r in zip(
+            nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+        )
+    }
+    ref = ray.put(nation_to_region)
+
+    ds = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    from .sources import get_broadcast
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lk = get_broadcast(ref)
+        names = [lk.get(n) for n in batch["s_nationkey"].to_pylist()]
+        import polars as pl
+
+        t = pa.Table.from_arrays(
+            [
+                pa.array(names, type=pa.string()),
+                pa.array(
+                    (batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100)
+                    .round()
+                    .astype(np.int64)
+                ),
+            ],
+            names=["r_name", "acctbal_cents"],
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("r_name")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_suppliers"),
+                pl.col("acctbal_cents").sum().alias("acctbal_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+    )
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Grouped aggregate over part with a computed size class — exercises
+    the last uncovered table with exact integer-cents math."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        return (
+            df.with_columns(
+                (pl.col("p_retailprice") * 100).round(0).cast(pl.Int64).alias("cents"),
+                (pl.col("p_size") >= 25).alias("is_large"),
+            )
+            .group_by(["p_brand", "is_large"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_parts"),
+                pl.col("cents").sum().alias("retail_cents"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["p_brand", "is_large"])
+        .aggregate(
+            Sum("n_parts", alias_name="n_parts"),
+            Sum("retail_cents", alias_name="retail_cents"),
+        )
+    )
+
+
 def q_shuffle_join_revenue(sf_dir: str):
     """Large x large CO-PARTITIONED shuffle join (neither side broadcast):
     lineitem and orders are tagged, bucketed by hash(orderkey), shuffled
@@ -1642,6 +1739,18 @@ REL_SQL: dict[str, str] = {
         SELECT doc_id, source,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
         FROM documents""",
+    "suppliers_by_region": """
+        SELECT r.r_name,
+               count(*) AS n_suppliers,
+               CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""",
+    "parts_by_brand": """
+        SELECT p_brand, (p_size >= 25) AS is_large, count(*) AS n_parts,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents
+        FROM part GROUP BY 1, 2""",
     "shuffle_join_revenue": """
         SELECT o.o_orderpriority,
                CAST(sum(li.cents) AS BIGINT) AS revenue_cents
@@ -1757,6 +1866,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "q1_lineitem": q_q1_lineitem,
         "asof_purchase_view": q_asof_purchase_view,
         "shuffle_join_revenue": q_shuffle_join_revenue,
+        "suppliers_by_region": q_suppliers_by_region,
+        "parts_by_brand": q_parts_by_brand,
         "range_join_quantity": q_range_join_quantity,
         "top_docs_per_source": q_top_docs_per_source,
         "source_median_chars": q_source_median_chars,
