@@ -1605,13 +1605,19 @@ def q_distinct_users_exact(sf_dir: str):
 
 
 def q_distinct_users_hll(sf_dir: str):
-    """HyperLogLog distinct estimate (sketches.py): per-batch register
+    """HyperLogLog distinct estimate (sketches.py): per-block register
     files merged by elementwise max — the count-distinct that never
-    shuffles values (rows-only oracle; tolerance-tested vs exact)."""
-    from .sketches import hll_distinct
+    shuffles values, expressed as a proper ray.data AggregateFn so it
+    composes with ds.aggregate() (rows-only oracle; tolerance-tested
+    vs exact)."""
+    from .sketches import make_hll_aggregate
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    return hll_distinct(ds, "user_id")
+    result = ds.aggregate(make_hll_aggregate("user_id"))
+    return pa.Table.from_arrays(
+        [pa.array([result["n_distinct_est"]], type=pa.int64())],
+        names=["n_distinct_est"],
+    )
 
 
 def q_events_rollup(sf_dir: str):

@@ -67,6 +67,36 @@ def estimate(regs: np.ndarray) -> float:
     return float(est)
 
 
+def make_hll_aggregate(column: str, alias_name: str = "n_distinct_est"):
+    """The HLL as a proper ``ray.data.aggregate.AggregateFn`` so it
+    composes with ``ds.aggregate(...)`` / ``groupby(...).aggregate(...)``
+    like any built-in: accumulate = register-max over a block, merge =
+    elementwise max of register files, finalize = estimator."""
+    import numpy as np
+    from ray.data.aggregate import AggregateFn
+    from ray.data.block import BlockAccessor
+
+    def accumulate_block(regs: bytes, block) -> bytes:
+        t = BlockAccessor.for_block(block).to_arrow()
+        v = t[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        merged = np.maximum(
+            np.frombuffer(regs, dtype=np.uint8), registers_for(v)
+        )
+        return merged.tobytes()
+
+    return AggregateFn(
+        init=lambda k: bytes(M),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.maximum(
+            np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+        ).tobytes(),
+        finalize=lambda regs: int(
+            round(estimate(np.frombuffer(regs, dtype=np.uint8).copy()))
+        ),
+        name=alias_name,
+    )
+
+
 def hll_distinct(ds, column: str):
     """Dataset -> single-row table {n_distinct_est: int64}. Per-batch
     register files (the combiner) -> one elementwise-max reduce of 16 KiB

@@ -118,3 +118,14 @@ def test_put_nested_paths_and_arrays():
     }
     s = build_document({"k.v": 1, "k.w": 2})
     assert s == '{"k":{"v":1,"w":2}}'
+
+
+def test_hll_aggregatefn_equals_map_reduce_path():
+    import ray.data as rd
+
+    from ray_cdc_lake.sketches import hll_distinct, make_hll_aggregate
+
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"]).repartition(8)
+    via_agg = ds.aggregate(make_hll_aggregate("user_id"))["n_distinct_est"]
+    via_mr = hll_distinct(ds, "user_id").to_pandas()["n_distinct_est"][0]
+    assert via_agg == via_mr
