@@ -64,6 +64,13 @@ def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
     sort_keys = [(k, "ascending") for k in keys] + [("lsn", "descending")]
     if added_rank:
         sort_keys.append(("_op_rank", "descending"))
+    # Determinism contract: (lsn, op-rank, commit) totally orders DISTINCT
+    # event versions because the commit id IDENTIFIES the event (md5 of
+    # key@lsn in the derivation; a commit SHA in a real repo log). Rows
+    # tying on all three are exact duplicate deliveries (any pick is the
+    # same row); a log where one commit id carries two different payloads
+    # is malformed and the winner among them is unspecified — the SQL
+    # oracle's row_number() has the identical contract.
     sort_keys.append(("commit", "descending"))
     idx = pc.sort_indices(t, sort_keys=sort_keys)
     t = t.take(idx)

@@ -35,6 +35,18 @@ event_st = st.fixed_dictionaries(
 )
 
 
+def _with_identifying_commits(events: list[dict]) -> list[dict]:
+    """CDC invariant: the commit id IDENTIFIES the event (in the engine's
+    derivation it is md5(repo/path@lsn); in git it is the commit SHA).
+    Two different payloads never share a commit; exact duplicate
+    deliveries do. The generator's free-form commit strings violate that,
+    so derive the identifying form here."""
+    return [
+        {**e, "commit": f"{e['commit']}:{e['op']}:{e['new_path']}:{e['content']}"}
+        for e in events
+    ]
+
+
 def _to_table(events: list[dict]) -> pa.Table:
     return pa.Table.from_arrays(
         [
@@ -90,6 +102,7 @@ def _reference_apply(events: list[dict]) -> dict:
 @settings(max_examples=300, deadline=None)
 @given(st.lists(event_st, max_size=40))
 def test_engine_matches_reference_on_random_logs(events):
+    events = _with_identifying_commits(events)
     t = _to_table(events)
     w = _winner_per_key(compile_changes(t), ["repo", "path"])
     live = w.filter(pc.not_equal(w["op"], "delete"))
@@ -110,6 +123,7 @@ def test_engine_matches_reference_on_random_logs(events):
 def test_delivery_order_irrelevant(events, rnd):
     """Shuffling the log never changes the outcome (at-least-once,
     out-of-order delivery)."""
+    events = _with_identifying_commits(events)
     shuffled = list(events)
     rnd.shuffle(shuffled)
     a = _winner_per_key(compile_changes(_to_table(events)), ["repo", "path"])
@@ -137,6 +151,7 @@ def test_delivery_order_irrelevant(events, rnd):
 def test_segmented_commit_equals_reference(events, cuts):
     """Any LSN-window segmentation of the log, applied as consecutive
     exactly-once txns through the sink, ends at the reference state."""
+    events = _with_identifying_commits(events)
     import shutil
     import tempfile
 
