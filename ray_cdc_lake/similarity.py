@@ -211,5 +211,148 @@ def registry():
     queries = {
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "kmeans_clusters": q_kmeans_clusters,
     }
     return queries, dict(SQL)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (iterative algorithm over a Dataset)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def distributed_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Iterative distributed k-means (the brief's 'iterative algorithm'
+    class — inherently non-SQL): each round broadcasts the centroids,
+    every batch computes assignments + PARTIAL (sum, count) per cluster
+    (the combiner), and one tiny grouped reduce updates the centroids.
+    The fact table is re-scanned per iteration but never collected;
+    driver state is k x dim floats. Deterministic: evenly-strided init,
+    float64, ties broken by lowest cluster id (argmax on negated ...
+    argmin picks first maximum index in numpy — stable).
+
+    Returns (centroids ndarray, assignment Dataset fn) — see
+    q_kmeans_clusters for the query surface.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    ids, mat = _load_embeddings(sf_dir)
+    init_idx = np.linspace(0, len(mat) - 1, k).astype(int)
+    cents = mat[init_idx].copy()
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    from .sources import get_broadcast
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partials(batch: pa.Table, ref=ref) -> pa.Table:
+            c = get_broadcast(ref)
+            m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            dim = m.shape[1]
+            rows_c, rows_n, rows_s = [], [], []
+            for ci in np.unique(assign):
+                members = m[assign == ci]
+                rows_c.append(int(ci))
+                rows_n.append(len(members))
+                rows_s.append(members.sum(axis=0).tobytes())
+            return pa.Table.from_arrays(
+                [
+                    pa.array(rows_c, type=pa.int64()),
+                    pa.array(rows_n, type=pa.int64()),
+                    pa.array(rows_s, type=pa.binary()),
+                ],
+                names=["cluster", "n", "vec_sum"],
+            )
+
+        def merge_sums(g: pa.Table) -> pa.Table:
+            tot = None
+            for b in g["vec_sum"].to_pylist():
+                v = np.frombuffer(b, dtype=np.float64)
+                tot = v if tot is None else tot + v
+            return pa.Table.from_arrays(
+                [
+                    g["cluster"].slice(0, 1),
+                    pa.array([int(np.sum(g["n"].to_numpy(zero_copy_only=False)))]),
+                    pa.array([tot.tobytes()], type=pa.binary()),
+                ],
+                names=["cluster", "n", "vec_sum"],
+            )
+
+        stats = (
+            ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(merge_sums, batch_format="pyarrow")
+            .take_all()  # k rows — tiny driver-side state, by design
+        )
+        new = cents.copy()
+        for row in stats:
+            ci = int(row["cluster"])
+            n = int(row["n"])
+            if n:
+                new[ci] = np.frombuffer(row["vec_sum"], dtype=np.float64) / n
+        cents = new
+    return cents
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Final assignment counts + within-cluster mean distance per cluster
+    after KMEANS_ITERS rounds (rows-only oracle — iterative; a unit test
+    pins the whole algorithm against a single-process numpy reference)."""
+    import ray
+
+    cents = distributed_kmeans(sf_dir)
+    ref = ray.put(cents)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    from .sources import get_broadcast
+    from ray.data.aggregate import Sum
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        c = get_broadcast(ref)
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        dmin = np.sqrt(d2[np.arange(len(a)), a])
+        import polars as pl
+
+        t = pa.Table.from_arrays(
+            [pa.array(a.astype(np.int64)), pa.array(dmin)],
+            names=["cluster", "dist"],
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("cluster")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_members"),
+                pl.col("dist").sum().alias("dist_sum"),
+            )
+            .to_arrow()
+        )
+
+    out = (
+        ds.map_batches(assign_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("dist_sum", alias_name="dist_sum"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mean_d = pc.divide(t["dist_sum"], pc.cast(t["n_members"], pa.float64()))
+        return pa.Table.from_arrays(
+            [t["cluster"], t["n_members"], pc.round(mean_d, ndigits=6)],
+            names=["cluster", "n_members", "mean_dist"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -129,3 +129,28 @@ def test_hll_aggregatefn_equals_map_reduce_path():
     via_agg = ds.aggregate(make_hll_aggregate("user_id"))["n_distinct_est"]
     via_mr = hll_distinct(ds, "user_id").to_pandas()["n_distinct_est"][0]
     assert via_agg == via_mr
+
+
+def test_distributed_kmeans_matches_single_process():
+    import numpy as np
+
+    from ray_cdc_lake.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _load_embeddings,
+        distributed_kmeans,
+    )
+
+    ids, mat = _load_embeddings(SF)
+    init = np.linspace(0, len(mat) - 1, KMEANS_K).astype(int)
+    c = mat[init].copy()
+    for _ in range(KMEANS_ITERS):
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for ci in range(KMEANS_K):
+            members = mat[a == ci]
+            if len(members):
+                c[ci] = members.mean(axis=0)
+    got = distributed_kmeans(SF)
+    # float sums are batch-order dependent, so allclose, not equality
+    assert np.allclose(c, got, atol=1e-9)
