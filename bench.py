@@ -32,9 +32,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # Epochs for the benchmark replay only (the oracle-checked queries use
 # schemas.DEFAULT_EPOCHS=4); higher -> more change events per document.
-# 128 -> ~657k events at sf0.1: large enough that the headline events/sec
+# 512 -> ~2.56M events at sf0.1: large enough that the headline events/sec
 # measures the engine, not fixed scheduling overhead.
-BENCH_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "128"))
+BENCH_EPOCHS = int(os.environ.get("BENCH_EPOCHS", "512"))
 
 # Secondary pipelines benched alongside the flagship, by registry name.
 SECONDARY = [
