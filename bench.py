@@ -8,10 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
      "queries": {...}, "sf": ..., "num_cpus": N, "events": E,
      "events_per_sec": T}
 
-``--scaling``: runs the flagship CDC replay twice in FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-plus scaling efficiency ``(tput_32/tput_8)/(32/8)`` — the sandbox stand-in
-for the north rule's N vs 4N node criterion (see BASELINE.md).
+``--scaling``: runs the flagship CDC replay at two parallelism levels
+(default num_cpus=2 and 8 — N and 4N on physical cores) in fresh,
+interleaved processes and reports both throughputs plus scaling
+efficiency ``(tput_hi/tput_lo)/(hi/lo)`` — the sandbox stand-in for the
+north rule's N vs 4N node criterion (see BASELINE.md).
 
 This script OWNS its Ray session (ray.init/shutdown); the library never
 initialises Ray.

@@ -99,15 +99,19 @@ def tail_replay(
         (i + 1) * epochs * STRIDE // max(1, micro_batches - 1)
         for i in range(micro_batches - 1)
     ] + [hi]
+    # derive the (small) log once; each window filters from it — a real
+    # tail would READ its binlog segment instead of re-deriving
+    ev_all = derive_event_log(sf_dir, epochs).map_batches(
+        compile_changes, batch_format="pyarrow"
+    )
+    ev_all = ev_all.map_batches(normalize_content, batch_format="pyarrow")
+    ev_all = ev_all.materialize()
     txns = []
     lo = 0
     for i, cut in enumerate(cuts):
         if cut <= lo:
             continue
-        ev = derive_event_log(sf_dir, epochs).map_batches(
-            compile_changes, batch_format="pyarrow"
-        )
-        ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+        ev = ev_all
         lo_c, cut_c = lo, cut
         win = ev.map_batches(
             lambda t, lo=lo_c, hi_=cut_c: t.filter(

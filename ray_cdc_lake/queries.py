@@ -268,6 +268,10 @@ def q_cdc_replay_committed(sf_dir: str):
 
     ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
     ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    # both segments filter from one materialized log: the txn source here
+    # is tiny and consumed twice — at scale each txn would READ its own
+    # binlog window, not re-derive the whole log per segment
+    ev = ev.materialize()
     from .events import STRIDE
 
     cut = 2 * STRIDE  # epochs 0-1 in txn 1, everything later in txn 2
@@ -402,6 +406,7 @@ def q_cdc_schema_evolution(sf_dir: str):
 
     ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
     ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = ev.materialize()  # tiny, consumed by both segments
     cut = 2 * STRIDE
     seg1 = ev.map_batches(
         lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
@@ -789,6 +794,7 @@ def q_cdc_lake_lineage(sf_dir: str):
     shutil.rmtree(lake, ignore_errors=True)
 
     ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    ev = ev.materialize()  # tiny, consumed by both segments
     cut = 2 * STRIDE
     seg1 = ev.map_batches(
         lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
