@@ -91,29 +91,57 @@ def read_manifest(lake_dir: str) -> Manifest:
     )
 
 
+class CommitConflict(RuntimeError):
+    """Another writer published this manifest version first. The loser's
+    txn data is unreferenced (vacuumable); retry by re-reading the
+    manifest and re-applying — Delta-style optimistic concurrency."""
+
+
 def _publish(lake_dir: str, m: Manifest) -> None:
-    """The atomic commit point: write manifest-<v>.json, then os.replace the
-    CURRENT pointer (atomic on POSIX — the RenameDiskUtils phase-2 analog)."""
+    """The atomic commit point with optimistic concurrency: the manifest
+    content is fully written to a temp file, then ``os.link``ed to
+    manifest-<v>.json — an atomic claim-with-content (the local-FS analog
+    of an object store's conditional PUT; Delta-style: exactly one writer
+    wins a version). If the version is already claimed by an IDENTICAL
+    manifest, this is our own crashed earlier attempt and we just finish
+    the pointer update; a different manifest raises CommitConflict (the
+    loser's staged data stays unreferenced and vacuumable). Finally the
+    CURRENT pointer is os.replace'd (atomic on POSIX — the
+    RenameDiskUtils phase-2 analog)."""
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     mpath = _manifest_path(lake_dir, m.version)
-    tmp = mpath + ".tmp"
+    payload = {
+        "version": m.version,
+        "buckets": m.buckets,
+        "txns": m.txns,
+        "schema_version": m.schema_version,
+        "schema_fields": m.schema_fields,
+        "committed_at": time.time(),
+    }
+    tmp = mpath + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
-        json.dump(
-            {
-                "version": m.version,
-                "buckets": m.buckets,
-                "txns": m.txns,
-                "schema_version": m.schema_version,
-                "schema_fields": m.schema_fields,
-                "committed_at": time.time(),
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-    os.replace(tmp, mpath)
-    cur_tmp = os.path.join(mdir, "CURRENT.tmp")
+        json.dump(payload, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, mpath)
+    except FileExistsError:
+        with open(mpath) as f:
+            existing = json.load(f)
+
+        def _cmp(d):
+            return {k: v for k, v in d.items() if k != "committed_at"}
+
+        if _cmp(existing) != _cmp(payload):
+            os.unlink(tmp)
+            raise CommitConflict(
+                f"manifest version {m.version} already published by another writer"
+            )
+        # identical content: our own crashed attempt claimed it — fall
+        # through and finish the CURRENT pointer update
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    cur_tmp = os.path.join(mdir, f"CURRENT.tmp-{os.getpid()}")
     with open(cur_tmp, "w") as f:
         f.write(str(m.version))
     os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))

@@ -208,3 +208,57 @@ def test_schema_evolution_retype_promotion(tmp_path):
     assert str(t["size_bytes"].dtype) == "float64"
     assert t.loc[("r1", "a.py"), "size_bytes"] == 40.0  # promoted int row
     assert t.loc[("r2", "c.py"), "size_bytes"] == 6.5
+
+
+def test_commit_conflict_detected(tmp_path):
+    """Optimistic concurrency: a second writer claiming the same manifest
+    version with DIFFERENT content must get CommitConflict; its staged
+    data stays unreferenced."""
+    import json
+    import os
+
+    import pytest
+
+    from ray_cdc_lake.sink import CommitConflict, Manifest, _publish
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+
+    # another writer publishes version 2 behind our back
+    rogue = Manifest(version=2, buckets={}, txns=["rogue-txn"])
+    _publish(lake, rogue)
+    # our own CURRENT view is stale at version 1; applying computes v2 too
+    cur = os.path.join(lake, "_manifests", "CURRENT")
+    with open(cur + ".t", "w") as f:
+        f.write("1")
+    os.replace(cur + ".t", cur)
+
+    with pytest.raises(CommitConflict):
+        apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+
+
+def test_crashed_publish_retry_finishes_pointer(tmp_path):
+    """Crash AFTER the manifest version is claimed but BEFORE the CURRENT
+    pointer moves: retrying the identical publish must finish cleanly
+    (identical content = our own earlier attempt)."""
+    import os
+
+    from ray_cdc_lake.sink import read_manifest
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    m1 = apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    assert m1.version == 2
+
+    # simulate the crash window: roll CURRENT back while manifest-2 stays
+    cur = os.path.join(lake, "_manifests", "CURRENT")
+    with open(cur + ".t", "w") as f:
+        f.write("1")
+    os.replace(cur + ".t", cur)
+    assert read_manifest(lake).version == 1
+
+    # idempotent re-run of txn-b re-derives the identical manifest v2
+    m2 = apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    assert m2.version == 2
+    assert read_manifest(lake).version == 2
+    assert lake_state(lake) == EXPECT_AB
