@@ -174,6 +174,12 @@ def run_scaling() -> dict:
             text=True,
             timeout=1200,
         )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            sys.stderr.write(proc.stderr[-2000:])
+            raise RuntimeError(
+                f"scaling child at num_cpus={cpus} failed "
+                f"(rc={proc.returncode}); stderr above"
+            )
         line = proc.stdout.strip().splitlines()[-1]
         r = json.loads(line)
         if cpus not in results or r["value"] < results[cpus]["value"]:

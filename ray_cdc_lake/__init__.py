@@ -40,6 +40,7 @@ def enable_self_contained_pickling() -> None:
         checkpoint,
         dedup,
         events,
+        jsonpaths,
         merge,
         multimodal,
         pipeline,
@@ -47,8 +48,10 @@ def enable_self_contained_pickling() -> None:
         schemas,
         similarity,
         sink,
+        sketches,
         sources,
         state,
+        steps,
         textstats,
         transforms,
         validate,

@@ -52,9 +52,12 @@ def mint_item_id(batch_id: str, change_index: int) -> str:
 
 
 def _split_ext(image_id: str) -> tuple[str, str | None]:
+    """Recognize extensions case-insensitively but PRESERVE the original
+    spelling: an instruction for 'page.TIF' must target the key that
+    actually exists, not a lowercased one."""
     base, dot, ext = image_id.rpartition(".")
     if dot and ext.lower() in KNOWN_EXTS:
-        return base, ext.lower()
+        return base, ext
     return image_id, None
 
 

@@ -137,7 +137,12 @@ def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
     # drop history: only the compact txn stays referenced, then vacuum
     final = _Manifest(
         version=new_m.version + 1,
-        buckets=new_m.buckets,
+        # only buckets the compact txn actually wrote: re-bucketing with a
+        # smaller num_buckets must not carry stale entries pointing at
+        # txn dirs the vacuum below deletes
+        buckets={
+            b: info for b, info in new_m.buckets.items() if info["txn_id"] == txn
+        },
         txns=[txn],
         schema_version=new_m.schema_version,
         schema_fields=new_m.schema_fields,

@@ -153,10 +153,17 @@ _P2 = _P1 * _P1  # wraps mod 2^64 — fine, deterministic
 
 def _gram_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
     """Word k-gram hashes as a polynomial combine of word hashes —
-    vectorized (no per-gram digest)."""
+    vectorized (no per-gram digest); general in k (the k=3 path is the
+    unrolled common case)."""
     if len(wh) < k:
         return np.array([wh.astype(np.uint64).sum() * _P1], dtype=np.uint64)
-    return wh[:-2] * _P2 + wh[1:-1] * _P1 + wh[2:]
+    if k == 3:
+        return wh[:-2] * _P2 + wh[1:-1] * _P1 + wh[2:]
+    m = len(wh) - k + 1
+    out = np.zeros(m, dtype=np.uint64)
+    for i in range(k):  # k summands, each a vectorized slice
+        out = out * _P1 + wh[i : m + i]
+    return out
 
 
 def minhash_signature(text: str, _cache: _WordHashCache | None = None) -> np.ndarray:

@@ -101,16 +101,22 @@ class FakeDecoder:
 def q_mm_decode_meta(sf_dir: str):
     import ray.data as rd
 
+    from .sources import actor_pool_size
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     bins = docs.map_batches(encode_payloads, batch_format="pyarrow")
     # small batch_size: binary payloads are wide rows
     return bins.map_batches(
-        FakeDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+        FakeDecoder,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=actor_pool_size(),
     )
 
 
 FRAME_BYTES = 256
 FRAME_STRIDE = 4  # sample every 4th frame
+MAX_FRAMES = 64  # bound shared with the SQL oracle's range(); guarded below
 
 
 def q_mm_frame_sample(sf_dir: str):
@@ -130,6 +136,11 @@ def q_mm_frame_sample(sf_dir: str):
         out_id, out_idx, out_off, out_len, out_sha = [], [], [], [], []
         for d, p in zip(ids, payloads):
             n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+            if n_frames > MAX_FRAMES:  # fail loudly, never diverge silently
+                raise ValueError(
+                    f"doc {d}: {n_frames} frames exceeds MAX_FRAMES="
+                    f"{MAX_FRAMES} (raise it and the oracle range together)"
+                )
             for fi in range(0, n_frames, FRAME_STRIDE):
                 off = fi * FRAME_BYTES
                 chunk = p[off : off + FRAME_BYTES]
@@ -162,7 +173,7 @@ SQL = {
                  CAST(f.range * {FRAME_BYTES} AS BIGINT) AS byte_offset,
                  substr(d.text, CAST(f.range * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES}) AS chunk
           FROM documents d
-          CROSS JOIN range(0, 64) f
+          CROSS JOIN range(0, {MAX_FRAMES}) f
           WHERE f.range * {FRAME_BYTES} < strlen(d.text)
             AND f.range % {FRAME_STRIDE} = 0)
         SELECT doc_id, frame_idx, byte_offset,

@@ -827,11 +827,12 @@ def q_doc_validate_actor(sf_dir: str):
     """Stateful actor-pool validator (A1/A2 analog, Jhove.kt:44-556 +
     XsdValidator.kt:17-319): regex/registry state compiled once per actor
     in __init__, vectorized per-batch checks, 4-way route column."""
+    from .sources import actor_pool_size
     from .validate import ContentValidator
 
     ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
     out = ds.map_batches(
-        ContentValidator, batch_format="pyarrow", concurrency=2
+        ContentValidator, batch_format="pyarrow", concurrency=actor_pool_size()
     )
     return out.select_columns(["doc_id", "route", "is_valid"])
 
@@ -840,12 +841,13 @@ def q_doc_xml_extract(sf_dir: str):
     """XML metadata extraction (M7/M10 analog, JhoveParser.kt:12-184):
     synthesize a JHOVE-shaped XML payload per document (vectorized), then
     parse it in an actor pool extracting uri/size/width/height/status."""
+    from .sources import actor_pool_size
     from .validate import XmlMetadataExtractor, build_jhove_xml
 
     ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
     ds = ds.map_batches(build_jhove_xml, batch_format="pyarrow")
     out = ds.map_batches(
-        XmlMetadataExtractor, batch_format="pyarrow", concurrency=2
+        XmlMetadataExtractor, batch_format="pyarrow", concurrency=actor_pool_size()
     )
     return out.select_columns(
         ["doc_id", "xml_uri", "xml_size", "xml_width", "xml_height", "xml_valid"]
@@ -1538,8 +1540,11 @@ def q_top_customers(sf_dir: str):
             .to_arrow()
         )
 
+    # batch_size=None on the final reduce: repartition(1) makes ONE block,
+    # and the default 1024-row batching would otherwise re-split it and
+    # emit a top-10 per batch
     top = agg.map_batches(topk, batch_format="pyarrow").repartition(1).map_batches(
-        topk, batch_format="pyarrow"
+        topk, batch_format="pyarrow", batch_size=None
     )
 
     names = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])

@@ -119,5 +119,7 @@ def hll_distinct(ds, column: str):
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
-        .map_batches(reduce_all, batch_format="pyarrow")
+        # batch_size=None: the single block must reach reduce_all whole,
+        # or >1024 partials would yield one estimate PER BATCH
+        .map_batches(reduce_all, batch_format="pyarrow", batch_size=None)
     )

@@ -35,20 +35,25 @@ def actor_pool_size(max_actors: int = 8) -> int:
     return max(1, min(max_actors, cpus // 2))
 
 
-_BCAST_CACHE: dict[str, object] = {}
+_BCAST_CACHE: dict[str, object] = {}  # insertion-ordered (py3.7+): FIFO evict
+_BCAST_CACHE_MAX = 8
 
 
 def get_broadcast(ref):
     """Worker-local cache around ``ray.get`` for ``ray.put`` broadcast
     objects: the object is shipped to a node's plasma store once and
     deserialized once per WORKER PROCESS, not per task/batch — the
-    broadcast-small-side pattern without paying actor-pool startup."""
+    broadcast-small-side pattern without paying actor-pool startup.
+    Bounded (FIFO, 8 entries) so long-lived workers running many queries
+    don't pin every broadcast value forever."""
     key = ref.hex() if hasattr(ref, "hex") else str(ref)
     v = _BCAST_CACHE.get(key)
     if v is None:
         import ray
 
         v = ray.get(ref)
+        while len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[key] = v
     return v
 

@@ -161,8 +161,10 @@ def q_text_quality(sf_dir: str):
 
 
 def q_text_langid(sf_dir: str):
+    from .sources import actor_pool_size
+
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=actor_pool_size()
     )
 
 
