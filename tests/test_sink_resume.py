@@ -262,3 +262,23 @@ def test_crashed_publish_retry_finishes_pointer(tmp_path):
     assert m2.version == 2
     assert read_manifest(lake).version == 2
     assert lake_state(lake) == EXPECT_AB
+
+
+def test_compaction_to_fewer_buckets(tmp_path):
+    """Re-bucketing to fewer buckets during compaction must not leave
+    manifest entries pointing at vacuumed txn dirs (regression: stale
+    buckets crashed the next read with FileNotFoundError)."""
+    from ray_cdc_lake.checkpoint import compact
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=8)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=8)
+    before = lake_state(lake)
+
+    m = compact(lake, num_buckets=2)
+    assert all(info["txn_id"] == m.txns[0] for info in m.buckets.values())
+    assert lake_state(lake) == before == EXPECT_AB
+    # and the lake still accepts increments at the new bucketing
+    apply_incremental(lake, "txn-c", ev_ds([(8, "insert", "r3", "e.py", "E1")]),
+                      num_buckets=2)
+    assert lake_state(lake)[("r3", "e.py")] == (8, "E1")
