@@ -127,25 +127,24 @@ def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
     preserved because each bucket's max-LSN winner survives LWW.
     """
     from .sink import Manifest as _Manifest
-    from .sink import _publish, read_manifest, vacuum
+    from .sink import _publish, _write_txn_data, read_manifest, vacuum
 
     m = read_manifest(lake_dir)
     txn = f"compact-{m.version + 1:06d}"
     ds = read_lake(lake_dir, live_only=False)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
-    new_m = commit_txn(lake_dir, txn, ds)
-    # drop history: only the compact txn stays referenced, then vacuum
+    # write the compact txn's data files WITHOUT publishing, then publish
+    # exactly ONE manifest referencing only the compact txn — no
+    # intermediate state mixing old bucket dirs with re-bucketed data is
+    # ever visible (crash before the publish leaves the old manifest
+    # intact and the compact files unreferenced/vacuumable)
+    bucket_stats = _write_txn_data(lake_dir, txn, ds)
     final = _Manifest(
-        version=new_m.version + 1,
-        # only buckets the compact txn actually wrote: re-bucketing with a
-        # smaller num_buckets must not carry stale entries pointing at
-        # txn dirs the vacuum below deletes
-        buckets={
-            b: info for b, info in new_m.buckets.items() if info["txn_id"] == txn
-        },
+        version=m.version + 1,
+        buckets=bucket_stats,
         txns=[txn],
-        schema_version=new_m.schema_version,
-        schema_fields=new_m.schema_fields,
+        schema_version=m.schema_version,
+        schema_fields=m.schema_fields,
     )
     _publish(lake_dir, final)
     vacuum(lake_dir)

@@ -132,11 +132,16 @@ class _WordHashCache:
     word is a dict hit instead of an md5 call — the one-time-state-per-
     actor pattern of SURVEY.md §2.3."""
 
+    MAX_ENTRIES = 1_000_000  # ~100 MB ceiling; open vocabularies (ids,
+    # typo-heavy web text) would otherwise grow the worker without bound
+
     def __init__(self):
         self.cache: dict[str, int] = {}
 
     def hashes(self, words: list[str]) -> np.ndarray:
         c = self.cache
+        if len(c) > self.MAX_ENTRIES:
+            c.clear()  # cheap full reset; hashes are pure so only a perf hit
         out = np.empty(len(words), dtype=np.uint64)
         for i, w in enumerate(words):
             h = c.get(w)
@@ -156,7 +161,12 @@ def _gram_hashes(wh: np.ndarray, k: int = 3) -> np.ndarray:
     vectorized (no per-gram digest); general in k (the k=3 path is the
     unrolled common case)."""
     if len(wh) < k:
-        return np.array([wh.astype(np.uint64).sum() * _P1], dtype=np.uint64)
+        # order-sensitive polynomial over ALL words (a sum would make any
+        # permutation of a short document hash identically)
+        h = np.uint64(0)
+        for x in wh:
+            h = h * _P1 + np.uint64(x)
+        return np.array([h], dtype=np.uint64)
     if k == 3:
         return wh[:-2] * _P2 + wh[1:-1] * _P1 + wh[2:]
     m = len(wh) - k + 1

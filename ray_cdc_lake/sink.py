@@ -169,6 +169,28 @@ def commit_txn(
     if txn_id in manifest.txns:
         return manifest
 
+    bucket_stats = _write_txn_data(lake_dir, txn_id, winners)
+
+    if fail_before_publish:
+        raise RuntimeError(f"injected failure before publish of {txn_id}")
+
+    # commit point
+    new = Manifest(
+        version=manifest.version + 1,
+        buckets={**manifest.buckets, **bucket_stats},
+        txns=[*manifest.txns, txn_id],
+        schema_version=manifest.schema_version,
+        schema_fields=manifest.schema_fields,
+    )
+    _publish(lake_dir, new)
+    return new
+
+
+def _write_txn_data(lake_dir: str, txn_id: str, winners) -> dict[str, dict]:
+    """Phase 1+2 of a txn WITHOUT the manifest publish: staged distributed
+    write partitioned by bucket, per-bucket footer stats, atomic move of
+    the staging dir into data/. Everything written here stays invisible
+    until some manifest references it."""
     staging = os.path.join(lake_dir, STAGING_DIR, txn_id)
     final_dir = os.path.join(lake_dir, DATA_DIR, txn_id)
     # a previous crashed attempt may have left either dir — both are
@@ -207,20 +229,7 @@ def commit_txn(
     # phase 2: atomic move staging -> data
     os.makedirs(os.path.dirname(final_dir), exist_ok=True)
     os.replace(staging, final_dir)
-
-    if fail_before_publish:
-        raise RuntimeError(f"injected failure before publish of {txn_id}")
-
-    # commit point
-    new = Manifest(
-        version=manifest.version + 1,
-        buckets={**manifest.buckets, **bucket_stats},
-        txns=[*manifest.txns, txn_id],
-        schema_version=manifest.schema_version,
-        schema_fields=manifest.schema_fields,
-    )
-    _publish(lake_dir, new)
-    return new
+    return bucket_stats
 
 
 def read_lake(lake_dir: str, live_only: bool = True) -> "ray.data.Dataset":

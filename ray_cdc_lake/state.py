@@ -10,8 +10,9 @@ reduce worker's heap, so the buffer becomes an LSM-style index:
   (winner per key — an associative/commutative reduce, so chunk-local
   combining is lossless, tombstones included) and written to a SORTED RUN
   (a Parquet file sorted by key, one row per key — an L0 "SSTable"),
-* runs are COMPACTED pairwise-merge-style whenever their total row count
-  exceeds the memory budget (leveled compaction, oldest runs first),
+* runs are COMPACTED with a fan-in of MAX_RUNS: once more than MAX_RUNS
+  runs exist they are k-way merged into one (total I/O O(N log_k N); a
+  row-count trigger could not converge below the live key count),
 * ``finish()`` merges all remaining runs + the in-memory tail and emits
   the final LWW winner per key.
 
@@ -99,26 +100,30 @@ class SortedRunIndex:
         self._run_rows.append(t.num_rows)
         self._maybe_compact()
 
+    MAX_RUNS = 8  # compaction fan-in
+
     def _maybe_compact(self) -> None:
-        # leveled compaction: while the resident-run total exceeds budget,
-        # merge the two oldest runs (each already 1 row/key, sorted)
-        while len(self._runs) > 1 and sum(self._run_rows) > self.max_rows:
-            a, b = self._runs[0], self._runs[1]
-            merged = _winner_per_key(
-                pa.concat_tables(
-                    [pq.read_table(a), pq.read_table(b)],
-                    promote_options="permissive",
-                ),
-                self.keys,
-            )
-            out = os.path.join(self._dir, f"run-c{uuid.uuid4().hex[:8]}.parquet")
-            pq.write_table(merged, out, compression="zstd")
-            os.unlink(a)
-            os.unlink(b)
-            self._runs[:2] = [out]
-            self._run_rows[:2] = [merged.num_rows]
-            if len(self._runs) == 1:  # fully compacted; budget is the key count
-                break
+        # fan-in compaction: merge ALL runs once the run count exceeds
+        # MAX_RUNS. A row-count-based trigger would loop forever on mostly-
+        # distinct keys (a merge cannot shrink below the live key count)
+        # and pairwise merging re-reads the big run on every spill —
+        # quadratic write amplification. One k-way merge per MAX_RUNS
+        # spills keeps total I/O O(N log_k N).
+        if len(self._runs) <= self.MAX_RUNS:
+            return
+        merged = _winner_per_key(
+            pa.concat_tables(
+                [pq.read_table(r) for r in self._runs],
+                promote_options="permissive",
+            ),
+            self.keys,
+        )
+        out = os.path.join(self._dir, f"run-c{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(merged, out, compression="zstd")
+        for r in self._runs:
+            os.unlink(r)
+        self._runs = [out]
+        self._run_rows = [merged.num_rows]
 
     # ------------------------------------------------------------------
     def finish(self) -> pa.Table:

@@ -23,7 +23,6 @@ batch_size=B, batch_format='pyarrow')``.
 
 from __future__ import annotations
 
-import re
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -64,9 +63,10 @@ class ContentValidator:
         self.max_chars = max_chars
         self.text_col = text_col
         self.lang_col = lang_col
-        self.ctrl_re = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
-        # pyarrow regex (RE2 syntax) used vectorized per batch
-        self.ctrl_pattern = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+        # \x01-\x1f minus tab/LF/CR; \x00 deliberately EXCLUDED so the
+        # class matches what the SQL oracle can express (a VARCHAR literal
+        # cannot carry NUL) — engine and oracle route identically
+        self.ctrl_pattern = r"[\x01-\x08\x0b\x0c\x0e-\x1f]"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = pc.cast(batch[self.text_col], pa.string())
