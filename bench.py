@@ -99,7 +99,7 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     # pays one-time scheduler/executor warmup that a long-running tail
     # never sees (the north rule's metric is SUSTAINED events/sec), and
     # this box is shared, so min-of-N also rejects co-tenant noise.
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    runs = max(1, int(os.environ.get("BENCH_RUNS", "2")))
     replay_sec = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()

@@ -96,6 +96,16 @@ def apply_incremental(
         names = sorted(types)
 
         def conform(batch: pa.Table) -> pa.Table:
+            # a batch column missing from the declared union means the
+            # caller's events_schema understates the data — dropping it
+            # here would be silent data loss in the durability path
+            extra = set(batch.column_names) - set(names)
+            if extra:
+                raise ValueError(
+                    f"batch carries columns {sorted(extra)} absent from the "
+                    "declared schema union — pass a complete events_schema "
+                    "(or None to infer) so no column is silently dropped"
+                )
             cols = []
             for n in names:
                 if n in batch.column_names:

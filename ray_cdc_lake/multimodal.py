@@ -135,6 +135,14 @@ def q_mm_frame_sample(sf_dir: str):
         payloads = batch["payload"].to_pylist()
         out_id, out_idx, out_off, out_len, out_sha = [], [], [], [], []
         for d, p in zip(ids, payloads):
+            if not p.isascii():  # fail loudly, never diverge silently:
+                # the SQL oracle frames by CHARACTER offsets (substr), the
+                # engine by BYTE offsets — equal only for ASCII payloads
+                raise ValueError(
+                    f"doc {d}: non-ASCII payload — byte-offset frames would "
+                    "silently diverge from the char-based SQL oracle; "
+                    "rebuild the oracle on encode(text) byte offsets first"
+                )
             n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
             if n_frames > MAX_FRAMES:  # fail loudly, never diverge silently
                 raise ValueError(

@@ -854,7 +854,76 @@ def q_doc_xml_extract(sf_dir: str):
     )
 
 
+def q_doc_xml_validate(sf_dir: str):
+    """Structural XML-schema validation (A2 reborn, XsdValidator.kt:17-319
+    + embedded-MIX extraction :225-273): synthesize per-document JHOVE XML,
+    deliberately corrupt a deterministic subset (truncation, missing
+    required element, non-integer field, invalid embedded MIX), then
+    validate in an actor pool. Broken rows are ROUTED ('malformed' /
+    'schema_invalid'), never raised — the poison-row quarantine rule."""
+    from .sources import actor_pool_size
+    from .validate import XmlSchemaValidator, build_jhove_xml
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    ds = ds.map_batches(build_jhove_xml, batch_format="pyarrow")
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        xmls = batch["jhove_xml"].to_pylist()
+        out = []
+        for d, x in zip(ids, xmls):
+            if d % 7 == 3:  # unparseable: closing tags gone
+                out.append(x[:-10])
+            elif d % 11 == 5:  # required element missing
+                i = x.index("<size>")
+                j = x.index("</size>") + len("</size>")
+                out.append(x[:i] + x[j:])
+            elif d % 13 == 7:  # type violation: width not an integer
+                i = x.index("<width>") + len("<width>")
+                j = x.index("</width>")
+                out.append(x[:i] + "NaN" + x[j:])
+            elif d % 5 == 0:  # embedded MIX missing ImageHeight
+                out.append(x.replace(
+                    "</properties>",
+                    "<mix><ImageWidth>100</ImageWidth></mix></properties>",
+                ))
+            elif d % 5 == 1:  # embedded MIX fully valid -> still ok
+                out.append(x.replace(
+                    "</properties>",
+                    "<mix><ImageWidth>100</ImageWidth>"
+                    "<ImageHeight>200</ImageHeight></mix></properties>",
+                ))
+            else:
+                out.append(x)
+        return batch.set_column(
+            batch.schema.get_field_index("jhove_xml"),
+            "jhove_xml",
+            pa.array(out, type=pa.string()),
+        )
+
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    out = ds.map_batches(
+        XmlSchemaValidator, batch_format="pyarrow", concurrency=actor_pool_size()
+    )
+    return out.select_columns(["doc_id", "xsd_route", "xsd_valid", "xsd_n_errors"])
+
+
 DOC_SQL: dict[str, str] = {
+    # mirrors q_doc_xml_validate's corruption rules (same precedence);
+    # every corrupted row carries exactly one validation error
+    "doc_xml_validate": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN 'malformed'
+                    WHEN doc_id % 11 = 5 THEN 'schema_invalid'
+                    WHEN doc_id % 13 = 7 THEN 'schema_invalid'
+                    WHEN doc_id % 5 = 0 THEN 'schema_invalid'
+                    ELSE 'ok' END AS xsd_route,
+               NOT (doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 7
+                    OR doc_id % 5 = 0) AS xsd_valid,
+               CAST(CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5
+                         OR doc_id % 13 = 7 OR doc_id % 5 = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS xsd_n_errors
+        FROM documents""",
     "doc_validate_actor": """
         SELECT doc_id,
                CASE WHEN text IS NULL OR length(text) = 0 THEN 'empty'
@@ -1874,6 +1943,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_validate_route": q_doc_validate_route,
         "doc_validate_actor": q_doc_validate_actor,
         "doc_xml_extract": q_doc_xml_extract,
+        "doc_xml_validate": q_doc_xml_validate,
         "validation_summary": q_validation_summary,
         "semi_join_users": q_semi_join_users,
         "user_sessions": q_user_sessions,

@@ -33,6 +33,7 @@ statistics (no data scan).
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -123,7 +124,24 @@ def _publish(lake_dir: str, m: Manifest) -> None:
     with open(tmp, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
     try:
-        os.link(tmp, mpath)
+        try:
+            os.link(tmp, mpath)
+        except OSError as exc:
+            if exc.errno == errno.EEXIST:
+                raise FileExistsError(mpath) from exc
+            # filesystems without hard-link support (overlay/NFS/some
+            # container mounts) raise EPERM/EOPNOTSUPP — fall back to
+            # O_CREAT|O_EXCL, which keeps the claim semantics (exactly one
+            # creator wins; losers see EEXIST). Narrower than the link
+            # path: content lands after the claim, so a racing loser may
+            # briefly read a partial file — it then raises and retries,
+            # never publishes over it.
+            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                with open(tmp, "rb") as src:
+                    os.write(fd, src.read())
+            finally:
+                os.close(fd)
     except FileExistsError:
         with open(mpath) as f:
             existing = json.load(f)

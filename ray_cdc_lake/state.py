@@ -70,6 +70,8 @@ class SortedRunIndex:
         self._buf_rows = 0
         self._runs: list[str] = []  # oldest first
         self._run_rows: list[int] = []
+        self._spill_seq = 0  # monotonic: run names must never collide
+        # with files kept across compactions
 
     # ------------------------------------------------------------------
     def add(self, batch: pa.Table) -> None:
@@ -94,7 +96,8 @@ class SortedRunIndex:
         if self._dir is None:
             self._dir = os.path.join(self._base, uuid.uuid4().hex)
             os.makedirs(self._dir, exist_ok=True)
-        path = os.path.join(self._dir, f"run-{len(self._runs):06d}.parquet")
+        path = os.path.join(self._dir, f"run-{self._spill_seq:06d}.parquet")
+        self._spill_seq += 1
         pq.write_table(t, path, compression="zstd")
         self._runs.append(path)
         self._run_rows.append(t.num_rows)
@@ -103,27 +106,39 @@ class SortedRunIndex:
     MAX_RUNS = 8  # compaction fan-in
 
     def _maybe_compact(self) -> None:
-        # fan-in compaction: merge ALL runs once the run count exceeds
-        # MAX_RUNS. A row-count-based trigger would loop forever on mostly-
-        # distinct keys (a merge cannot shrink below the live key count)
-        # and pairwise merging re-reads the big run on every spill —
-        # quadratic write amplification. One k-way merge per MAX_RUNS
-        # spills keeps total I/O O(N log_k N).
+        # size-tiered compaction: once the run count exceeds MAX_RUNS,
+        # k-way-merge only the MAX_RUNS SMALLEST runs — accumulated large
+        # runs are left in place until they are themselves among the
+        # smallest (geometric level growth). Re-merging the big run on
+        # every cycle (the old all-runs policy) re-reads it once per
+        # MAX_RUNS spills — quadratic write amplification on mostly-
+        # distinct keys; smallest-K gives each row O(log_k N) merge
+        # participations and bounds a cycle's memory to the K smallest
+        # runs, not the whole accumulated index.
         if len(self._runs) <= self.MAX_RUNS:
             return
+        order = sorted(range(len(self._runs)), key=lambda i: self._run_rows[i])
+        merge_idx = set(order[: self.MAX_RUNS])
         merged = _winner_per_key(
             pa.concat_tables(
-                [pq.read_table(r) for r in self._runs],
+                [pq.read_table(self._runs[i]) for i in sorted(merge_idx)],
                 promote_options="permissive",
             ),
             self.keys,
         )
         out = os.path.join(self._dir, f"run-c{uuid.uuid4().hex[:8]}.parquet")
         pq.write_table(merged, out, compression="zstd")
-        for r in self._runs:
-            os.unlink(r)
-        self._runs = [out]
-        self._run_rows = [merged.num_rows]
+        for i in merge_idx:
+            os.unlink(self._runs[i])
+        # order is irrelevant for correctness: every run holds at most one
+        # row per key and _winner_per_key is order-insensitive (lsn,commit)
+        kept = [
+            (p, n)
+            for i, (p, n) in enumerate(zip(self._runs, self._run_rows))
+            if i not in merge_idx
+        ]
+        self._runs = [p for p, _ in kept] + [out]
+        self._run_rows = [n for _, n in kept] + [merged.num_rows]
 
     # ------------------------------------------------------------------
     def finish(self) -> pa.Table:

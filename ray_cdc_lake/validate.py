@@ -123,6 +123,139 @@ def build_jhove_xml(batch: pa.Table) -> pa.Table:
     return batch.append_column("jhove_xml", xml)
 
 
+# ---------------------------------------------------------------------------
+# Structural XML-schema validation (the XsdValidator reborn)
+# ---------------------------------------------------------------------------
+
+# The compiled "schema registry" — the analog of XsdValidator's
+# URL->classpath-resource map (XsdValidator.kt:31-45): every schema the
+# validator may need is declared locally up front, no remote resolution.
+# No XSD library exists in this container, so a schema here is a
+# structural declaration: required element paths with type/enum/attribute
+# constraints, checked against the parsed tree.
+JHOVE_STRUCT_SCHEMA = {
+    "root": "jhove",
+    "elements": {
+        "repInfo": {"required": True, "attrs": ("uri",)},
+        "repInfo/size": {"required": True, "type": "int"},
+        "repInfo/format": {"required": True, "enum": ("TXT", "XML", "JP2", "TIF")},
+        "repInfo/status": {
+            "required": True,
+            "enum": (
+                "Well-Formed and valid",
+                "Well-Formed, but not valid",
+                "Not well-formed",
+            ),
+        },
+        "repInfo/properties/width": {"required": True, "type": "int"},
+        "repInfo/properties/height": {"required": True, "type": "int"},
+    },
+    # embedded-document extraction: MIX blocks inside a METS/JHOVE doc are
+    # pulled out and validated against their OWN schema, separately
+    # (XsdValidator.kt:225-273)
+    "embedded": (".//mix", "mix"),
+}
+
+MIX_STRUCT_SCHEMA = {
+    "root": "mix",
+    "elements": {
+        "ImageWidth": {"required": True, "type": "int"},
+        "ImageHeight": {"required": True, "type": "int"},
+    },
+}
+
+DEFAULT_SCHEMA_REGISTRY = {"jhove": JHOVE_STRUCT_SCHEMA, "mix": MIX_STRUCT_SCHEMA}
+
+
+def _check_element(root, schema: dict, errors: list[str], prefix: str = "") -> None:
+    for path, spec in schema["elements"].items():
+        el = root.find(path)
+        if el is None:
+            if spec.get("required"):
+                errors.append(f"{prefix}missing required element <{path}>")
+            continue
+        for attr in spec.get("attrs", ()):
+            if el.get(attr) is None:
+                errors.append(f"{prefix}<{path}> missing attribute '{attr}'")
+        text = (el.text or "").strip()
+        if spec.get("type") == "int":
+            try:
+                int(text)
+            except ValueError:
+                errors.append(f"{prefix}<{path}> not an integer: {text!r}")
+        enum = spec.get("enum")
+        if enum is not None and text not in enum:
+            errors.append(f"{prefix}<{path}> value {text!r} not in {enum}")
+
+
+class XmlSchemaValidator:
+    """Structural XML validation stage (A2 reborn: XsdValidator.kt:17-319,
+    exercised by MetsXsdValidationTest.kt) as an actor-pool ``map_batches``
+    class.
+
+    ``__init__`` compiles the schema registry ONCE per actor (the analog
+    of XSD compilation with the offline resolver); ``__call__`` validates
+    each row's XML payload:
+
+    * unparseable XML         -> route 'malformed'   (quarantined, not raised)
+    * wrong root element      -> route 'schema_invalid'
+    * declared-structure miss -> route 'schema_invalid' (all errors listed,
+      the ValidationResult(isValid, errors[]) shape, XsdValidator.kt:324-343)
+    * embedded <mix> blocks validated separately against the MIX schema
+      (XsdValidator.kt:225-273)
+    * everything green        -> route 'ok'
+
+    Emits: ``xsd_route``, ``xsd_valid`` (bool), ``xsd_n_errors`` (int64),
+    ``xsd_errors`` ('; '-joined, '' when valid).
+    """
+
+    def __init__(self, doctype: str = "jhove", xml_col: str = "jhove_xml",
+                 registry: dict | None = None):
+        self.registry = registry or DEFAULT_SCHEMA_REGISTRY
+        self.schema = self.registry[doctype]
+        self.xml_col = xml_col
+
+    def validate_one(self, s: str) -> tuple[str, list[str]]:
+        """(route, errors) for one document — the XsdValidator.validate
+        analog; never raises on document content."""
+        try:
+            root = ET.fromstring(s)
+        except ET.ParseError as exc:
+            return "malformed", [f"ParseError: {exc}"]
+        errors: list[str] = []
+        if root.tag != self.schema["root"]:
+            errors.append(
+                f"root element <{root.tag}> != <{self.schema['root']}>"
+            )
+        else:
+            _check_element(root, self.schema, errors)
+            embedded = self.schema.get("embedded")
+            if embedded is not None:
+                path, doctype = embedded
+                sub_schema = self.registry[doctype]
+                for i, el in enumerate(root.findall(path)):
+                    if el.tag != sub_schema["root"]:
+                        errors.append(f"embedded[{i}] root <{el.tag}>")
+                        continue
+                    _check_element(el, sub_schema, errors, prefix=f"embedded[{i}] ")
+        return ("schema_invalid" if errors else "ok"), errors
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        routes, valids, n_errs, errs = [], [], [], []
+        for s in batch[self.xml_col].to_pylist():
+            route, errors = self.validate_one(s)
+            routes.append(route)
+            valids.append(route == "ok")
+            n_errs.append(len(errors))
+            errs.append("; ".join(errors))
+        out = batch.drop_columns([self.xml_col])
+        out = out.append_column("xsd_route", pa.array(routes, type=pa.string()))
+        out = out.append_column("xsd_valid", pa.array(valids))
+        out = out.append_column("xsd_n_errors", pa.array(n_errs, type=pa.int64()))
+        out = out.append_column("xsd_errors", pa.array(errs, type=pa.string()))
+        return out
+
+
 class XmlMetadataExtractor:
     """Parse the XML payload column; emit extracted metadata columns.
 
@@ -145,14 +278,27 @@ class XmlMetadataExtractor:
         self.fields = dict(self.FIELDS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        uris, sizes, widths, heights, statuses = [], [], [], [], []
+        uris, sizes, widths, heights, statuses, errors = [], [], [], [], [], []
         for s in batch[self.xml_col].to_pylist():
-            rep = ET.fromstring(s).find("repInfo")
-            uris.append(rep.get("uri"))
-            sizes.append(int(rep.findtext("size")))
-            widths.append(int(rep.findtext("properties/width")))
-            heights.append(int(rep.findtext("properties/height")))
-            statuses.append(rep.findtext("status"))
+            # poison-row quarantine (SURVEY.md §4 'Retries'): one malformed
+            # document must not kill the task — route it, don't raise
+            try:
+                rep = ET.fromstring(s).find("repInfo")
+                if rep is None:
+                    raise ValueError("missing <repInfo> element")
+                uris.append(rep.get("uri"))
+                sizes.append(int(rep.findtext("size")))
+                widths.append(int(rep.findtext("properties/width")))
+                heights.append(int(rep.findtext("properties/height")))
+                statuses.append(rep.findtext("status"))
+                errors.append(None)
+            except (ET.ParseError, ValueError, TypeError) as exc:
+                uris.append(None)
+                sizes.append(None)
+                widths.append(None)
+                heights.append(None)
+                statuses.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
         out = batch.drop_columns([self.xml_col])
         out = out.append_column("xml_uri", pa.array(uris, type=pa.string()))
         out = out.append_column("xml_size", pa.array(sizes, type=pa.int64()))
@@ -161,4 +307,5 @@ class XmlMetadataExtractor:
         valid = [s == "Well-Formed and valid" for s in statuses]
         out = out.append_column("xml_status", pa.array(statuses, type=pa.string()))
         out = out.append_column("xml_valid", pa.array(valid))
+        out = out.append_column("xml_error", pa.array(errors, type=pa.string()))
         return out

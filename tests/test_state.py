@@ -60,6 +60,30 @@ def test_compaction_bounds_runs(tmp_path):
     assert list(tmp_path.iterdir()) == []
 
 
+def test_tiered_compaction_skips_large_run(tmp_path):
+    """Size-tiered policy: a compaction cycle merges only the MAX_RUNS
+    smallest runs — the accumulated large run is NOT rewritten (the old
+    all-runs policy re-read it every cycle: quadratic amplification)."""
+    ev = _random_events(30_000, 28_000, seed=13)  # mostly-distinct keys
+    idx = SortedRunIndex(max_rows_in_mem=1_000, spill_dir=str(tmp_path))
+    # build one big run + exactly MAX_RUNS small runs, then trigger
+    idx.add(ev.slice(0, 15_000))
+    idx._spill()  # big run ~15k rows
+    assert len(idx._runs) == 1
+    big_path = idx._runs[0]
+    for off in range(15_000, 15_000 + 1_000 * idx.MAX_RUNS, 1_000):
+        idx.add(ev.slice(off, 1_000))
+        idx._spill()
+    # compaction ran (count exceeded MAX_RUNS) and merged ONLY small runs
+    assert len(idx._runs) == 2
+    assert big_path in idx._runs
+    got = idx.finish()
+    want = _winner_per_key(
+        ev.slice(0, 15_000 + 1_000 * idx.MAX_RUNS), ["repo", "path"]
+    )
+    assert _canon(got) == _canon(want)
+
+
 def test_merge_group_spilling_wrapper():
     ev = _random_events(3_000, 100, seed=3)
     got = merge_group_spilling(ev, ["repo", "path"], chunk_rows=170, max_rows_in_mem=120)

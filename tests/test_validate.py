@@ -1,0 +1,132 @@
+"""Validation stages: structural XML-schema validation (XsdValidator
+analog) and poison-row quarantine in the metadata extractor.
+
+Reference test analog: MetsXsdValidationTest / MixXsdValidationTest /
+JhoveXsdValidationTest (SURVEY.md §5 item 7) — valid documents pass,
+deliberately-broken documents produce errors instead of crashes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray_cdc_lake.validate import (
+    XmlMetadataExtractor,
+    XmlSchemaValidator,
+    build_jhove_xml,
+)
+
+VALID = (
+    '<jhove><repInfo uri="docs/en/doc_000001.txt"><size>120</size>'
+    "<format>TXT</format><status>Well-Formed and valid</status>"
+    "<properties><width>800</width><height>600</height></properties>"
+    "</repInfo></jhove>"
+)
+
+
+def _v() -> XmlSchemaValidator:
+    return XmlSchemaValidator()
+
+
+def test_valid_document_routes_ok():
+    route, errors = _v().validate_one(VALID)
+    assert route == "ok" and errors == []
+
+
+def test_unparseable_routes_malformed_not_raises():
+    route, errors = _v().validate_one(VALID[:-10])
+    assert route == "malformed"
+    assert len(errors) == 1 and "ParseError" in errors[0]
+
+
+def test_wrong_root_is_schema_invalid():
+    route, errors = _v().validate_one("<mets><x/></mets>")
+    assert route == "schema_invalid"
+    assert "root element" in errors[0]
+
+
+def test_missing_required_element():
+    broken = VALID.replace("<size>120</size>", "")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("missing required element <repInfo/size>" in e for e in errors)
+
+
+def test_missing_required_attribute():
+    broken = VALID.replace(' uri="docs/en/doc_000001.txt"', "")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("missing attribute 'uri'" in e for e in errors)
+
+
+def test_type_violation():
+    broken = VALID.replace("<width>800</width>", "<width>NaN</width>")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("not an integer" in e for e in errors)
+
+
+def test_enum_violation():
+    broken = VALID.replace("Well-Formed and valid", "mysterious")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("repInfo/status" in e for e in errors)
+
+
+def test_embedded_mix_validated_separately():
+    # the XsdValidator.kt:225-273 analog: MIX blocks get their own schema
+    ok = VALID.replace(
+        "</properties>",
+        "<mix><ImageWidth>1</ImageWidth><ImageHeight>2</ImageHeight></mix>"
+        "</properties>",
+    )
+    assert _v().validate_one(ok)[0] == "ok"
+    bad = VALID.replace(
+        "</properties>", "<mix><ImageWidth>1</ImageWidth></mix></properties>"
+    )
+    route, errors = _v().validate_one(bad)
+    assert route == "schema_invalid"
+    assert any("embedded[0]" in e and "ImageHeight" in e for e in errors)
+
+
+def test_batch_surface_routes_all_rows():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "jhove_xml": pa.array(
+                [VALID, VALID[:-10], VALID.replace("<size>120</size>", "")]
+            ),
+        }
+    )
+    out = XmlSchemaValidator()(t)
+    assert out["xsd_route"].to_pylist() == ["ok", "malformed", "schema_invalid"]
+    assert out["xsd_valid"].to_pylist() == [True, False, False]
+    assert out["xsd_n_errors"].to_pylist() == [0, 1, 1]
+    assert out.num_rows == 3  # no rows lost, no exception
+
+
+def test_extractor_quarantines_poison_rows():
+    """One malformed XML row must not kill the task (the quarantine rule
+    the round-1 verdict flagged at validate.py:149-155)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "lang": pa.array(["en", "en"]),
+            "n_chars": pa.array([100, 100], type=pa.int64()),
+        }
+    )
+    withxml = build_jhove_xml(t)
+    # poison row 1: truncate its XML
+    xmls = withxml["jhove_xml"].to_pylist()
+    xmls[1] = xmls[1][:-7]
+    poisoned = withxml.set_column(
+        withxml.schema.get_field_index("jhove_xml"),
+        "jhove_xml",
+        pa.array(xmls, type=pa.string()),
+    )
+    out = XmlMetadataExtractor()(poisoned)
+    assert out.num_rows == 2
+    assert out["xml_valid"].to_pylist() == [True, False]
+    assert out["xml_error"].to_pylist()[0] is None
+    assert "ParseError" in out["xml_error"].to_pylist()[1]
+    assert out["xml_size"].to_pylist()[1] is None
