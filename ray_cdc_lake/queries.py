@@ -1052,12 +1052,16 @@ def q_join_events_customers(sf_dir: str):
     nation = pq.read_table(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
+    # vectorized lookup side: customer keys SORTED with their nation name
+    # aligned — per batch a np.searchsorted maps user_id -> name in one
+    # C kernel (no per-row Python dict.get)
     nk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cust_to_nation = {
-        c: nk[n]
-        for c, n in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    lookup_ref = ray.put(cust_to_nation)
+    ckeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    cnames = np.asarray(
+        [nk[n] for n in cust["c_nationkey"].to_pylist()], dtype=object
+    )
+    order = np.argsort(ckeys)
+    lookup_ref = ray.put((ckeys[order], cnames[order]))
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type"]
     )
@@ -1065,14 +1069,15 @@ def q_join_events_customers(sf_dir: str):
     from .sources import get_broadcast
 
     def join_nation(batch: pa.Table) -> pa.Table:
-        lookup = get_broadcast(lookup_ref)  # once per worker, not per batch
+        keys, names = get_broadcast(lookup_ref)  # once per worker, not per batch
         batch = batch.filter(pc.equal(batch["event_type"], "purchase"))
-        users = batch["user_id"].to_pylist()
-        names = [lookup.get(u) for u in users]
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(keys, users)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos_c] == users
         t = pa.Table.from_arrays(
-            [pa.array(names, type=pa.string())], names=["n_name"]
+            [pa.array(names[pos_c[hit]], type=pa.string())], names=["n_name"]
         )
-        t = t.filter(pc.is_valid(t["n_name"]))
         import polars as pl
 
         return (
@@ -1093,11 +1098,9 @@ def q_anti_join_users(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    keys = set(
-        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
-            "s_suppkey"
-        ].to_pylist()
-    )
+    keys = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ].combine_chunks()
     ref = ray.put(keys)
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -1105,8 +1108,8 @@ def q_anti_join_users(sf_dir: str):
     from .sources import get_broadcast
 
     def anti_join(batch: pa.Table) -> pa.Table:
-        keys = get_broadcast(ref)
-        mask = pa.array([u not in keys for u in batch["user_id"].to_pylist()])
+        keys = get_broadcast(ref)  # pa.Array, zero-copy from object store
+        mask = pc.invert(pc.is_in(batch["user_id"], value_set=keys))
         t = batch.filter(mask)
         import polars as pl
 
@@ -1150,11 +1153,9 @@ def q_semi_join_users(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    keys = set(
-        pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
-            "s_suppkey"
-        ].to_pylist()
-    )
+    keys = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ].combine_chunks()
     ref = ray.put(keys)
 
     ds = read_table(sf_dir, "events", columns=["user_id"])
@@ -1162,8 +1163,8 @@ def q_semi_join_users(sf_dir: str):
     from .sources import get_broadcast
 
     def semi_join(batch: pa.Table) -> pa.Table:
-        keys = get_broadcast(ref)
-        mask = pa.array([u in keys for u in batch["user_id"].to_pylist()])
+        keys = get_broadcast(ref)  # pa.Array, zero-copy from object store
+        mask = pc.is_in(batch["user_id"], value_set=keys)
         t = batch.filter(mask)
         import polars as pl
 

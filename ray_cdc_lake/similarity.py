@@ -25,13 +25,43 @@ K = 5
 N_QUERIES = 8  # query set: vec_id < 8
 
 
-def _load_embeddings(sf_dir: str):
+def _load_embeddings(sf_dir: str, filters=None):
+    """Driver-side load of the SMALL side only — always pass ``filters``
+    (parquet row-group/predicate pushdown) unless the full matrix is the
+    explicit point (the single-process k-means test reference)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=filters,
+    )
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     return ids, mat
+
+
+def _load_queries(sf_dir: str):
+    """The query set (vec_id < N_QUERIES) via predicate pushdown — only
+    matching row groups leave storage, never the full table."""
+    return _load_embeddings(sf_dir, filters=[("vec_id", "<", N_QUERIES)])
+
+
+def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:
+    """Quantizer-training sample: reads whole ROW GROUPS from the front
+    until ``max_rows`` is covered — O(sample), not O(table), however big
+    the table. Deterministic (file order)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    parts, rows = [], 0
+    for rg in range(pf.metadata.num_row_groups):
+        parts.append(pf.read_row_group(rg, columns=["embedding"]))
+        rows += parts[-1].num_rows
+        if rows >= max_rows:
+            break
+    t = pa.concat_tables(parts)
+    return np.array(t["embedding"].to_pylist()[:max_rows], dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -42,9 +72,8 @@ def q_knn_bruteforce(sf_dir: str):
     import ray
     import ray.data as rd
 
-    ids, mat = _load_embeddings(sf_dir)
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], _normalize(mat[qmask])
+    qids, qmat = _load_queries(sf_dir)
+    qmat = _normalize(qmat)
     ref = ray.put((qids, qmat))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -126,36 +155,35 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
     cell id is the shuffle key; each cell fits one task."""
     import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    # the coarse quantizer trains on a driver-side row-group SAMPLE
+    # (nlist*1000 rows, O(sample) I/O) — never the full table
+    sample = _normalize(_sample_embeddings(sf_dir, max_rows=nlist * 1000))
+    cent_mat = _kmeans_spherical(sample, nlist)
 
-    cent_mat = _kmeans_spherical(mat, nlist)
-
-    qmask = ids < N_QUERIES
-    qids, qmat = ids[qmask], mat[qmask]
-    # probe list per query: nprobe nearest centroids
+    qids, qmat = _load_queries(sf_dir)
+    qmat = _normalize(qmat)
+    # probe list per query: nprobe nearest centroids, as a (Q, nlist)
+    # boolean mask so the per-batch membership test is one numpy take
     qc = qmat @ cent_mat.T
-    probes = {
-        int(q): set(np.argsort(-qc[i])[:nprobe].tolist()) for i, q in enumerate(qids)
-    }
-    ref = ray.put((qids, qmat, probes, cent_mat))
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    for i in range(len(qids)):
+        probe_mask[i, np.argsort(-qc[i])[:nprobe]] = True
+    ref = ray.put((qids, qmat, probe_mask, cent_mat))
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     from .sources import get_broadcast
 
     def probe_partial(batch: pa.Table) -> pa.Table:
-        qids_b, qmat_b, probes_b, cents_b = get_broadcast(ref)
+        qids_b, qmat_b, probe_mask_b, cents_b = get_broadcast(ref)
         bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
         bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
         blab = np.argmax(bm @ cents_b.T, axis=1)
         out_q, out_n, out_c = [], [], []
         for qi, q in enumerate(qids_b):
-            probe = probes_b[int(q)]
-            mask = np.array([lb in probe for lb in blab]) & (bids != q)
+            # vectorized cell-membership: one boolean take per query
+            mask = probe_mask_b[qi][blab] & (bids != q)
             if not mask.any():
                 continue
             c = bm[mask] @ qmat_b[qi]
@@ -238,11 +266,18 @@ def distributed_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     q_kmeans_clusters for the query surface.
     """
     import ray
-    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq
 
-    ids, mat = _load_embeddings(sf_dir)
-    init_idx = np.linspace(0, len(mat) - 1, k).astype(int)
-    cents = mat[init_idx].copy()
+    # strided init WITHOUT a full-table load: row count from the parquet
+    # footer, then predicate-pushdown read of exactly the k seed rows
+    # (vec_id is the file-order row index in this table)
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    init_idx = np.linspace(0, n_rows - 1, k).astype(int)
+    seed_ids, seed_mat = _load_embeddings(
+        sf_dir, filters=[("vec_id", "in", sorted({int(i) for i in init_idx}))]
+    )
+    id_to_row = {int(i): seed_mat[j] for j, i in enumerate(seed_ids)}
+    cents = np.stack([id_to_row[int(i)] for i in init_idx]).astype(np.float64)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

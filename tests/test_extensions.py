@@ -36,6 +36,22 @@ def test_simhash_finds_exact_copies():
     assert len(zero) >= len(exact_expected)
 
 
+def test_embedding_lsh_recall_and_precision():
+    """The LSH near-dup path must (a) emit ONLY true pairs (cosine is
+    verified exactly in-bucket, so precision is 1 by construction) and
+    (b) recall every pair the all-pairs baseline finds on this corpus
+    (b=24, r=4 banding; deterministic seed)."""
+    from ray_cdc_lake.dedup import q_dedup_embedding, q_dedup_embedding_lsh
+
+    base = q_dedup_embedding(SF).to_pandas()
+    lsh = q_dedup_embedding_lsh(SF).to_pandas()
+    b = set(zip(base.vec_id_a, base.vec_id_b))
+    l = set(zip(lsh.vec_id_a, lsh.vec_id_b))
+    assert len(b) > 0
+    assert l <= b          # precision 1.0: every emitted pair is real
+    assert l == b          # recall 1.0 on this corpus (seeded, deterministic)
+
+
 def test_langid_predicts_en_for_english_corpus():
     from ray_cdc_lake.textstats import q_text_langid
 
