@@ -87,10 +87,14 @@ def tail_replay(
 
     Returns the committed txn ids in order.
     """
-    import pyarrow.compute as pc
+    import os
+
+    import numpy as np
+    import ray.data as rd
 
     from .checkpoint import apply_incremental
     from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
 
     # window boundaries in LSN space: the epoch band split evenly, then one
     # final window for the post-epoch delete/rename band (lsn >= E*STRIDE)
@@ -99,35 +103,62 @@ def tail_replay(
         (i + 1) * epochs * STRIDE // max(1, micro_batches - 1)
         for i in range(micro_batches - 1)
     ] + [hi]
-    # derive the (small) log once; each window filters from it — a real
-    # tail would READ its binlog segment instead of re-deriving
-    ev_all = derive_event_log(sf_dir, epochs).map_batches(
-        compile_changes, batch_format="pyarrow"
-    )
-    ev_all = ev_all.map_batches(normalize_content, batch_format="pyarrow")
-    ev_all = ev_all.materialize()
+
+    # persist the derived log ONCE as LSN-segment-partitioned parquet —
+    # the binlog. Each micro-batch then READS only its segment directory
+    # (partition-pruned), the way a real tail consumes binlog segments;
+    # nothing is materialized in the object store across windows.
+    binlog_dir = os.path.join(lake_dir, "_binlog")
+    if not os.path.isdir(binlog_dir):
+        cuts_arr = np.array(cuts, dtype=np.int64)
+
+        def tag_segment(t):
+            import pyarrow as _pa
+
+            lsn = t["lsn"].to_numpy(zero_copy_only=False)
+            seg = np.searchsorted(cuts_arr, lsn, side="right").astype(np.int64)
+            return t.append_column("segment", _pa.array(seg))
+
+        ev_all = derive_event_log(sf_dir, epochs).map_batches(
+            compile_changes, batch_format="pyarrow"
+        )
+        ev_all = ev_all.map_batches(normalize_content, batch_format="pyarrow")
+        # stage + atomic rename: a crash mid-write leaves only the staging
+        # dir, so a resumed run re-derives instead of trusting a partial log
+        staging = binlog_dir + ".staging"
+        if os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging)
+        ev_all.map_batches(tag_segment, batch_format="pyarrow").write_parquet(
+            staging, partition_cols=["segment"]
+        )
+        os.replace(staging, binlog_dir)
+
     txns = []
-    lo = 0
-    for i, cut in enumerate(cuts):
-        if cut <= lo:
+    for i in range(len(cuts)):
+        seg_dir = os.path.join(binlog_dir, f"segment={i}")
+        if not os.path.isdir(seg_dir):
+            continue  # empty LSN window -> no segment written
+        files = [
+            os.path.join(seg_dir, f)
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+        if not files:
             continue
-        ev = ev_all
-        lo_c, cut_c = lo, cut
-        win = ev.map_batches(
-            lambda t, lo=lo_c, hi_=cut_c: t.filter(
-                pc.and_(pc.greater_equal(t["lsn"], lo), pc.less(t["lsn"], hi_))
-            ),
+        win = rd.read_parquet(files).map_batches(
+            lambda t: t.drop_columns(["segment"])
+            if "segment" in t.column_names
+            else t,
             batch_format="pyarrow",
         )
         txn_id = f"tail-{i:04d}"
-        from .schemas import COMPILED_SCHEMA
-
         apply_incremental(
             lake_dir, txn_id, win, num_buckets=num_buckets,
             events_schema=COMPILED_SCHEMA,
         )
         txns.append(txn_id)
-        lo = cut
     return txns
 
 

@@ -335,6 +335,108 @@ def q_cdc_change_batch_compile(sf_dir: str):
     return out
 
 
+def q_cdc_extension_discovery(sf_dir: str):
+    """M3 extension discovery against COMMITTED lake state
+    (ReorderFiles.kt:149-185): the object store holds .tif/.tiff/.jp2
+    variants per image; a change batch whose orderedImageIds carry NO
+    extension probes the store's key set and fans out one instruction per
+    discovered extension — nothing found defaults to .tif (the warn path
+    :163-171, fixture …/test/resources/reorder-files/flowfile.json).
+
+    Store layout (deterministic, SQL-expressible): per document,
+    doc_id%4==0 -> both .tif and .jp2 committed; ==1 -> .tiff; ==2 ->
+    .jp2; ==3 -> nothing. The key set is read back FROM the committed
+    manifest (not from the build-side table) and broadcast once
+    (ray.put; J3/J5 semi-join shape — a batch touches few items, so its
+    probe set is the genuinely small side)."""
+    import json
+    import shutil
+
+    import ray
+
+    from .change_batches import compile_batches_table
+    from .sink import commit_txn, read_lake
+    from .sources import get_broadcast
+    from .transforms import add_bucket
+
+    lake = f"/tmp/ray_cdc_lake_extdisc/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    docs = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def to_store_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        lsn, op, repo, path, commit, lang, content = [], [], [], [], [], [], []
+        for d in ids:
+            exts = (
+                ["tif", "jp2"] if d % 4 == 0
+                else ["tiff"] if d % 4 == 1
+                else ["jp2"] if d % 4 == 2
+                else []
+            )
+            for e in exts:
+                lsn.append(int(d))
+                op.append("insert")
+                repo.append("store")
+                path.append(f"img_{d}.{e}")
+                commit.append(f"seed-{d}-{e}")
+                lang.append(None)
+                content.append(f"bytes of img_{d}.{e}")
+        return pa.Table.from_arrays(
+            [
+                pa.array(lsn, type=pa.int64()),
+                pa.array(op, type=pa.string()),
+                pa.array(repo, type=pa.string()),
+                pa.array(path, type=pa.string()),
+                pa.array(commit, type=pa.string()),
+                pa.array(lang, type=pa.string()),
+                pa.array(content, type=pa.large_string()),
+            ],
+            names=["lsn", "op", "repo", "path", "commit", "lang", "content"],
+        )
+
+    store = docs.map_batches(to_store_rows, batch_format="pyarrow").map_batches(
+        lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
+    )
+    commit_txn(lake, "seed-store", store)
+
+    # the key set comes from the COMMITTED lake (manifest-referenced files
+    # only), broadcast once per worker
+    key_set = frozenset(
+        read_lake(lake).select_columns(["path"]).to_pandas()["path"]
+    )
+    ref = ray.put(key_set)
+
+    def to_batch_json(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        src = g["source"][0].as_py()
+        doc = {
+            "batchId": f"batch-{src}",
+            "changes": [
+                {
+                    "itemId": src,
+                    # NO extensions -> every id goes through discovery
+                    "orderedImageIds": [
+                        f"img_{d}" for d in g["doc_id"].to_pylist()
+                    ],
+                }
+            ],
+        }
+        return pa.Table.from_arrays(
+            [
+                pa.array([1], type=pa.int64()),
+                pa.array([json.dumps(doc)], type=pa.string()),
+            ],
+            names=["lsn", "batch_json"],
+        )
+
+    batches = docs.groupby("source").map_groups(to_batch_json, batch_format="pyarrow")
+    return batches.map_batches(
+        lambda b: compile_batches_table(b, existing_names=get_broadcast(ref)),
+        batch_format="pyarrow",
+    )
+
+
 def q_cdc_repo_manifest(sf_dir: str):
     """Per-repo manifest DOCUMENT (G3 analog, the METS build reborn:
     MetsBrowsingBuilder.kt:38-199 folds sorted pages + checksums into one
@@ -453,6 +555,31 @@ CDC_SQL: dict[str, str] = {
                'tekst_' || source || '_' || lpad(CAST(n - rk + 1 AS VARCHAR), 5, '0') || '.tif' AS new_name,
                TRUE AS safe
         FROM pages""",
+    # mirrors q_cdc_extension_discovery's store-layout rule: the lake
+    # holds {tif,jp2} / {tiff} / {jp2} / {} per doc_id%4, the batch's
+    # extension-less image ids discover those keys (default .tif when
+    # nothing is found)
+    "cdc_extension_discovery": """
+        WITH pages AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+          FROM documents),
+        fanned AS (
+          SELECT source, doc_id, seq,
+                 unnest(CASE WHEN doc_id % 4 = 0 THEN ['tif','jp2']
+                             WHEN doc_id % 4 = 1 THEN ['tiff']
+                             WHEN doc_id % 4 = 2 THEN ['jp2']
+                             ELSE ['tif'] END) AS ext
+          FROM pages)
+        SELECT CAST(1 AS BIGINT) AS lsn,
+               'batch-' || source AS batch_id,
+               source AS item_id,
+               CAST(seq AS BIGINT) AS seq,
+               'img_' || CAST(doc_id AS VARCHAR) || '.' || ext AS original_name,
+               'tekst_' || source || '_' || lpad(CAST(seq AS VARCHAR), 5, '0')
+                   || '.' || ext AS new_name,
+               TRUE AS safe
+        FROM fanned""",
     "cdc_repo_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         final AS (
@@ -1932,6 +2059,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,
         "cdc_change_batch_compile": q_cdc_change_batch_compile,
+        "cdc_extension_discovery": q_cdc_extension_discovery,
         "doc_json_merge": q_doc_json_merge,
         "doc_json_paths": q_doc_json_paths,
         "doc_normalize_sha": q_doc_normalize_sha,

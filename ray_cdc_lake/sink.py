@@ -36,7 +36,6 @@ from __future__ import annotations
 import errno
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
@@ -49,6 +48,108 @@ if TYPE_CHECKING:
 MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 DATA_DIR = "data"
+
+
+class LakeStore:
+    """Filesystem abstraction for all sink I/O, backed by a
+    ``pyarrow.fs.FileSystem`` for the bulk operations, with the TWO
+    primitives that need store-specific atomicity isolated as methods:
+
+    * ``claim_with_content(tmp, dst)`` — publish-exactly-once: atomically
+      create ``dst`` with ``tmp``'s bytes, raising ``FileExistsError`` if
+      ``dst`` already exists. Local impl: ``os.link`` (O_CREAT|O_EXCL
+      fallback). S3 impl: conditional PUT with ``If-None-Match: *`` —
+      the reference's staged-copy-then-commit dance
+      (RenameS3Utils.kt:35-135) exists because S3 lacked this primitive.
+    * ``replace_dir(src, dst)`` — atomic directory move. Local:
+      ``os.replace``. S3: prefix copy + delete under a txn marker (keys
+      are invisible anyway until the manifest references them, so
+      non-atomicity there is safe — the manifest is the commit point).
+
+    Everything else (mkdirs, rmtree, listdir, open) goes through the
+    pyarrow FileSystem so an S3 backend is ``LakeStore(S3FileSystem(...))``
+    plus those two overrides. Ray's ``write_parquet`` accepts the same
+    ``filesystem`` object for the staged data write.
+    """
+
+    def __init__(self, fs=None):
+        if fs is None:
+            from pyarrow.fs import LocalFileSystem
+
+            fs = LocalFileSystem()
+        self.fs = fs
+
+    # ---- bulk ops (generic over pyarrow.fs) --------------------------
+    def makedirs(self, path: str) -> None:
+        self.fs.create_dir(path, recursive=True)
+
+    def rmtree(self, path: str) -> None:
+        from pyarrow.fs import FileType
+
+        if self.fs.get_file_info(path).type != FileType.NotFound:
+            self.fs.delete_dir(path)
+
+    def exists(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self.fs.get_file_info(path).type != FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow.fs import FileType
+
+        return self.fs.get_file_info(path).type == FileType.Directory
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow.fs import FileSelector
+
+        infos = self.fs.get_file_info(FileSelector(path, recursive=False))
+        return sorted(i.base_name for i in infos)
+
+    def read_text(self, path: str) -> str:
+        with self.fs.open_input_stream(path) as f:
+            return f.read().decode("utf-8")
+
+    def write_text(self, path: str, content: str) -> None:
+        with self.fs.open_output_stream(path) as f:
+            f.write(content.encode("utf-8"))
+
+    def delete_file(self, path: str) -> None:
+        self.fs.delete_file(path)
+
+    def parquet_metadata(self, path: str):
+        with self.fs.open_input_file(path) as f:
+            return pq.ParquetFile(f).metadata
+
+    # ---- atomic primitives (store-specific) --------------------------
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomic file replace (CURRENT pointer flip). Local os.replace;
+        an S3 backend overrides with PUT (single-key PUT is atomic)."""
+        os.replace(src, dst)
+
+    def replace_dir(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def claim_with_content(self, tmp: str, dst: str) -> None:
+        """Atomically create ``dst`` with ``tmp``'s content; raise
+        FileExistsError when dst exists (exactly one creator wins)."""
+        try:
+            os.link(tmp, dst)
+        except OSError as exc:
+            if exc.errno == errno.EEXIST:
+                raise FileExistsError(dst) from exc
+            # no hard-link support (overlay/NFS): O_CREAT|O_EXCL keeps
+            # the claim semantics; content lands just after the claim, so
+            # a racing loser may briefly read a partial file — it then
+            # raises and retries, never publishes over it
+            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                with open(tmp, "rb") as src:
+                    os.write(fd, src.read())
+            finally:
+                os.close(fd)
+
+
+_DEFAULT_STORE = LakeStore()
 
 
 @dataclass
@@ -75,14 +176,13 @@ def _manifest_path(lake_dir: str, version: int) -> str:
     return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{version:06d}.json")
 
 
-def read_manifest(lake_dir: str) -> Manifest:
+def read_manifest(lake_dir: str, store: LakeStore | None = None) -> Manifest:
+    store = store or _DEFAULT_STORE
     cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
-    if not os.path.exists(cur):
+    if not store.exists(cur):
         return Manifest()
-    with open(cur) as f:
-        version = int(f.read().strip())
-    with open(_manifest_path(lake_dir, version)) as f:
-        d = json.load(f)
+    version = int(store.read_text(cur).strip())
+    d = json.loads(store.read_text(_manifest_path(lake_dir, version)))
     return Manifest(
         version=d["version"],
         buckets=d["buckets"],
@@ -98,19 +198,20 @@ class CommitConflict(RuntimeError):
     manifest and re-applying — Delta-style optimistic concurrency."""
 
 
-def _publish(lake_dir: str, m: Manifest) -> None:
+def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None:
     """The atomic commit point with optimistic concurrency: the manifest
-    content is fully written to a temp file, then ``os.link``ed to
-    manifest-<v>.json — an atomic claim-with-content (the local-FS analog
-    of an object store's conditional PUT; Delta-style: exactly one writer
-    wins a version). If the version is already claimed by an IDENTICAL
-    manifest, this is our own crashed earlier attempt and we just finish
-    the pointer update; a different manifest raises CommitConflict (the
-    loser's staged data stays unreferenced and vacuumable). Finally the
-    CURRENT pointer is os.replace'd (atomic on POSIX — the
-    RenameDiskUtils phase-2 analog)."""
+    content is fully written to a temp file, then claimed to
+    manifest-<v>.json via ``store.claim_with_content`` — an atomic
+    claim-with-content (os.link locally; an object store's conditional
+    PUT; Delta-style: exactly one writer wins a version). If the version
+    is already claimed by an IDENTICAL manifest, this is our own crashed
+    earlier attempt and we just finish the pointer update; a different
+    manifest raises CommitConflict (the loser's staged data stays
+    unreferenced and vacuumable). Finally the CURRENT pointer is
+    atomically replaced (the RenameDiskUtils phase-2 analog)."""
+    store = store or _DEFAULT_STORE
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
-    os.makedirs(mdir, exist_ok=True)
+    store.makedirs(mdir)
     mpath = _manifest_path(lake_dir, m.version)
     payload = {
         "version": m.version,
@@ -121,48 +222,29 @@ def _publish(lake_dir: str, m: Manifest) -> None:
         "committed_at": time.time(),
     }
     tmp = mpath + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
+    store.write_text(tmp, json.dumps(payload, indent=1, sort_keys=True))
     try:
         try:
-            os.link(tmp, mpath)
-        except OSError as exc:
-            if exc.errno == errno.EEXIST:
-                raise FileExistsError(mpath) from exc
-            # filesystems without hard-link support (overlay/NFS/some
-            # container mounts) raise EPERM/EOPNOTSUPP — fall back to
-            # O_CREAT|O_EXCL, which keeps the claim semantics (exactly one
-            # creator wins; losers see EEXIST). Narrower than the link
-            # path: content lands after the claim, so a racing loser may
-            # briefly read a partial file — it then raises and retries,
-            # never publishes over it.
-            fd = os.open(mpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                with open(tmp, "rb") as src:
-                    os.write(fd, src.read())
-            finally:
-                os.close(fd)
-    except FileExistsError:
-        with open(mpath) as f:
-            existing = json.load(f)
+            store.claim_with_content(tmp, mpath)
+        except FileExistsError:
+            existing = json.loads(store.read_text(mpath))
 
-        def _cmp(d):
-            return {k: v for k, v in d.items() if k != "committed_at"}
+            def _cmp(d):
+                return {k: v for k, v in d.items() if k != "committed_at"}
 
-        if _cmp(existing) != _cmp(payload):
-            os.unlink(tmp)
-            raise CommitConflict(
-                f"manifest version {m.version} already published by another writer"
-            )
-        # identical content: our own crashed attempt claimed it — fall
-        # through and finish the CURRENT pointer update
+            if _cmp(existing) != _cmp(payload):
+                raise CommitConflict(
+                    f"manifest version {m.version} already published by "
+                    "another writer"
+                )
+            # identical content: our own crashed attempt claimed it — fall
+            # through and finish the CURRENT pointer update
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        if store.exists(tmp):
+            store.delete_file(tmp)
     cur_tmp = os.path.join(mdir, f"CURRENT.tmp-{os.getpid()}")
-    with open(cur_tmp, "w") as f:
-        f.write(str(m.version))
-    os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))
+    store.write_text(cur_tmp, str(m.version))
+    store.replace_file(cur_tmp, os.path.join(mdir, "CURRENT"))
 
 
 def commit_txn(
@@ -170,6 +252,7 @@ def commit_txn(
     txn_id: str,
     winners: "ray.data.Dataset",
     fail_before_publish: bool = False,
+    store: LakeStore | None = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -183,11 +266,12 @@ def commit_txn(
     manifest publish (for resume tests — the window where data files exist
     but are invisible).
     """
-    manifest = read_manifest(lake_dir)
+    store = store or _DEFAULT_STORE
+    manifest = read_manifest(lake_dir, store=store)
     if txn_id in manifest.txns:
         return manifest
 
-    bucket_stats = _write_txn_data(lake_dir, txn_id, winners)
+    bucket_stats = _write_txn_data(lake_dir, txn_id, winners, store=store)
 
     if fail_before_publish:
         raise RuntimeError(f"injected failure before publish of {txn_id}")
@@ -200,41 +284,44 @@ def commit_txn(
         schema_version=manifest.schema_version,
         schema_fields=manifest.schema_fields,
     )
-    _publish(lake_dir, new)
+    _publish(lake_dir, new, store=store)
     return new
 
 
-def _write_txn_data(lake_dir: str, txn_id: str, winners) -> dict[str, dict]:
+def _write_txn_data(
+    lake_dir: str, txn_id: str, winners, store: LakeStore | None = None
+) -> dict[str, dict]:
     """Phase 1+2 of a txn WITHOUT the manifest publish: staged distributed
     write partitioned by bucket, per-bucket footer stats, atomic move of
     the staging dir into data/. Everything written here stays invisible
     until some manifest references it."""
+    store = store or _DEFAULT_STORE
     staging = os.path.join(lake_dir, STAGING_DIR, txn_id)
     final_dir = os.path.join(lake_dir, DATA_DIR, txn_id)
     # a previous crashed attempt may have left either dir — both are
     # unreferenced (txn not in manifest), so discard and redo (the
     # "temp dir always deleted" cleanup of RenameDiskUtils.kt:102-104)
     for d in (staging, final_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
-    os.makedirs(staging, exist_ok=True)
+        store.rmtree(d)
+    store.makedirs(staging)
 
-    # phase 1: staged distributed write, partitioned by bucket
-    winners.write_parquet(staging, partition_cols=["bucket"])
+    # phase 1: staged distributed write, partitioned by bucket (workers
+    # write through the SAME filesystem object the store wraps)
+    winners.write_parquet(staging, partition_cols=["bucket"], filesystem=store.fs)
 
     # gather per-bucket stats from parquet footers (no data scan)
     bucket_stats: dict[str, dict] = {}
-    for entry in sorted(os.listdir(staging)):
+    for entry in store.listdir(staging):
         if not entry.startswith("bucket="):
             continue
         b = entry.split("=", 1)[1]
         hwm = -1
         rows = 0
         bdir = os.path.join(staging, entry)
-        for fn in sorted(os.listdir(bdir)):
+        for fn in store.listdir(bdir):
             if not fn.endswith(".parquet"):
                 continue
-            md = pq.ParquetFile(os.path.join(bdir, fn)).metadata
+            md = store.parquet_metadata(os.path.join(bdir, fn))
             rows += md.num_rows
             for rg in range(md.num_row_groups):
                 col_md = md.row_group(rg)
@@ -245,18 +332,21 @@ def _write_txn_data(lake_dir: str, txn_id: str, winners) -> dict[str, dict]:
         bucket_stats[b] = {"txn_id": txn_id, "hwm_lsn": int(hwm), "rows": int(rows)}
 
     # phase 2: atomic move staging -> data
-    os.makedirs(os.path.dirname(final_dir), exist_ok=True)
-    os.replace(staging, final_dir)
+    store.makedirs(os.path.dirname(final_dir))
+    store.replace_dir(staging, final_dir)
     return bucket_stats
 
 
-def read_lake(lake_dir: str, live_only: bool = True) -> "ray.data.Dataset":
+def read_lake(
+    lake_dir: str, live_only: bool = True, store: LakeStore | None = None
+) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    m = read_manifest(lake_dir)
+    store = store or _DEFAULT_STORE
+    m = read_manifest(lake_dir, store=store)
     dirs = m.data_dirs(lake_dir)
     if not dirs:
         raise FileNotFoundError(f"no committed state in {lake_dir}")
@@ -264,10 +354,10 @@ def read_lake(lake_dir: str, live_only: bool = True) -> "ray.data.Dataset":
     # files — enumerate the data files explicitly
     files = []
     for d in dirs:
-        for fn in sorted(os.listdir(d)):
+        for fn in store.listdir(d):
             if fn.endswith(".parquet"):
                 files.append(os.path.join(d, fn))
-    ds = rd.read_parquet(files)
+    ds = rd.read_parquet(files, filesystem=store.fs)
 
     def strip(t):
         # hive-partition inference re-adds 'bucket' from the dir name;
@@ -281,21 +371,22 @@ def read_lake(lake_dir: str, live_only: bool = True) -> "ray.data.Dataset":
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
-def vacuum(lake_dir: str) -> list[str]:
+def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
     """Remove unreferenced txn dirs and leftover staging dirs (safe any
     time: the manifest is the source of truth)."""
-    m = read_manifest(lake_dir)
+    store = store or _DEFAULT_STORE
+    m = read_manifest(lake_dir, store=store)
     removed = []
     live = set(m.txns)
     data_root = os.path.join(lake_dir, DATA_DIR)
-    if os.path.isdir(data_root):
-        for t in os.listdir(data_root):
+    if store.isdir(data_root):
+        for t in store.listdir(data_root):
             if t not in live:
-                shutil.rmtree(os.path.join(data_root, t))
+                store.rmtree(os.path.join(data_root, t))
                 removed.append(f"data/{t}")
     stage_root = os.path.join(lake_dir, STAGING_DIR)
-    if os.path.isdir(stage_root):
-        for t in os.listdir(stage_root):
-            shutil.rmtree(os.path.join(stage_root, t))
+    if store.isdir(stage_root):
+        for t in store.listdir(stage_root):
+            store.rmtree(os.path.join(stage_root, t))
             removed.append(f"_staging/{t}")
     return removed

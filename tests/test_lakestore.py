@@ -1,0 +1,113 @@
+"""The sink's filesystem abstraction: every sink operation must work
+against an explicitly-passed LakeStore (pyarrow.fs-backed), with the
+atomic primitives (claim_with_content, replace_dir) isolated so an
+object-store backend only overrides those.
+
+Reference analog: the whole S3 half of the bundle
+(S3Utils.kt:27-124, RenameS3Utils.kt:35-150) exists because the store
+was not a POSIX filesystem — here that difference is one class.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ray_cdc_lake.sink import (
+    CommitConflict,
+    LakeStore,
+    Manifest,
+    _publish,
+    commit_txn,
+    read_lake,
+    read_manifest,
+    vacuum,
+)
+
+
+def _winners(n=200, seed=5) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    key = rng.integers(0, 50, n)
+    return pa.table(
+        {
+            "repo": pa.array(["r"] * n),
+            "path": pa.array([f"p{k}" for k in key]),
+            "lsn": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+            "commit": pa.array([f"c{i}" for i in range(n)]),
+            "op": pa.array(["insert"] * n),
+            "content": pa.array(["x"] * n, type=pa.large_string()),
+            "bucket": pa.array((key % 4).astype(np.int64)),
+        }
+    )
+
+
+def test_sink_through_explicit_store(tmp_path):
+    """commit_txn / read_manifest / read_lake / vacuum all routed through
+    a LakeStore instance (LocalFileSystem) — same results as default."""
+    import ray.data as rd
+    from pyarrow.fs import LocalFileSystem
+
+    store = LakeStore(LocalFileSystem())
+    lake = str(tmp_path / "lake")
+    t = _winners()
+    m = commit_txn(lake, "txn-a", rd.from_arrow(t), store=store)
+    assert m.version == 1 and m.txns == ["txn-a"]
+    # idempotent re-commit through the same store
+    m2 = commit_txn(lake, "txn-a", rd.from_arrow(t), store=store)
+    assert m2.version == 1
+    # read back through the store
+    got = read_lake(lake, store=store).to_pandas()
+    assert len(got) == t.num_rows
+    # manifests agree between store-routed and default-local reads
+    assert read_manifest(lake).version == read_manifest(lake, store=store).version
+    assert vacuum(lake, store=store) == []
+
+
+def test_claim_with_content_primitive(tmp_path):
+    store = LakeStore()
+    tmp = str(tmp_path / "payload.tmp")
+    dst = str(tmp_path / "claimed.json")
+    store.write_text(tmp, "hello")
+    store.claim_with_content(tmp, dst)
+    store.delete_file(tmp)  # contract: tmp is discarded after the claim
+    assert store.read_text(dst) == "hello"
+    # second claim (fresh temp file, racing writer) must lose
+    tmp2 = str(tmp_path / "payload2.tmp")
+    store.write_text(tmp2, "other")
+    with pytest.raises(FileExistsError):
+        store.claim_with_content(tmp2, dst)
+    assert store.read_text(dst) == "hello"  # loser never overwrites
+
+
+def test_publish_conflict_detection(tmp_path):
+    """Two writers racing the same manifest version: second publish with
+    DIFFERENT content raises CommitConflict; identical content is treated
+    as our own crashed earlier attempt and succeeds."""
+    lake = str(tmp_path / "lake")
+    m1 = Manifest(version=1, buckets={"0": {"txn_id": "a", "hwm_lsn": 5, "rows": 1}},
+                  txns=["a"])
+    _publish(lake, m1)
+    # identical re-publish: crash-resume path, no error
+    _publish(lake, m1)
+    m_other = Manifest(version=1, buckets={"0": {"txn_id": "b", "hwm_lsn": 9, "rows": 2}},
+                       txns=["b"])
+    with pytest.raises(CommitConflict):
+        _publish(lake, m_other)
+    assert read_manifest(lake).txns == ["a"]
+
+
+def test_store_dir_primitives(tmp_path):
+    store = LakeStore()
+    d = str(tmp_path / "a" / "b")
+    store.makedirs(d)
+    assert store.isdir(d)
+    store.write_text(d + "/f.txt", "1")
+    assert store.listdir(d) == ["f.txt"]
+    src = str(tmp_path / "a")
+    dst = str(tmp_path / "z")
+    store.replace_dir(src, dst)
+    assert store.exists(dst + "/b/f.txt") and not store.exists(src)
+    store.rmtree(dst)
+    assert not store.exists(dst)
+    store.rmtree(dst)  # idempotent on missing path
