@@ -443,26 +443,33 @@ def q_cdc_repo_manifest(sf_dir: str):
     deterministic tree; MetsBrowsingSerializer.kt:296-412 fixes the byte
     layout). Here: fold the repo's live files, sorted by path, into one
     compact JSON manifest carrying each file's content sha256 — byte-exact
-    against the SQL oracle."""
-    import json
+    against the SQL oracle. Serialization goes through the dual-version
+    serializer (manifests.py); this query pins schema v1."""
+    return _repo_manifest(sf_dir, version=1)
+
+
+def q_cdc_repo_manifest_v2(sf_dir: str):
+    """The SAME manifest model serialized to schema v2 (the
+    Mets2BrowsingSerializer.kt:8-19 analog: one build, two pinned
+    byte-exact layouts for differently-versioned consumers)."""
+    return _repo_manifest(sf_dir, version=2)
+
+
+def _repo_manifest(sf_dir: str, version: int):
+    from .manifests import build_manifest_model, serialize_manifest
 
     final = cdc_final_state(sf_dir, epochs=E)
 
     def per_repo(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("path", "ascending")])
         repo = g["repo"][0].as_py()
-        files = [
-            {"path": p, "sha256": h}
-            for p, h in zip(g["path"].to_pylist(), g["content_sha256"].to_pylist())
-        ]
-        doc = json.dumps(
-            {"repo": repo, "n_files": len(files), "files": files},
-            separators=(",", ":"),
+        model = build_manifest_model(
+            repo, g["path"].to_pylist(), g["content_sha256"].to_pylist()
         )
+        doc = serialize_manifest(model, version=version)
         return pa.Table.from_arrays(
             [
                 pa.array([repo], type=pa.string()),
-                pa.array([len(files)], type=pa.int64()),
+                pa.array([len(model["files"])], type=pa.int64()),
                 pa.array([doc], type=pa.string()),
             ],
             names=["repo", "n_files", "manifest"],
@@ -590,6 +597,19 @@ CDC_SQL: dict[str, str] = {
                ',"files":[' ||
                string_agg('{{"path":"' || path || '","sha256":"' || content_sha256 || '"}}',
                           ',' ORDER BY path) || ']}}' AS manifest
+        FROM final GROUP BY repo""",
+    "cdc_repo_manifest_v2": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        final AS (
+          SELECT repo, path, sha256(content) AS content_sha256
+          FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+               '{{"manifest_version":2,"object":{{"id":"' || repo ||
+               '","file_count":' || CAST(count(*) AS VARCHAR) ||
+               '}},"files":[' ||
+               string_agg('{{"href":"' || path || '","checksum":"sha256:'
+                          || content_sha256 || '"}}', ',' ORDER BY path)
+               || ']}}' AS manifest
         FROM final GROUP BY repo""",
     "cdc_schema_evolution": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE}
@@ -791,6 +811,33 @@ def q_doc_validate_route(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_route_policy(sf_dir: str):
+    """Penalize/backoff routing policy over validator routes (the
+    RoutedException analog, …/exceptions/RoutedException.kt:5-10 handled
+    at Jhove.kt:539-549): 'ok' passes, permanent data errors quarantine,
+    'short' is treated as transient — it RETRIES with an exponential
+    penalty (attempt+1, backoff 1000*2^attempt ms). One policy
+    application shown here; the retry-until-exhausted loop semantics are
+    unit-tested in tests/test_routing.py."""
+    from .routing import RoutePolicy, RouteRule, apply_route_policy
+
+    routed = q_doc_validate_route(sf_dir)
+    policy = RoutePolicy(
+        rules={
+            "ok": RouteRule("pass"),
+            "empty": RouteRule("quarantine"),
+            "long": RouteRule("quarantine"),
+            "short": RouteRule("retry", penalize=True, max_retries=2),
+        }
+    )
+    out = routed.map_batches(
+        lambda b: apply_route_policy(b, policy), batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "route", "disposition", "attempt", "penalty_ms"]
+    )
 
 
 def q_validation_summary(sf_dir: str):
@@ -1140,6 +1187,23 @@ DOC_SQL: dict[str, str] = {
     "props_json_extract": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events""",
+    # one policy application over the doc_validate_route rules: short is
+    # the transient route (retry, attempt 0 -> 1, penalty 1000*2^0 ms)
+    "doc_route_policy": """
+        WITH routed AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 17 = 1 THEN 'empty'
+                      WHEN n_chars < 120 THEN 'short'
+                      WHEN n_chars > 450 THEN 'long'
+                      ELSE 'ok' END AS route
+          FROM documents)
+        SELECT doc_id, route,
+               CASE route WHEN 'ok' THEN 'pass'
+                          WHEN 'short' THEN 'retry'
+                          ELSE 'quarantine' END AS disposition,
+               CAST(CASE WHEN route = 'short' THEN 1 ELSE 0 END AS BIGINT) AS attempt,
+               CAST(CASE WHEN route = 'short' THEN 1000 ELSE 0 END AS BIGINT) AS penalty_ms
+        FROM routed""",
     "doc_validate_route": """
         SELECT doc_id, source,
                CASE WHEN doc_id % 17 = 1 THEN 'empty'
@@ -2058,6 +2122,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,
+        "cdc_repo_manifest_v2": q_cdc_repo_manifest_v2,
         "cdc_change_batch_compile": q_cdc_change_batch_compile,
         "cdc_extension_discovery": q_cdc_extension_discovery,
         "doc_json_merge": q_doc_json_merge,
@@ -2070,6 +2135,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_nested_project": q_doc_nested_project,
         "props_json_extract": q_props_json_extract,
         "doc_validate_route": q_doc_validate_route,
+        "doc_route_policy": q_doc_route_policy,
         "doc_validate_actor": q_doc_validate_actor,
         "doc_xml_extract": q_doc_xml_extract,
         "doc_xml_validate": q_doc_xml_validate,
