@@ -840,6 +840,69 @@ def q_doc_route_policy(sf_dir: str):
     )
 
 
+def q_steps_pipeline(sf_dir: str):
+    """User-extension surface end-to-end (SURVEY.md §2.10): a pipeline
+    DECLARED as (step, config) pairs against the step registry — the
+    engine's flow.xml — and applied to a Dataset. Chains five built-in
+    steps (extract_item_id, canonical_ext, path_safety,
+    normalize_content, sha256) plus relationship routing (filter_route),
+    mirroring a reference flow of chained configured processors."""
+    from .steps import PipelineSpec
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "lang", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ext = np.select(
+            [ids % 3 == 0, ids % 3 == 1], [".jp2", ".tiff"], default=".tif"
+        )
+        fname = pc.binary_join_element_wise(
+            "tekst_",
+            pc.cast(batch["source"], pa.string()),
+            "_",
+            pc.utf8_lpad(pc.cast(batch["doc_id"] , pa.string()), 3, "0"),
+            pa.array(ext.tolist(), type=pa.string()),
+            "",
+        )
+        bad = ids % 13 == 5
+        prefix = np.where(bad, "../", "")
+        path = pc.binary_join_element_wise(
+            pa.array(prefix.tolist(), type=pa.string()),
+            "docs/",
+            pc.cast(batch["lang"], pa.string()),
+            "/f",
+            pc.cast(batch["doc_id"], pa.string()),
+            ".txt",
+            "",
+        )
+        route = np.where(bad, "unsafe", "ok")
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                fname,
+                path,
+                pa.array(route.tolist(), type=pa.string()),
+                batch["text"],
+            ],
+            names=["doc_id", "filename", "path", "route", "text"],
+        )
+
+    spec = PipelineSpec(
+        steps=[
+            ("filter_route", {"column": "route", "keep": "ok"}),
+            ("extract_item_id", {"column": "filename", "out": "item_id"}),
+            ("canonical_ext", {"column": "filename", "out": "canonical_name"}),
+            ("path_safety", {"column": "path", "out": "is_safe"}),
+            ("normalize_content", {"column": "text"}),
+            ("sha256", {"column": "text", "out": "text_sha256"}),
+        ]
+    )
+    out = spec.apply(ds.map_batches(prep, batch_format="pyarrow"))
+    return out.select_columns(
+        ["doc_id", "item_id", "canonical_name", "is_safe", "text_sha256"]
+    )
+
+
 def q_validation_summary(sf_dir: str):
     """Grouped validation summary (Jhove.kt:490-537 analog): per source,
     counts + all_valid flag, partial-aggregated before the shuffle."""
@@ -1204,6 +1267,24 @@ DOC_SQL: dict[str, str] = {
                CAST(CASE WHEN route = 'short' THEN 1 ELSE 0 END AS BIGINT) AS attempt,
                CAST(CASE WHEN route = 'short' THEN 1000 ELSE 0 END AS BIGINT) AS penalty_ms
         FROM routed""",
+    # mirrors q_steps_pipeline's prep rules + the declared step chain
+    "steps_pipeline": """
+        WITH prepped AS (
+          SELECT doc_id, text,
+                 'tekst_' || source || '_' ||
+                 lpad(CAST(doc_id AS VARCHAR), 3, '0') ||
+                 CASE WHEN doc_id % 3 = 0 THEN '.jp2'
+                      WHEN doc_id % 3 = 1 THEN '.tiff'
+                      ELSE '.tif' END AS filename
+          FROM documents
+          WHERE doc_id % 13 <> 5)
+        SELECT doc_id,
+               regexp_extract(filename, '^(.+)_\\d+\\.(jp2|tif|tiff)$', 1) AS item_id,
+               regexp_replace(filename, '\\.(jp2|tiff)$', '.tif') AS canonical_name,
+               TRUE AS is_safe,
+               sha256(nfc_normalize(replace(replace(text, chr(13)||chr(10), chr(10)),
+                                            chr(13), chr(10)))) AS text_sha256
+        FROM prepped""",
     "doc_validate_route": """
         SELECT doc_id, source,
                CASE WHEN doc_id % 17 = 1 THEN 'empty'
@@ -2136,6 +2217,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "props_json_extract": q_props_json_extract,
         "doc_validate_route": q_doc_validate_route,
         "doc_route_policy": q_doc_route_policy,
+        "steps_pipeline": q_steps_pipeline,
         "doc_validate_actor": q_doc_validate_actor,
         "doc_xml_extract": q_doc_xml_extract,
         "doc_xml_validate": q_doc_xml_validate,
