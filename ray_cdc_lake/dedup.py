@@ -499,6 +499,236 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution: distributed connected components
+# ---------------------------------------------------------------------------
+
+CC_NUM_BUCKETS = 64
+
+
+def _cc_bucket(edges, col: str):
+    def add(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "_cb", pa.array((v * 2654435761 % CC_NUM_BUCKETS).astype(np.int64))
+        )
+
+    return edges.map_batches(add, batch_format="pyarrow")
+
+
+def _star_round(edges, mode: str):
+    """One star operation over a (src, dst) edge Dataset. ``large``:
+    src-symmetrized input; for each node u emit (v, min(N(u) ∪ {u})) for
+    neighbors v > u. ``small``: canonicalized input (src = larger
+    endpoint); emit (v, m) for v != m plus (src, m), m = min(N(u) ∪ {u}).
+    Grouped by a hash BUCKET of src (O(buckets) groups, per-node runs
+    resolved inside the group — never one scheduler group per node)."""
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        out_a, out_b = [], []
+        for s, e in _runs(src):
+            u = int(src[s])
+            nbrs = np.unique(dst[s:e])
+            m = int(min(nbrs[0], u))
+            if mode == "large":
+                big = nbrs[nbrs > u]
+                out_a.extend(big.tolist())
+                out_b.extend([m] * len(big))
+            else:
+                keep = nbrs[nbrs != m]
+                out_a.extend(keep.tolist())
+                out_b.extend([m] * len(keep))
+                out_a.append(u)
+                out_b.append(m)
+        return pa.Table.from_arrays(
+            [pa.array(out_a, type=pa.int64()), pa.array(out_b, type=pa.int64())],
+            names=["src", "dst"],
+        )
+
+    return (
+        _cc_bucket(edges, "src")
+        .groupby("_cb")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_cb"])), batch_format="pyarrow"
+        )
+    )
+
+
+def _canonical_distinct(edges):
+    """(src, dst) -> distinct canonical edges (src = max, dst = min),
+    self-loops dropped; bucketed unique (no one-group-per-edge)."""
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b["src"].to_numpy(zero_copy_only=False)
+        c = b["dst"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pa.Table.from_arrays(
+            [pa.array(np.maximum(a, c)), pa.array(np.minimum(a, c))],
+            names=["src", "dst"],
+        )
+
+    def uniq(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g.drop_columns(["_cb"]))
+            .unique(maintain_order=False)
+            .to_arrow()
+        )
+
+    return (
+        _cc_bucket(edges.map_batches(canon, batch_format="pyarrow"), "src")
+        .groupby("_cb")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _edge_signature(edges) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of a canonical edge set — the
+    tiny per-round convergence probe (one partial per batch + one sum)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        a = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = (a * np.uint64(0x9E3779B97F4A7C15) + c) * np.uint64(0xC2B2AE3D27D4EB4F)
+        # top 32 bits only: int64 partial sums cannot overflow below
+        # 2^31 edges per batch, and the final Sum stays in int64 range
+        mix32 = (mix >> np.uint64(32)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(mix32.sum())], type=pa.int64()),
+                pa.array([len(a)], type=pa.int64()),
+            ],
+            names=["h", "n"],
+        )
+
+    agg = edges.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("h", alias_name="h"), Sum("n", alias_name="n")
+    )
+    return (int(agg["n"] or 0), int(agg["h"] or 0))
+
+
+def connected_components(pairs, max_rounds: int = 12):
+    """Distributed connected components over a pair Dataset (id_a, id_b)
+    via alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the scalable cluster-resolution
+    step that turns near-dup PAIRS into per-document cluster labels.
+
+    Each round is two bucketed groupbys over the EDGE set (O(edges)
+    traffic, O(buckets) groups); rounds converge in O(log n) for
+    real-world graphs. The edge set is materialized per round — it is the
+    derived pair set (tiny next to the corpus), and the alternative is an
+    unboundedly deep lazy plan re-executed per convergence probe.
+
+    Returns a Dataset (member_id, cluster_id) covering every node that
+    appears in an edge; cluster_id is the component's minimum id.
+    """
+
+    def seed(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["id_a"].cast(pa.int64()), b["id_b"].cast(pa.int64())],
+            names=["src", "dst"],
+        )
+
+    edges = _canonical_distinct(pairs.map_batches(seed, batch_format="pyarrow"))
+    edges = edges.materialize()
+    sig = _edge_signature(edges)
+    for _ in range(max_rounds):
+        # large-star works on the symmetrized view
+        def both_dirs(b: pa.Table) -> pa.Table:
+            return pa.concat_tables(
+                [
+                    b,
+                    pa.Table.from_arrays(
+                        [b["dst"], b["src"]], names=["src", "dst"]
+                    ),
+                ]
+            )
+
+        grown = _star_round(
+            edges.map_batches(both_dirs, batch_format="pyarrow"), "large"
+        )
+        shrunk = _star_round(_canonical_distinct(grown), "small")
+        edges = _canonical_distinct(shrunk).materialize()
+        new_sig = _edge_signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # converged: every edge is (member, component-root)
+    def label(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b["src"], b["dst"]], names=["member_id", "cluster_id"]
+        )
+
+    members = edges.map_batches(label, batch_format="pyarrow")
+
+    def roots(b: pa.Table) -> pa.Table:
+        r = np.unique(b["cluster_id"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(r), pa.array(r)], names=["member_id", "cluster_id"]
+        )
+
+    root_rows = members.map_batches(roots, batch_format="pyarrow")
+
+    def uniq(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g.drop_columns(["_cb"]))
+            .unique(maintain_order=False)
+            .sort(["member_id"])
+            .to_arrow()
+        )
+
+    allrows = members.union(root_rows)
+    return (
+        _cc_bucket(allrows, "member_id")
+        .groupby("_cb")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def q_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8):
+    """Duplicate-cluster resolution over the planted corpus: edges =
+    exact-dup pairs (same md5 -> (min, member)) ∪ n-gram near-dup pairs
+    with jaccard >= threshold (both deterministic), resolved to
+    (member_id, cluster_id) by distributed connected components. A doc
+    that is both exactly AND nearly duplicated (doc_id % 90 == 0) forms a
+    3-node component — the transitive case a pairwise view cannot
+    express."""
+    import pyarrow.compute as pc
+
+    exact = q_dedup_exact(sf_dir)
+
+    def exact_pairs(b: pa.Table) -> pa.Table:
+        # (keeper, keeper+2M) for every hash with >1 copy: the planted
+        # exact dup is id+2_000_000 (CORPUS_CTE) — derive the member from
+        # the corpus rule rather than reshuffling full id lists
+        t = b.filter(pc.greater(b["n_copies"], 1))
+        k = t["keeper_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(k + 2_000_000)], names=["id_a", "id_b"]
+        )
+
+    near = q_dedup_ngram_jaccard(sf_dir)
+
+    def near_pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["jaccard"], jaccard_threshold))
+        return t.select(["id_a", "id_b"])
+
+    edges = exact.map_batches(exact_pairs, batch_format="pyarrow").union(
+        near.map_batches(near_pairs, batch_format="pyarrow")
+    )
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup, LSH-bucketed (the at-scale path)
 # ---------------------------------------------------------------------------
 
@@ -612,7 +842,124 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
     )
 
 
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation (the training-data sweep, composed)
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_TOKENS = 3
+CURATION_MAX_STOP_RATIO = 0.5
+
+
+def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
+    """The composed training-data curation pipeline over the planted
+    corpus — what a reference user runs end-to-end before training:
+
+    1. EXACT dedup with payload: one content-hash bucketed shuffle of the
+       corpus; within each bucket the min-doc_id row per md5 survives
+       (the corpus moves across the wire exactly once);
+    2. NEAR-dup removal: verified n-gram-Jaccard pairs (>= threshold)
+       name the dropped member; the pair set is the small derived side,
+       collected once and broadcast (ray.put) into a vectorized is_in
+       filter — at petabyte pair counts this becomes an anti-join by id;
+    3. quality gating: vectorized token/stopword metrics, keep rows with
+       n_tokens >= 3 and stopword_ratio < 0.5.
+
+    Emits (doc_id, n_tokens, stopword_ratio) for every surviving doc."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .sources import get_broadcast
+    from .textstats import quality_score
+
+    # small side: dropped near-dup member ids
+    pairs = q_dedup_ngram_jaccard(sf_dir)
+    dropped = pairs.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b["jaccard"], jaccard_threshold)
+        ).select(["id_b"]),
+        batch_format="pyarrow",
+    )
+    drop_ids = pa.array(dropped.to_pandas()["id_b"], type=pa.int64())
+    drop_ref = ray.put(drop_ids)
+
+    corpus = corpus_ds(sf_dir)
+
+    def add_md5_bucket(b: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in b["text"].to_pylist()
+        ]
+        bucket = np.array(
+            [int(m[:8], 16) % NUM_PAIR_BUCKETS for m in md5s], dtype=np.int64
+        )
+        return b.append_column(
+            "text_md5", pa.array(md5s, type=pa.string())
+        ).append_column("_hb", pa.array(bucket))
+
+    def keep_min_per_hash(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g.drop_columns(["_hb"]))
+            .sort("doc_id")
+            .unique(subset=["text_md5"], keep="first", maintain_order=True)
+            .drop("text_md5")
+            .to_arrow()
+        )
+
+    deduped = (
+        corpus.map_batches(add_md5_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(keep_min_per_hash, batch_format="pyarrow")
+    )
+
+    def near_filter_and_quality(b: pa.Table) -> pa.Table:
+        drop = get_broadcast(drop_ref)
+        b = b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop)))
+        q = quality_score(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], CURATION_MIN_TOKENS),
+            pc.less(q["stopword_ratio"], CURATION_MAX_STOP_RATIO),
+        )
+        return q.filter(keep).select(["doc_id", "n_tokens", "stopword_ratio"])
+
+    return deduped.map_batches(near_filter_and_quality, batch_format="pyarrow")
+
+
 SQL = {
+    "corpus_curation": f"""
+        WITH {CORPUS_CTE},
+        tri AS (
+          SELECT doc_id, string_split(text, ' ') AS w1,
+                 string_split(text || ' neardup', ' ') AS w2
+          FROM documents WHERE doc_id % 10 = 0),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(w1)-2, 1) + 1),
+                i -> w1[i] || ' ' || w1[i+1] || ' ' || w1[i+2])) AS s1,
+            list_distinct(list_transform(range(1, greatest(len(w2)-2, 1) + 1),
+                i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS s2
+          FROM tri),
+        near_drop AS (
+          SELECT doc_id + 1000000 AS doc_id FROM sets
+          WHERE CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                / len(list_distinct(list_concat(s1, s2))) >= 0.8),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+        surv AS (
+          SELECT c.doc_id, c.text FROM corpus c
+          JOIN keepers k USING (doc_id)
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        q AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','to','and'))) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+          FROM surv)
+        SELECT doc_id, n_tokens, stopword_ratio FROM q
+        WHERE n_tokens >= {CURATION_MIN_TOKENS}
+          AND stopword_ratio < {CURATION_MAX_STOP_RATIO}""",
     "dedup_exact": f"""
         WITH {CORPUS_CTE}
         SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id,
@@ -638,6 +985,33 @@ SQL = {
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+    # mirrors q_dedup_clusters' edge construction: exact pairs
+    # (d, d+2M) for d%9==0, near pairs (d, d+1M) where the planted
+    # pair's trigram jaccard >= 0.8; components are stars around the
+    # original d (3 nodes when d%90==0), so cluster_id = d directly
+    "dedup_clusters": """
+        WITH tri AS (
+          SELECT doc_id, string_split(text, ' ') AS w1,
+                 string_split(text || ' neardup', ' ') AS w2
+          FROM documents WHERE doc_id % 10 = 0),
+        sets AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(w1)-2, 1) + 1),
+                i -> w1[i] || ' ' || w1[i+1] || ' ' || w1[i+2])) AS s1,
+            list_distinct(list_transform(range(1, greatest(len(w2)-2, 1) + 1),
+                i -> w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2])) AS s2
+          FROM tri),
+        near AS (
+          SELECT doc_id FROM sets
+          WHERE CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+                / len(list_distinct(list_concat(s1, s2))) >= 0.8),
+        exact AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+        members AS (
+          SELECT doc_id AS member_id, doc_id AS cluster_id FROM near
+          UNION SELECT doc_id, doc_id FROM exact
+          UNION SELECT doc_id + 1000000, doc_id FROM near
+          UNION SELECT doc_id + 2000000, doc_id FROM exact)
+        SELECT member_id, cluster_id FROM members""",
     # the LSH path verifies candidates with the same exact cosine; with
     # b=24, r=4 its recall on this corpus is 1.0 (deterministic seed —
     # asserted vs the brute-force baseline in tests), so the full-join
@@ -658,5 +1032,7 @@ def registry():
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_curation": q_corpus_curation,
     }
     return queries, dict(SQL)

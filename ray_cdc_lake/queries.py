@@ -546,7 +546,76 @@ def q_cdc_schema_evolution(sf_dir: str):
     return read_lake(lake).map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_schema_widening(sf_dir: str):
+    """Type WIDENING through the committed sink (the retype half of
+    SURVEY.md §7 step 8, complementing q_cdc_schema_evolution's
+    column-add): txn-1 commits a ``size`` column as int32, txn-2 retypes
+    it to float64 (+0.5 so promotion is observable). The conform step's
+    new-wins-on-retype rule promotes txn-1's committed int32 rows to
+    float64 on the next merge — the pa.unify_schemas int->float
+    promotion, exercised end-to-end through the lake."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake
+
+    lake = f"/tmp/ray_cdc_lake_widen/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = ev.materialize()  # tiny, consumed by both segments
+    cut = 2 * STRIDE
+
+    def narrow(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["lsn"], cut))
+        size = pc.cast(
+            pc.fill_null(pc.utf8_length(t["content"]), 0), pa.int32()
+        )
+        return t.append_column("size", size)
+
+    def widen(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["lsn"], cut))
+        size = pc.add(
+            pc.cast(pc.fill_null(pc.utf8_length(t["content"]), 0), pa.float64()),
+            0.5,
+        )
+        return t.append_column("size", size)
+
+    apply_incremental(
+        lake,
+        "txn-0001",
+        ev.map_batches(narrow, batch_format="pyarrow"),
+        events_schema=COMPILED_SCHEMA.append(pa.field("size", pa.int32())),
+    )
+    apply_incremental(
+        lake,
+        "txn-0002",
+        ev.map_batches(widen, batch_format="pyarrow"),
+        events_schema=COMPILED_SCHEMA.append(pa.field("size", pa.float64())),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        assert t.schema.field("size").type == pa.float64(), (
+            "int32 -> float64 promotion did not happen in the lake"
+        )
+        t = t.select(["repo", "path", "commit", "lang", "content", "size", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
 CDC_SQL: dict[str, str] = {
+    "cdc_schema_widening": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               CASE WHEN lsn < 2*{STRIDE_SQL}
+                    THEN CAST(length(content) AS DOUBLE)
+                    ELSE length(content) + 0.5 END AS size,
+               lsn, sha256(content) AS content_sha256
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
     "cdc_tail_replay": FINAL_STATE_SQL,
     "cdc_change_batch_compile": """
         WITH pages AS (
@@ -2200,6 +2269,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_schema_widening": q_cdc_schema_widening,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,

@@ -52,6 +52,50 @@ def test_embedding_lsh_recall_and_precision():
     assert l == b          # recall 1.0 on this corpus (seeded, deterministic)
 
 
+def test_connected_components_vs_union_find():
+    """The distributed large-star/small-star CC must match a
+    single-process union-find on a random graph (chains, cycles, stars,
+    singleton-free)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray_cdc_lake.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    n_nodes, n_edges = 600, 500
+    a = rng.integers(0, n_nodes, n_edges).astype("int64")
+    b = rng.integers(0, n_nodes, n_edges).astype("int64")
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    touched = set(a.tolist()) | set(b.tolist())
+    want = {v: find(v) for v in sorted(touched)}
+    # roots as min id per component
+    comp_min: dict[int, int] = {}
+    for v, r in want.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[r] for v, r in want.items()}
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    )
+    got_df = connected_components(pairs).to_pandas()
+    got = dict(zip(got_df.member_id, got_df.cluster_id))
+    assert got == want
+
+
 def test_langid_predicts_en_for_english_corpus():
     from ray_cdc_lake.textstats import q_text_langid
 
