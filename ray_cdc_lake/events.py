@@ -47,8 +47,9 @@ STRIDE = 10_000_000  # lsn stride per epoch (epoch-major global LSN order)
 TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch microseconds
 
 
-def _md5_hex(keys: list[str]) -> list[str]:
-    return [hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys]
+def _md5_hex(keys: list[bytes]) -> list[str]:
+    md5 = hashlib.md5
+    return [md5(k).hexdigest() for k in keys]
 
 
 class DeriveEvents:
@@ -60,6 +61,11 @@ class DeriveEvents:
 
     def __init__(self, epochs: int = DEFAULT_EPOCHS):
         self.epochs = int(epochs)
+        # E distinct rev suffixes, built once — the fan-out just takes
+        # from this array instead of stringifying n*E integers per batch
+        self._suffixes = pa.array(
+            [f" [rev {i}]" for i in range(self.epochs)], type=pa.string()
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         E = self.epochs
@@ -81,14 +87,6 @@ class DeriveEvents:
             "",
         )
 
-        def rev_suffix(e_arr: np.ndarray) -> pa.Array:
-            return pc.binary_join_element_wise(
-                " [rev ",
-                pa.array(e_arr.astype(str), type=pa.string()),
-                "]",
-                "",
-            )
-
         tables: list[pa.Table] = []
 
         # versioned upserts: fan out n rows -> n*E rows (repeat-major by doc)
@@ -97,7 +95,7 @@ class DeriveEvents:
         lsn = e * STRIDE + np.repeat(doc_id, E)
         op = pc.if_else(pa.array(e == 0), pa.scalar("insert"), pa.scalar("update"))
         content = pc.binary_join_element_wise(
-            pc.take(text, idx), rev_suffix(e), ""
+            pc.take(text, idx), pc.take(self._suffixes, pa.array(e)), ""
         )
         tables.append(
             _events_table(
@@ -184,7 +182,11 @@ def _events_table(lsn, op, repo, path, new_path, lang, content) -> pa.Table:
         pc.cast(lsn_a, pa.string()),
         "",
     )
-    commit = pa.array(_md5_hex(key.to_pylist()), type=pa.string())
+    # bytes straight out of Arrow (keys are ASCII): skips a per-row
+    # str.encode in the md5 loop — the only per-row Python here
+    commit = pa.array(
+        _md5_hex(pc.cast(key, pa.binary()).to_pylist()), type=pa.string()
+    )
     ts = pa.array(
         (TS_BASE_US + np.asarray(lsn, dtype=np.int64)).astype("datetime64[us]")
     )
