@@ -124,6 +124,73 @@ def apply_incremental(
     )
 
 
+def lake_diff(
+    lake_dir: str,
+    v_old: int,
+    v_new: int,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> "ray.data.Dataset":
+    """Snapshot diff between two committed manifest versions (time
+    travel + change feed): one bucketed shuffle of both LIVE states,
+    per-key compare inside the bucket group. Emits (repo, path, change,
+    old_lsn, new_lsn) with change in {added, deleted, updated} —
+    unchanged keys never leave the reduce.
+
+    Reference analog: the batch-summary emit (ReorderFiles.kt:396-410)
+    reports what one batch changed; this reports what any RANGE of
+    transactions changed, derived from immutable snapshots rather than
+    an application-side log."""
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with callers)
+
+    from .sink import read_lake
+
+    def tag(src: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(["repo", "path", "lsn"])
+            return t.append_column(
+                "_src", pa.array([src] * t.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    old = read_lake(lake_dir, version=v_old).map_batches(
+        tag("old"), batch_format="pyarrow"
+    )
+    new = read_lake(lake_dir, version=v_new).map_batches(
+        tag("new"), batch_format="pyarrow"
+    )
+    both = old.union(new).map_batches(
+        lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
+    )
+
+    def diff_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        p = df.group_by(["repo", "path"]).agg(
+            pl.col("lsn").filter(pl.col("_src") == "old").max().alias("old_lsn"),
+            pl.col("lsn").filter(pl.col("_src") == "new").max().alias("new_lsn"),
+        )
+        p = p.with_columns(
+            pl.when(pl.col("old_lsn").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("new_lsn").is_null())
+            .then(pl.lit("deleted"))
+            .when(pl.col("old_lsn") != pl.col("new_lsn"))
+            .then(pl.lit("updated"))
+            .otherwise(pl.lit("unchanged"))
+            .alias("change")
+        )
+        return (
+            p.filter(pl.col("change") != "unchanged")
+            .select(["repo", "path", "change", "old_lsn", "new_lsn"])
+            .sort(["repo", "path"])
+            .to_arrow()
+        )
+
+    return both.groupby("bucket").map_groups(diff_bucket, batch_format="pyarrow")
+
+
 def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
 

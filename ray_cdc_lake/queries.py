@@ -546,6 +546,60 @@ def q_cdc_schema_evolution(sf_dir: str):
     return read_lake(lake).map_batches(finish, batch_format="pyarrow")
 
 
+def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
+    """Build (idempotently, per sf_dir) a lake committed in TWO txns split
+    at lsn = 2*STRIDE — the fixture for time-travel / diff queries.
+    Returns (lake_dir, cut)."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+
+    lake = f"/tmp/ray_cdc_lake_{name}/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+    cut = 2 * STRIDE
+
+    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
+    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = ev.materialize()  # tiny, consumed by both segments
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
+    apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
+    return lake, cut
+
+
+def q_cdc_time_travel(sf_dir: str):
+    """Manifest time travel: two committed txns, then read back version 1
+    (the snapshot BEFORE txn-2) — manifests are immutable claims, so any
+    retained version is a consistent state. Oracle: the LWW replay
+    truncated at the txn boundary."""
+    lake, _ = _two_txn_lake(sf_dir, "tt")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    from .sink import read_lake
+
+    return read_lake(lake, version=1).map_batches(finish, batch_format="pyarrow")
+
+
+def q_cdc_lake_diff(sf_dir: str):
+    """Snapshot diff v1 -> v2 (the change feed between two committed
+    versions): added / deleted / updated keys with old/new LSNs, computed
+    by one bucketed shuffle of both live states."""
+    from .checkpoint import lake_diff
+
+    lake, _ = _two_txn_lake(sf_dir, "diff")
+    return lake_diff(lake, 1, 2)
+
+
 def q_cdc_schema_widening(sf_dir: str):
     """Type WIDENING through the committed sink (the retype half of
     SURVEY.md §7 step 8, complementing q_cdc_schema_evolution's
@@ -656,6 +710,39 @@ CDC_SQL: dict[str, str] = {
                    || '.' || ext AS new_name,
                TRUE AS safe
         FROM fanned""",
+    "cdc_time_travel": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
+        normalized AS (
+          SELECT lsn, op, repo, path, "commit", lang,
+                 nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                                       chr(13), chr(10))) AS content
+          FROM compiled WHERE lsn < 2*{STRIDE_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized)
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
+    "cdc_lake_diff": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        old_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn2
+          FROM normalized WHERE lsn < 2*{STRIDE_SQL}),
+        s_old AS (SELECT repo, path, lsn FROM old_ranked
+                  WHERE rn2 = 1 AND op <> 'delete'),
+        s_new AS (SELECT repo, path, lsn FROM ranked
+                  WHERE rn = 1 AND op <> 'delete')
+        SELECT COALESCE(o.repo, n.repo) AS repo,
+               COALESCE(o.path, n.path) AS path,
+               CASE WHEN o.repo IS NULL THEN 'added'
+                    WHEN n.repo IS NULL THEN 'deleted'
+                    ELSE 'updated' END AS change,
+               o.lsn AS old_lsn, n.lsn AS new_lsn
+        FROM s_old o FULL OUTER JOIN s_new n
+          ON o.repo = n.repo AND o.path = n.path
+        WHERE o.repo IS NULL OR n.repo IS NULL OR o.lsn <> n.lsn""",
     "cdc_repo_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         final AS (
@@ -2270,6 +2357,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_partition_manifest": q_cdc_partition_manifest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_widening": q_cdc_schema_widening,
+        "cdc_time_travel": q_cdc_time_travel,
+        "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,

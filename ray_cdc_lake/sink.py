@@ -176,12 +176,21 @@ def _manifest_path(lake_dir: str, version: int) -> str:
     return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{version:06d}.json")
 
 
-def read_manifest(lake_dir: str, store: LakeStore | None = None) -> Manifest:
+def read_manifest(
+    lake_dir: str, store: LakeStore | None = None, version: int | None = None
+) -> Manifest:
+    """Read the CURRENT manifest, or a pinned historical ``version`` —
+    manifests are immutable once claimed, so any version still on disk is
+    a consistent snapshot (time travel). Retention caveat: ``vacuum``
+    keeps only txns referenced by the CURRENT manifest's txn list; txns
+    accumulate across incremental applies, so history stays readable
+    until a ``compact`` (which collapses the txn list) plus vacuum."""
     store = store or _DEFAULT_STORE
-    cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
-    if not store.exists(cur):
-        return Manifest()
-    version = int(store.read_text(cur).strip())
+    if version is None:
+        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+        if not store.exists(cur):
+            return Manifest()
+        version = int(store.read_text(cur).strip())
     d = json.loads(store.read_text(_manifest_path(lake_dir, version)))
     return Manifest(
         version=d["version"],
@@ -338,15 +347,20 @@ def _write_txn_data(
 
 
 def read_lake(
-    lake_dir: str, live_only: bool = True, store: LakeStore | None = None
+    lake_dir: str,
+    live_only: bool = True,
+    store: LakeStore | None = None,
+    version: int | None = None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
-    manifest — uncommitted/crashed txn files are invisible)."""
+    manifest — uncommitted/crashed txn files are invisible). Pass
+    ``version`` to time-travel to a historical snapshot (see
+    read_manifest for the retention caveat)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     store = store or _DEFAULT_STORE
-    m = read_manifest(lake_dir, store=store)
+    m = read_manifest(lake_dir, store=store, version=version)
     dirs = m.data_dirs(lake_dir)
     if not dirs:
         raise FileNotFoundError(f"no committed state in {lake_dir}")

@@ -64,6 +64,39 @@ def test_sink_through_explicit_store(tmp_path):
     assert vacuum(lake, store=store) == []
 
 
+def test_time_travel_versions_and_retention(tmp_path):
+    """Each committed version stays readable (manifests are immutable
+    claims) until compaction+vacuum collapses the txn list."""
+    import ray.data as rd
+
+    from ray_cdc_lake.checkpoint import compact
+
+    lake = str(tmp_path / "lake")
+    t1 = _winners(seed=5)
+    commit_txn(lake, "txn-a", rd.from_arrow(t1))
+    t2 = _winners(seed=6)
+    commit_txn(lake, "txn-b", rd.from_arrow(t2))
+    n_v1 = len(read_lake(lake, version=1).to_pandas())
+    n_v2 = len(read_lake(lake, version=2).to_pandas())
+    n_cur = len(read_lake(lake).to_pandas())
+    assert n_v1 == t1.num_rows
+    assert n_v2 == n_cur  # CURRENT == latest version
+    # compaction + vacuum removes superseded txn data: history gone,
+    # current state unchanged
+    before = sorted(
+        map(tuple, read_lake(lake).to_pandas().astype(str).values.tolist())
+    )
+    compact(lake)
+    after = sorted(
+        map(tuple, read_lake(lake).to_pandas().astype(str).values.tolist())
+    )
+    assert after == before
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_lake(lake, version=1).to_pandas()
+
+
 def test_claim_with_content_primitive(tmp_path):
     store = LakeStore()
     tmp = str(tmp_path / "payload.tmp")
