@@ -54,24 +54,65 @@ def apply_incremental(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     fail_before_publish: bool = False,
     events_schema: "pa.Schema | None" = None,
+    max_attempts: int = 5,
+    dedup_below_hwm: bool = True,
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
     1. bucket the incoming compiled events (stable hash),
-    2. drop events at or below the committed per-bucket watermark,
+    2. drop events at or below the committed per-bucket watermark
+       (``dedup_below_hwm``) — valid ONLY for a single LSN-ordered log
+       (the binlog-tail contract: re-deliveries of an ordered stream).
+       Independent concurrent writers ingesting different sources carry
+       unrelated LSN ranges, so they must pass ``dedup_below_hwm=False``
+       and rely on txn-id idempotence + LWW instead,
     3. union with the prior committed state (tombstones included — they
        are inserts of 'delete' winners and keep winning against stale
        lower-LSN events),
     4. LWW-reduce per bucket, keep tombstones in the output,
-    5. staged write + atomic manifest publish via sink.commit_txn.
+    5. staged write + atomic manifest publish via sink.commit_txn,
+       PINNED to the manifest version the merge read (expected_version)
+       — a concurrent writer advancing the manifest raises
+       CommitConflict and the whole apply re-reads and re-merges
+       (Delta-style optimistic concurrency; losers retry, never
+       overwrite).
 
     Re-running with the same txn_id after a crash is safe at every point.
     """
+    from .sink import CommitConflict
+
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return _apply_incremental_once(
+                lake_dir,
+                txn_id,
+                compiled_events,
+                num_buckets=num_buckets,
+                fail_before_publish=fail_before_publish,
+                events_schema=events_schema,
+                dedup_below_hwm=dedup_below_hwm,
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _apply_incremental_once(
+    lake_dir: str,
+    txn_id: str,
+    compiled_events: "ray.data.Dataset",
+    num_buckets: int,
+    fail_before_publish: bool,
+    events_schema: "pa.Schema | None",
+    dedup_below_hwm: bool = True,
+) -> Manifest:
     manifest = read_manifest(lake_dir)
     ds = compiled_events.map_batches(
         lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
     )
-    ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
+    if dedup_below_hwm:
+        ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
 
     if manifest.buckets:
         prior = read_lake(lake_dir, live_only=False)
@@ -120,7 +161,11 @@ def apply_incremental(
 
     winners = lww_winners_keep_bucket(ds)
     return commit_txn(
-        lake_dir, txn_id, winners, fail_before_publish=fail_before_publish
+        lake_dir,
+        txn_id,
+        winners,
+        fail_before_publish=fail_before_publish,
+        expected_version=manifest.version,
     )
 
 

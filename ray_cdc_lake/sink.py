@@ -262,6 +262,7 @@ def commit_txn(
     winners: "ray.data.Dataset",
     fail_before_publish: bool = False,
     store: LakeStore | None = None,
+    expected_version: int | None = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -279,6 +280,17 @@ def commit_txn(
     manifest = read_manifest(lake_dir, store=store)
     if txn_id in manifest.txns:
         return manifest
+    # optimistic-concurrency pin: a caller that MERGED against manifest
+    # version V must not publish over a newer version — its winners were
+    # computed from stale prior state and would silently drop the other
+    # writer's rows in shared buckets (copy-on-write rewrites the whole
+    # bucket). The manifest-claim race below only catches ties on the
+    # SAME version number; this check catches the merge-window race.
+    if expected_version is not None and manifest.version != expected_version:
+        raise CommitConflict(
+            f"manifest moved from v{expected_version} to v{manifest.version} "
+            "since the merge began — re-read and re-merge"
+        )
 
     bucket_stats = _write_txn_data(lake_dir, txn_id, winners, store=store)
 
