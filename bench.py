@@ -46,6 +46,9 @@ SECONDARY = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_exact",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "corpus_curation",
     "text_quality",
     "knn_bruteforce",
     "cdc_replay_committed",  # the exactly-once sink write path

@@ -557,19 +557,24 @@ def _star_round(edges, mode: str):
     )
 
 
-def _canonical_distinct(edges):
-    """(src, dst) -> distinct canonical edges (src = max, dst = min),
-    self-loops dropped; bucketed unique (no one-group-per-edge)."""
+def _canon_batch(b: pa.Table) -> pa.Table:
+    """Per-batch canonicalization (src = max, dst = min, self-loops
+    dropped) — NO shuffle; duplicates are tolerated (every star group
+    np.unique's its neighbor list) until the per-round distinct."""
+    a = b["src"].to_numpy(zero_copy_only=False)
+    c = b["dst"].to_numpy(zero_copy_only=False)
+    keep = a != c
+    a, c = a[keep], c[keep]
+    return pa.Table.from_arrays(
+        [pa.array(np.maximum(a, c)), pa.array(np.minimum(a, c))],
+        names=["src", "dst"],
+    )
 
-    def canon(b: pa.Table) -> pa.Table:
-        a = b["src"].to_numpy(zero_copy_only=False)
-        c = b["dst"].to_numpy(zero_copy_only=False)
-        keep = a != c
-        a, c = a[keep], c[keep]
-        return pa.Table.from_arrays(
-            [pa.array(np.maximum(a, c)), pa.array(np.minimum(a, c))],
-            names=["src", "dst"],
-        )
+
+def _canonical_distinct(edges):
+    """(src, dst) -> distinct canonical edges — the once-per-round
+    dedupe that bounds the edge set and stabilizes the convergence
+    signature; bucketed unique (no one-group-per-edge)."""
 
     def uniq(g: pa.Table) -> pa.Table:
         import polars as pl
@@ -581,7 +586,7 @@ def _canonical_distinct(edges):
         )
 
     return (
-        _cc_bucket(edges.map_batches(canon, batch_format="pyarrow"), "src")
+        _cc_bucket(edges.map_batches(_canon_batch, batch_format="pyarrow"), "src")
         .groupby("_cb")
         .map_groups(uniq, batch_format="pyarrow")
     )
@@ -650,10 +655,16 @@ def connected_components(pairs, max_rounds: int = 12):
                 ]
             )
 
+        # the whole round is ONE lazy pipeline (3 bucketed shuffles)
+        # ending in a single materialize — the small-star input only
+        # needs per-batch canonicalization (groups unique their
+        # neighbor lists), so no mid-round distinct shuffle barrier
         grown = _star_round(
             edges.map_batches(both_dirs, batch_format="pyarrow"), "large"
         )
-        shrunk = _star_round(_canonical_distinct(grown), "small")
+        shrunk = _star_round(
+            grown.map_batches(_canon_batch, batch_format="pyarrow"), "small"
+        )
         edges = _canonical_distinct(shrunk).materialize()
         new_sig = _edge_signature(edges)
         if new_sig == sig:
