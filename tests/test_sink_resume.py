@@ -282,3 +282,57 @@ def test_compaction_to_fewer_buckets(tmp_path):
     apply_incremental(lake, "txn-c", ev_ds([(8, "insert", "r3", "e.py", "E1")]),
                       num_buckets=2)
     assert lake_state(lake)[("r3", "e.py")] == (8, "E1")
+
+
+def test_tail_replay_resumes_from_persisted_binlog(tmp_path):
+    """Crash after the binlog is committed but before (all) txns applied:
+    a re-run must READ the persisted segments (no re-derive) and converge
+    to the byte-identical state; leftover binlog STAGING from a crash
+    mid-write must be discarded, not trusted."""
+    import os
+    import shutil
+
+    from ray_cdc_lake.pipeline import tail_replay
+
+    sf = "/root/testdata/sf0.001"
+    lake_full = str(tmp_path / "full")
+    txns = tail_replay(lake_full, sf, micro_batches=4)
+    assert len(txns) >= 2
+    want = lake_state(lake_full)
+
+    # scenario 1: crash mid-binlog-write left only the staging dir
+    lake1 = str(tmp_path / "staging-crash")
+    os.makedirs(os.path.join(lake1, "_binlog.staging", "segment=0"))
+    tail_replay(lake1, sf, micro_batches=4)
+    assert not os.path.exists(os.path.join(lake1, "_binlog.staging"))
+    assert lake_state(lake1) == want
+
+    # scenario 2: binlog committed, then crash before any txn applied —
+    # wipe the lake's manifests/data but keep the binlog; the resume path
+    # must apply every window from the SEGMENTS on disk
+    lake2 = str(tmp_path / "apply-crash")
+    tail_replay(lake2, sf, micro_batches=4)
+    shutil.rmtree(os.path.join(lake2, "_manifests"))
+    shutil.rmtree(os.path.join(lake2, "data"))
+    derive_sentinel = os.path.join(lake2, "_binlog", "SENTINEL")
+    with open(derive_sentinel, "w") as f:
+        f.write("re-derive would wipe this file's directory")
+    tail_replay(lake2, sf, micro_batches=4)
+    assert os.path.exists(derive_sentinel)  # segments were REUSED
+    assert lake_state(lake2) == want
+
+
+def test_tail_replay_rerun_is_noop(tmp_path):
+    """Re-running a completed tail is pure idempotence: same txn ids, no
+    state change (at-least-once delivery of the whole tail)."""
+    from ray_cdc_lake.pipeline import tail_replay
+
+    sf = "/root/testdata/sf0.001"
+    lake = str(tmp_path / "lake")
+    t1 = tail_replay(lake, sf, micro_batches=3)
+    s1 = lake_state(lake)
+    v1 = read_manifest(lake).version
+    t2 = tail_replay(lake, sf, micro_batches=3)
+    assert t1 == t2
+    assert lake_state(lake) == s1
+    assert read_manifest(lake).version == v1
