@@ -13,7 +13,9 @@ SURVEY.md §2 coverage map (operator id -> query name):
   M2 event compile   -> cdc_compile_events, cdc_change_batch_compile
                         (the reference's native change-batch JSON path)
   M3 fan-out         -> cdc_compiled_changes (rename -> delete+insert),
-                        cdc_change_batch_compile (extension discovery)
+                        cdc_change_batch_compile (extension discovery),
+                        cdc_extension_discovery (discovery against the
+                        COMMITTED lake key set, broadcast probe)
   M4 key extraction  -> doc_extract_key
   M5 ext normalize   -> doc_canonical_name
   M6 path safety     -> doc_safe_paths
@@ -23,7 +25,10 @@ SURVEY.md §2 coverage map (operator id -> query name):
   M8 sha256          -> doc_normalize_sha, cdc_final_state
   M9 key minting     -> doc_mint_key
   A1/A2 validator    -> doc_validate_actor (stateful actor pool),
-                        doc_validate_route, validation_summary
+                        doc_validate_route, validation_summary,
+                        doc_xml_validate (structural XML-schema validation
+                        with embedded-MIX + poison-row routing),
+                        doc_route_policy (penalize/backoff dispositions)
   A4 merge state     -> cdc_lww_latest, cdc_final_state
   J1 sort-zip        -> doc_seq_assign
   J2 equality join   -> join_events_customers
@@ -34,11 +39,16 @@ SURVEY.md §2 coverage map (operator id -> query name):
   window/rank/stats  -> top_docs_per_source (grouped top-k + rank),
                         source_median_chars (non-decomposable per-group)
   §2.9 windows       -> user_sessions (gap sessionization), events_daily
-  §7 step 8 schema   -> cdc_schema_evolution (column add through the sink)
+  §7 step 8 schema   -> cdc_schema_evolution (column add through the sink),
+                        cdc_schema_widening (int32 -> float64 retype)
+  time travel/diff   -> cdc_time_travel (pinned manifest version),
+                        cdc_lake_diff (change feed between versions)
+  §2.10 extension    -> steps_pipeline (declared step-registry flow)
   G1 summary agg     -> validation_summary
-  G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest
-                        (per-repo manifest document, byte-exact),
-                        cdc_lake_lineage (committed-manifest surface)
+  G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest +
+                        cdc_repo_manifest_v2 (ONE model, TWO byte-exact
+                        schema versions), cdc_lake_lineage (committed-
+                        manifest surface)
   §2.9 tail/stream   -> cdc_tail_replay (micro-batch exactly-once tail)
   G4 exact dedup     -> cdc_dedup_events, dedup_exact
   O1/O2 ordering     -> doc_seq_assign (row_number within group)
