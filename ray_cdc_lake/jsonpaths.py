@@ -60,3 +60,44 @@ def build_document(props: dict[str, object]) -> str:
     for path, value in props.items():
         put_nested(doc, path, value)
     return json.dumps(doc, separators=(",", ":"))
+
+
+def merge_json(base: dict, overlay: dict) -> dict:
+    """Recursive object merge — GenerateJsonFromProps MERGE mode
+    (``GenerateJsonFromProps.kt:302-322``): dict+dict merges recursively,
+    arrays/scalars are REPLACED, new keys append after existing ones
+    (insertion order preserved, as Jackson does — byte-deterministic
+    serialization)."""
+    out = dict(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = merge_json(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+_EL = re.compile(r"\$\{([^}]*)\}")
+
+
+def render_template(value: object, attrs: dict[str, str]) -> object:
+    """NiFi expression-language analog (``${attr}`` substitution against
+    the row's attribute map — ``evaluateAttributeExpressions``, used per
+    record at ReorderFiles.kt:333-342 and on every GenerateJsonFromProps
+    dynamic property). Non-strings pass through; a missing attribute
+    renders as the empty string (NiFi's null-to-empty EL default)."""
+    if not isinstance(value, str):
+        return value
+    return _EL.sub(lambda m: str(attrs.get(m.group(1), "")), value)
+
+
+def build_document_for_row(
+    props: dict[str, object], attrs: dict[str, str]
+) -> str:
+    """Per-record parameterized construction: every property VALUE is
+    EL-rendered against the row's attributes, then assembled by path —
+    the full GenerateJsonFromProps discard-mode pipeline for one row."""
+    doc: dict = {}
+    for path, value in props.items():
+        put_nested(doc, path, render_template(value, attrs))
+    return json.dumps(doc, separators=(",", ":"))

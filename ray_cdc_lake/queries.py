@@ -1133,16 +1133,7 @@ def q_doc_json_merge(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _merge_json(base: dict, overlay: dict) -> dict:
-    """Recursive merge: dict+dict merge, everything else overwritten
-    (GenerateJsonFromProps.kt:302-322 — arrays/scalars are replaced)."""
-    out = dict(base)
-    for k, v in overlay.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
-            out[k] = _merge_json(out[k], v)
-        else:
-            out[k] = v
-    return out
+from .jsonpaths import merge_json as _merge_json  # noqa: E402 — library surface
 
 
 def q_doc_json_paths(sf_dir: str):

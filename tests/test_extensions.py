@@ -162,6 +162,62 @@ def test_hll_within_tolerance_of_exact():
     assert abs(est - exact) / exact < 0.03  # P=14 HLL: ~1.6% stderr
 
 
+def test_generate_json_reference_cases():
+    """The three GenerateJsonFromPropsTest cases mirrored exactly:
+    discard mode builds nested structure; merge mode preserves siblings
+    while adding the new leaf; expression language renders ${attr}
+    against the record's attributes."""
+    import json
+
+    from ray_cdc_lake.jsonpaths import (
+        build_document,
+        build_document_for_row,
+        merge_json,
+        render_template,
+    )
+
+    # discard mode (GenerateJsonFromPropsTest `overwrite mode ...`)
+    doc = json.loads(
+        build_document(
+            {"metadata.title.value": "My Book", "metadata.title.lang": "eng"}
+        )
+    )
+    assert doc == {"metadata": {"title": {"value": "My Book", "lang": "eng"}}}
+
+    # merge mode (`merge mode merges with existing json`)
+    existing = {"existing": "keep", "metadata": {"title": {"lang": "eng"}}}
+    overlay = json.loads(build_document({"metadata.title.value": "New Title"}))
+    merged = merge_json(existing, overlay)
+    assert merged["existing"] == "keep"
+    assert merged["metadata"]["title"] == {"lang": "eng", "value": "New Title"}
+
+    # expression language (`nested attributes with expression language`)
+    attrs = {
+        "typeAttr": "Bilde",
+        "idAttr": "URN:NBN:no-nb_plfut_00001",
+        "titleAttr": "My Book Title",
+    }
+    doc = json.loads(
+        build_document_for_row(
+            {
+                "metadata.type.value": "${typeAttr}",
+                "metadata.type.lang": "nor",
+                "metadata.identifier.value": "${idAttr}",
+                "metadata.title.value": "${titleAttr}",
+                "metadata.title.lang": "eng",
+            },
+            attrs,
+        )
+    )
+    md = doc["metadata"]
+    assert md["type"] == {"value": "Bilde", "lang": "nor"}
+    assert md["identifier"] == {"value": "URN:NBN:no-nb_plfut_00001"}
+    assert md["title"] == {"value": "My Book Title", "lang": "eng"}
+    # NiFi EL null-to-empty default for a missing attribute
+    assert render_template("${missing}!", attrs) == "!"
+    assert render_template(42, attrs) == 42
+
+
 def test_put_nested_paths_and_arrays():
     from ray_cdc_lake.jsonpaths import build_document, put_nested
 
