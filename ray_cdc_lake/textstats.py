@@ -43,6 +43,24 @@ def token_count(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pretokenizer pattern, RE2-safe (no lookahead — both pyarrow
+# and DuckDB run RE2, so engine and oracle count the SAME matches):
+# contractions | optional-space letters | optional-space digits |
+# optional-space punctuation runs | whitespace runs
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(batch: pa.Table) -> pa.Table:
+    """BPE-ish token counting: non-overlapping matches of the GPT-2-style
+    pretokenizer regex, as one vectorized RE2 kernel
+    (``pc.count_substring_regex``) — no Python per row."""
+    n = pc.count_substring_regex(batch["text"], BPE_PATTERN)
+    return pa.Table.from_arrays(
+        [batch["doc_id"], pc.cast(n, pa.int64())],
+        names=["doc_id", "n_bpe_tokens"],
+    )
+
+
 def quality_score(batch: pa.Table) -> pa.Table:
     """Quality metrics: token count, chars/token, stopword ratio. Ratios
     are single integer divisions so they are bit-identical to the SQL
@@ -138,6 +156,85 @@ def fingerprint(batch: pa.Table, k: int = 8, w: int = 16) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# batched "model inference": deterministic hashing embedder (actor pool)
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+
+
+class FakeEmbedder:
+    """The batched-model-inference stage shape with a DETERMINISTIC stand-in
+    model (no ML libs in this container): a feature-hashing vectorizer —
+    token -> stable md5 bucket with a ±1 sign bit, accumulated and
+    l2-normalized. ``__init__`` is where a real encoder would load its
+    weights ONCE per actor (the Jhove.init() analog); ``__call__`` embeds
+    a batch. Output schema matches the ``embeddings`` table
+    (``embedding: list<float>``) so downstream knn/dedup stages compose."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+        self.words = _WordHashCacheForEmbed()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = []
+        for text in batch["text"].to_pylist():
+            h = self.words.hashes(text.split(" "))
+            v = np.zeros(self.dim, dtype=np.float64)
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+            np.add.at(v, idx, sign)
+            n = np.linalg.norm(v)
+            if n > 0:
+                v /= n
+            vecs.append(v)
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+            ],
+            names=["doc_id", "embedding"],
+        )
+
+
+class _WordHashCacheForEmbed:
+    """Per-actor token-hash cache (same shape as dedup._WordHashCache,
+    local to avoid an import cycle)."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def hashes(self, words: list[str]) -> np.ndarray:
+        import hashlib
+
+        c = self.cache
+        out = np.empty(len(words), dtype=np.uint64)
+        for i, w in enumerate(words):
+            h = c.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "little"
+                )
+                c[w] = h
+            out[i] = h
+        return out
+
+
+def q_text_embed_fake(sf_dir: str):
+    """Batched 'model inference' over documents: actor pool, model state
+    in __init__, per-batch vectorized accumulate. Deterministic, so no
+    oracle SQL is needed beyond the rows-only check (a unit test pins
+    determinism + norm + composability with the knn input schema)."""
+    from .sources import actor_pool_size
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FakeEmbedder,
+        batch_format="pyarrow",
+        batch_size=512,  # batched inference: the knob a real model needs
+        concurrency=actor_pool_size(),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -151,6 +248,12 @@ def _read_docs(sf_dir: str, columns):
 def q_text_token_count(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         token_count, batch_format="pyarrow"
+    )
+
+
+def q_text_token_count_bpe(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_bpe, batch_format="pyarrow"
     )
 
 
@@ -203,6 +306,12 @@ SQL = {
     "text_token_count": """
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         FROM documents""",
+    "text_token_count_bpe": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents""",
     "text_quality": f"""
         WITH toks AS (
           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
@@ -221,8 +330,10 @@ SQL = {
 def registry():
     queries = {
         "text_token_count": q_text_token_count,
+        "text_token_count_bpe": q_text_token_count_bpe,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_embed_fake": q_text_embed_fake,
     }
     return queries, dict(SQL)

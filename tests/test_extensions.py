@@ -162,6 +162,23 @@ def test_hll_within_tolerance_of_exact():
     assert abs(est - exact) / exact < 0.03  # P=14 HLL: ~1.6% stderr
 
 
+def test_fake_embedder_deterministic_unit_norm_and_composable():
+    import pyarrow.parquet as pq
+
+    from ray_cdc_lake.textstats import EMBED_DIM, FakeEmbedder
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).slice(0, 50)
+    e1 = FakeEmbedder()(t)
+    e2 = FakeEmbedder()(t)  # fresh actor, same output: no hidden state
+    assert e1.equals(e2)
+    mat = np.array(e1["embedding"].to_pylist(), dtype=np.float64)
+    assert mat.shape == (50, EMBED_DIM)
+    norms = np.linalg.norm(mat, axis=1)
+    assert np.allclose(norms[norms > 0], 1.0)
+    # different docs embed differently (hashing features discriminate)
+    assert len({tuple(np.round(r, 6)) for r in mat}) > 45
+
+
 def test_generate_json_reference_cases():
     """The three GenerateJsonFromPropsTest cases mirrored exactly:
     discard mode builds nested structure; merge mode preserves siblings
