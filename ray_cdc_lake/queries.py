@@ -2130,6 +2130,19 @@ def q_distinct_users_hll(sf_dir: str):
     )
 
 
+def q_heavy_hitters_users(sf_dir: str):
+    """Top-10 users by event count via Misra-Gries candidates + exact
+    verification (sketches.heavy_hitters): the bounded-memory sketch
+    survives every value with frequency > N/(k+1) (k=256 >> the top-10
+    threshold here), the verify pass recounts ONLY candidates, so the
+    result is EXACT and oracle-checkable — with no full-cardinality
+    groupby anywhere."""
+    from .sketches import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ds, "user_id", top=10)
+
+
 def q_events_rollup(sf_dir: str):
     """Multi-level ROLLUP (day, event_type) -> (day) -> (): higher levels
     re-aggregated from the BASE aggregate (150 rows), never from a rescan
@@ -2321,6 +2334,12 @@ REL_SQL: dict[str, str] = {
                  PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_value_cents
         FROM daily""",
+    # exact by construction: MG guarantees candidate coverage at this
+    # k, and the verify pass recounts candidates exactly
+    "heavy_hitters_users": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 10""",
     "distinct_users_exact": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct FROM events""",
     "events_rollup": """
@@ -2401,6 +2420,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "events_moving_sum": q_events_moving_sum,
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
+        "heavy_hitters_users": q_heavy_hitters_users,
     }
     sql: dict[str, str] = {}
     sql.update(CDC_SQL)

@@ -97,6 +97,121 @@ def make_hll_aggregate(column: str, alias_name: str = "n_distinct_est"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: bounded-memory candidates + exact verify pass
+# ---------------------------------------------------------------------------
+
+MG_K = 256  # counter budget; frequency error of the sketch <= N/(K+1)
+
+
+def mg_trim(counts: dict[int, int], k: int) -> dict[int, int]:
+    """Trim a counter map to <= k entries, Misra-Gries style: subtract the
+    (k+1)-th largest count from everyone and drop the non-positive. The
+    invariant (true_freq - N/(k+1) <= kept_count <= true_freq) survives
+    merges because MG sketches are mergeable under add-then-trim."""
+    if len(counts) <= k:
+        return counts
+    cs = sorted(counts.values(), reverse=True)
+    t = cs[k]  # the (k+1)-th largest
+    return {v: c - t for v, c in counts.items() if c - t > 0}
+
+
+def mg_partial(batch: pa.Table, column: str, k: int = MG_K) -> dict[int, int]:
+    """Exact per-batch counts (vectorized) trimmed to the MG budget."""
+    v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, cnts = np.unique(v, return_counts=True)
+    return mg_trim(dict(zip(vals.tolist(), cnts.tolist())), k)
+
+
+def mg_merge(a: dict[int, int], b: dict[int, int], k: int = MG_K) -> dict[int, int]:
+    out = dict(a)
+    for v, c in b.items():
+        out[v] = out.get(v, 0) + c
+    return mg_trim(out, k)
+
+
+def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
+    """Scalable top-N heavy hitters WITHOUT a full-cardinality groupby:
+
+    1. candidate generation — per-batch Misra-Gries sketches (<= k
+       counters per block, however many distinct values the block holds)
+       merged by a single tiny reduce; any value with true frequency
+       > N/(k+1) is guaranteed to survive, so with k sized to
+       N/(k+1) < f_top the candidate set covers the true top-N;
+    2. exact verification — one more streaming pass counts ONLY the
+       candidate set (broadcast is_in filter; the groupby input is <= k
+       distinct values, so the shuffle is trivial), then exact top-N with
+       a deterministic (count desc, value asc) tie-break.
+
+    This is the candidates+verify shape that replaces a 10^10-row
+    groupby over a high-cardinality key with two cheap passes.
+    """
+    import pickle
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([pickle.dumps(mg_partial(batch, column, k))], type=pa.binary())],
+            names=["sketch"],
+        )
+
+    def reduce_all(batch: pa.Table) -> pa.Table:
+        merged: dict[int, int] = {}
+        for blob in batch["sketch"].to_pylist():
+            merged = mg_merge(merged, pickle.loads(blob), k)
+        return pa.Table.from_arrays(
+            [pa.array([pickle.dumps(merged)], type=pa.binary())],
+            names=["sketch"],
+        )
+
+    sketch_tbl = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(reduce_all, batch_format="pyarrow", batch_size=None)
+        .take_all()  # ONE row, <= k counters — tiny by construction
+    )
+    candidates = sorted(pickle.loads(sketch_tbl[0]["sketch"]))
+    cand_arr = pa.array(candidates, type=pa.int64())
+    ref = ray.put(cand_arr)
+
+    from .sources import get_broadcast
+
+    def count_candidates(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        cand = get_broadcast(ref)
+        t = batch.filter(pc.is_in(batch[column], value_set=cand))
+        return (
+            pl.from_arrow(t.select([column]))
+            .group_by(column)
+            .agg(pl.len().cast(pl.Int64).alias("n_events"))
+            .to_arrow()
+        )
+
+    exact = (
+        ds.map_batches(count_candidates, batch_format="pyarrow")
+        .groupby(column)
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def topn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .sort(["n_events", column], descending=[True, False])
+            .head(top)
+            .to_arrow()
+        )
+
+    return exact.repartition(1).map_batches(
+        topn, batch_format="pyarrow", batch_size=None
+    )
+
+
 def hll_distinct(ds, column: str):
     """Dataset -> single-row table {n_distinct_est: int64}. Per-batch
     register files (the combiner) -> one elementwise-max reduce of 16 KiB

@@ -153,6 +153,42 @@ def test_fake_decoder_deterministic():
     assert d1["bin_sha256"][0].as_py() != d1["bin_sha256"][1].as_py()
 
 
+def test_misra_gries_error_bound_and_merge():
+    """MG invariants on adversarial data: counts undercount by at most
+    N/(k+1); every value with true frequency > N/(k+1) survives; the
+    add-then-trim merge preserves both."""
+    from ray_cdc_lake.sketches import mg_merge, mg_partial, mg_trim
+
+    rng = np.random.default_rng(3)
+    k = 16
+    # zipf-ish stream: few heavy values + a long tail
+    vals = np.concatenate(
+        [
+            np.repeat(np.arange(5), 200),  # heavies: freq 200
+            rng.integers(100, 2000, 3_000),  # tail
+        ]
+    )
+    rng.shuffle(vals)
+    n = len(vals)
+    import pyarrow as pa
+
+    sketch: dict[int, int] = {}
+    for off in range(0, n, 97):  # awkward chunking
+        chunk = pa.table({"v": pa.array(vals[off : off + 97], type=pa.int64())})
+        sketch = mg_merge(sketch, mg_partial(chunk, "v", k), k)
+    assert len(sketch) <= k
+    true = {int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))}
+    bound = n / (k + 1)
+    for v, c in sketch.items():
+        assert c <= true[v]  # never overcounts
+        assert true[v] - c <= bound  # bounded undercount
+    for v, c in true.items():
+        if c > bound:
+            assert v in sketch, f"heavy value {v} (freq {c}) dropped"
+    # trim is idempotent at or below budget
+    assert mg_trim(dict(sketch), k) == sketch
+
+
 def test_hll_within_tolerance_of_exact():
     from ray_cdc_lake.queries import q_distinct_users_exact, q_distinct_users_hll
 
