@@ -2130,6 +2130,17 @@ def q_distinct_users_hll(sf_dir: str):
     )
 
 
+def q_quantiles_value(sf_dir: str):
+    """Distributed EXACT quantiles of events.value without a global sort
+    (sketches.distributed_quantiles): one stats aggregate, one mergeable
+    histogram reduce (bins-long int vectors, never the values), one
+    filtered candidate collect of ~n/bins rows per target bin."""
+    from .sketches import distributed_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    return distributed_quantiles(ds, "value", [0.25, 0.5, 0.9, 0.99])
+
+
 def q_heavy_hitters_users(sf_dir: str):
     """Top-10 users by event count via Misra-Gries candidates + exact
     verification (sketches.heavy_hitters): the bounded-memory sketch
@@ -2334,6 +2345,16 @@ REL_SQL: dict[str, str] = {
                  PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov7_value_cents
         FROM daily""",
+    # exact by construction: rank convention floor(q*(n-1)) matches
+    # DuckDB's quantile_disc
+    "quantiles_value": """
+        SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(value, 0.25) AS value FROM events
+        UNION ALL
+        SELECT CAST(0.5 AS DOUBLE), quantile_disc(value, 0.5) FROM events
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE), quantile_disc(value, 0.9) FROM events
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), quantile_disc(value, 0.99) FROM events""",
     # exact by construction: MG guarantees candidate coverage at this
     # k, and the verify pass recounts candidates exactly
     "heavy_hitters_users": """
@@ -2421,6 +2442,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
         "heavy_hitters_users": q_heavy_hitters_users,
+        "quantiles_value": q_quantiles_value,
     }
     sql: dict[str, str] = {}
     sql.update(CDC_SQL)

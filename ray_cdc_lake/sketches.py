@@ -212,6 +212,108 @@ def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
     )
 
 
+# ---------------------------------------------------------------------------
+# distributed EXACT quantiles: histogram narrowing + tiny candidate collect
+# ---------------------------------------------------------------------------
+
+QUANTILE_BINS = 4096
+
+
+def distributed_quantiles(
+    ds, column: str, qs: list[float], bins: int = QUANTILE_BINS
+):
+    """Exact quantiles of a numeric column without a global sort:
+
+    1. (min, max, count) — one streaming aggregate;
+    2. fixed-width histogram — per-batch partial bincounts (a bins-long
+       int64 vector per block) merged by vector SUM, locating the bin
+       that contains each target rank;
+    3. candidate collect — one filtered pass pulls ONLY the values inside
+       target bins (expected n/bins per bin) to the driver, where the
+       exact rank element is selected.
+
+    Returns a pa.Table (q, value). Rank convention matches DuckDB's
+    ``quantile_disc``: the ascending element at floor(q * (n-1)).
+    Skew caveat: a value concentration can make one bin large — the
+    robust path recurses the narrowing on that bin; this implementation
+    collects it directly (fine below ~10M rows per hot bin).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    stats = ds.aggregate(
+        Min(column, alias_name="lo"),
+        Max(column, alias_name="hi"),
+        Count(column, alias_name="n"),
+    )
+    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
+    width = (hi - lo) / bins or 1.0
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([counts.tobytes()], type=pa.binary())], names=["h"]
+        )
+
+    def hist_reduce(batch: pa.Table) -> pa.Table:
+        total = np.zeros(bins, dtype=np.int64)
+        for blob in batch["h"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([total.tobytes()], type=pa.binary())], names=["h"]
+        )
+
+    hrow = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(hist_reduce, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    hist = np.frombuffer(hrow[0]["h"], dtype=np.int64)
+    cum = np.cumsum(hist)
+
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]  # 0-based ascending
+    target_bins = sorted({int(np.searchsorted(cum, r, side="right")) for r in ranks})
+
+    # candidate collect: ONLY the target bins' values leave the workers
+    tb = np.array(target_bins, dtype=np.int64)
+
+    def in_target_bins(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        v = v[keep]
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        m = np.isin(b, tb)
+        return pa.Table.from_arrays([pa.array(v[m])], names=["v"])
+
+    cand = np.sort(
+        ds.map_batches(in_target_bins, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy()
+    )
+    out_q, out_v = [], []
+    for q, r in zip(qs, ranks):
+        b = int(np.searchsorted(cum, r, side="right"))
+        below = int(cum[b - 1]) if b > 0 else 0  # ranks before this bin
+        # candidates from lower target bins that precede bin b
+        lower = int(
+            sum(hist[x] for x in target_bins if x < b)
+        )
+        idx = lower + (r - below)
+        out_q.append(q)
+        out_v.append(float(cand[idx]))
+    return pa.table(
+        {"q": pa.array(out_q, type=pa.float64()),
+         "value": pa.array(out_v, type=pa.float64())}
+    )
+
+
 def hll_distinct(ds, column: str):
     """Dataset -> single-row table {n_distinct_est: int64}. Per-batch
     register files (the combiner) -> one elementwise-max reduce of 16 KiB
