@@ -169,6 +169,68 @@ def _apply_incremental_once(
     )
 
 
+def delete_by_prefix(
+    lake_dir: str,
+    prefix: str,
+    txn_id: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> Manifest:
+    """Maintenance delete: tombstone every LIVE key whose path starts with
+    ``prefix``, as ONE exactly-once transaction (the
+    DeleteAllS3ObjectsByPrefix analog, …/processors/
+    DeleteAllS3ObjectsByPrefix.kt:25-129 — including its trailing-slash
+    guard so a prefix never swallows a sibling like ``tekst_1`` vs
+    ``tekst_10``, :116-117). Streaming: the live state is filtered on
+    the workers; only matching keys become tombstone events (lsn =
+    global hwm + 1, so they win LWW against every existing row)."""
+    import pyarrow.compute as pc
+
+    from .sink import read_lake
+
+    manifest = read_manifest(lake_dir)
+    if not manifest.buckets:
+        return manifest
+    new_lsn = max(manifest.hwm().values()) + 1
+    if not prefix.endswith("/"):
+        # sibling-prefix guard: delete 'docs/de' must not match
+        # 'docs/dedup/...' — the reference appends the separator
+        prefix = prefix + "/"
+
+    def to_tombstones(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        t = batch.filter(pc.starts_with(batch["path"], prefix))
+        n = t.num_rows
+        # commit id derived from the KEY, not the batch position: a
+        # crashed-and-retried apply must regenerate identical events
+        # whatever the block split (the determinism contract: the commit
+        # identifies the event)
+        commits = [
+            hashlib.md5(f"del:{r}/{p}@{new_lsn}".encode("utf-8")).hexdigest()
+            for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())
+        ]
+        return pa.Table.from_arrays(
+            [
+                pa.array([new_lsn] * n, type=pa.int64()),
+                pa.array(["delete"] * n, type=pa.string()),
+                t["repo"],
+                t["path"],
+                pa.array(commits, type=pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.large_string()),
+            ],
+            names=["lsn", "op", "repo", "path", "commit", "lang", "content"],
+        )
+
+    tombs = read_lake(lake_dir).map_batches(to_tombstones, batch_format="pyarrow")
+    from .schemas import COMPILED_SCHEMA
+
+    return apply_incremental(
+        lake_dir, txn_id, tombs, num_buckets=num_buckets,
+        events_schema=COMPILED_SCHEMA,
+    )
+
+
 def lake_diff(
     lake_dir: str,
     v_old: int,

@@ -610,6 +610,24 @@ def q_cdc_lake_diff(sf_dir: str):
     return lake_diff(lake, 1, 2)
 
 
+def q_cdc_delete_prefix(sf_dir: str):
+    """Delete-by-prefix as a maintenance txn (S2,
+    DeleteAllS3ObjectsByPrefix.kt:25-129 incl. the sibling-prefix guard):
+    every live key under docs/de/ is tombstoned in one exactly-once
+    transaction; the surviving live state is read back from the lake."""
+    from .checkpoint import delete_by_prefix
+    from .sink import read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "delpfx")
+    delete_by_prefix(lake, "docs/de", "txn-del-de")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_schema_widening(sf_dir: str):
     """Type WIDENING through the committed sink (the retype half of
     SURVEY.md §7 step 8, complementing q_cdc_schema_evolution's
@@ -720,6 +738,12 @@ CDC_SQL: dict[str, str] = {
                    || '.' || ext AS new_name,
                TRUE AS safe
         FROM fanned""",
+    "cdc_delete_prefix": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'delete'
+          AND path NOT LIKE 'docs/de/%'""",
     "cdc_time_travel": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
         normalized AS (
@@ -2399,6 +2423,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_widening": q_cdc_schema_widening,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,

@@ -336,3 +336,26 @@ def test_tail_replay_rerun_is_noop(tmp_path):
     assert t1 == t2
     assert lake_state(lake) == s1
     assert read_manifest(lake).version == v1
+
+
+def test_delete_by_prefix_sibling_guard(tmp_path):
+    """The trailing-slash guard (DeleteAllS3ObjectsByPrefix.kt:116-117):
+    deleting prefix 'r/a' must remove r/a/* but never the sibling
+    r/ab/*; re-running the same delete txn is a no-op."""
+    from ray_cdc_lake.checkpoint import delete_by_prefix
+
+    lake = str(tmp_path / "lake")
+    rows = [
+        (1, "insert", "r1", "r/a/one.py", "A"),
+        (2, "insert", "r1", "r/a/two.py", "B"),
+        (3, "insert", "r1", "r/ab/three.py", "C"),
+        (4, "insert", "r1", "other.py", "D"),
+    ]
+    apply_incremental(lake, "txn-seed", ev_ds(rows), num_buckets=4)
+    delete_by_prefix(lake, "r/a", "txn-del", num_buckets=4)
+    got = set(lake_state(lake))
+    assert got == {("r1", "r/ab/three.py"), ("r1", "other.py")}
+    # idempotent re-delivery of the same delete txn
+    m = delete_by_prefix(lake, "r/a", "txn-del", num_buckets=4)
+    assert set(lake_state(lake)) == got
+    assert m.txns.count("txn-del") == 1
