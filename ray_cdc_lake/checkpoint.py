@@ -298,6 +298,24 @@ def lake_diff(
     return both.groupby("bucket").map_groups(diff_bucket, batch_format="pyarrow")
 
 
+def maybe_compact(
+    lake_dir: str,
+    max_txns: int = 16,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> "Manifest | None":
+    """Auto-compaction trigger for a long-running tail: once the
+    committed txn list exceeds ``max_txns`` (each incremental apply adds
+    one txn directory per touched bucket), run a full compaction. Call
+    after each apply; returns the new manifest when compaction ran, else
+    None. The threshold bounds read fan-in (files per bucket) without
+    rewriting the lake on every apply — the LSM minor/major split at the
+    lake level, mirroring state.SortedRunIndex at the partition level."""
+    m = read_manifest(lake_dir)
+    if len(m.txns) <= max_txns:
+        return None
+    return compact(lake_dir, num_buckets=num_buckets)
+
+
 def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
 

@@ -397,6 +397,66 @@ def read_lake(
     return ds.map_batches(strip, batch_format="pyarrow")
 
 
+def read_key(
+    lake_dir: str,
+    repo: str,
+    path: str,
+    num_buckets: int | None = None,
+    store: LakeStore | None = None,
+):
+    """Point lookup: the LIVE row for one (repo, path), or None.
+
+    Cost model at any scale: the stable key hash names ONE bucket, the
+    manifest names that bucket's ONE owning txn directory, and the
+    parquet read pushes the key predicate down so only row groups whose
+    (repo, path) statistics can match are decoded — the data files are
+    key-sorted within each bucket (the LWW reduce emits winners in key
+    order), so this is O(files-in-one-bucket) footer reads + one row
+    group. No Dataset, no scan. Reference analog: the S3 point lookup
+    ``statObject`` (S3Utils.kt:27-33)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .transforms import key_hash_u64
+
+    store = store or _DEFAULT_STORE
+    m = read_manifest(lake_dir, store=store)
+    if not m.buckets:
+        return None
+    if num_buckets is None:
+        # dense-keyspace heuristic (hash buckets fill densely once keys
+        # outnumber buckets); pass num_buckets explicitly for sparse or
+        # non-default lakes
+        num_buckets = max(int(b) for b in m.buckets) + 1
+    h = key_hash_u64(pa.array([repo]), pa.array([path]))
+    bucket = int(h[0] % np.uint64(num_buckets))
+    info = m.buckets.get(str(bucket))
+    if info is None:
+        return None
+    bdir = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={bucket}")
+    if not store.isdir(bdir):
+        return None
+    flt = [("repo", "==", repo), ("path", "==", path)]
+    rows = []
+    for fn in store.listdir(bdir):
+        if not fn.endswith(".parquet"):
+            continue
+        with store.fs.open_input_file(os.path.join(bdir, fn)) as f:
+            t = pq.read_table(f, filters=flt)
+        if t.num_rows:
+            rows.append(t)
+    if not rows:
+        return None
+    t = pa.concat_tables(rows, promote_options="permissive")
+    # LWW among the bucket's (rare) multi-file survivors, tombstone-aware
+    from .merge import _winner_per_key
+
+    w = _winner_per_key(t, ["repo", "path"])
+    if w.num_rows == 0 or w["op"][0].as_py() == "delete":
+        return None
+    return {c: w[c][0].as_py() for c in w.column_names}
+
+
 def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
     """Remove unreferenced txn dirs and leftover staging dirs (safe any
     time: the manifest is the source of truth)."""

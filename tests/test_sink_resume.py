@@ -359,3 +359,36 @@ def test_delete_by_prefix_sibling_guard(tmp_path):
     m = delete_by_prefix(lake, "r/a", "txn-del", num_buckets=4)
     assert set(lake_state(lake)) == got
     assert m.txns.count("txn-del") == 1
+
+
+def test_point_lookup_read_key(tmp_path):
+    """read_key: one-bucket, predicate-pushdown point read — live rows
+    found, deleted rows None, absent keys None; agrees with the full
+    lake state for every key."""
+    from ray_cdc_lake.sink import read_key
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    state = lake_state(lake)
+    for (repo, path), (lsn, content) in state.items():
+        row = read_key(lake, repo, path, num_buckets=4)
+        assert row is not None
+        assert (row["lsn"], row["content"]) == (lsn, content)
+    # deleted key (tombstoned in SEG_B)
+    assert read_key(lake, "r1", "b.py", num_buckets=4) is None
+    # never-existing key
+    assert read_key(lake, "r9", "nope.py", num_buckets=4) is None
+
+
+def test_maybe_compact_threshold(tmp_path):
+    from ray_cdc_lake.checkpoint import maybe_compact
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(SEG_B), num_buckets=4)
+    before = lake_state(lake)
+    assert maybe_compact(lake, max_txns=5, num_buckets=4) is None  # under
+    m = maybe_compact(lake, max_txns=1, num_buckets=4)  # over threshold
+    assert m is not None and len(m.txns) == 1
+    assert lake_state(lake) == before
