@@ -166,6 +166,7 @@ def _apply_incremental_once(
         winners,
         fail_before_publish=fail_before_publish,
         expected_version=manifest.version,
+        num_buckets=num_buckets,
     )
 
 
@@ -225,9 +226,15 @@ def delete_by_prefix(
     tombs = read_lake(lake_dir).map_batches(to_tombstones, batch_format="pyarrow")
     from .schemas import COMPILED_SCHEMA
 
+    # dedup_below_hwm=False: this txn is NOT part of the ordered binlog —
+    # under conflict-retry a concurrent writer may have advanced the
+    # per-bucket hwm past new_lsn, and the watermark filter would then
+    # silently drop every tombstone and commit the delete as a no-op.
+    # Idempotence comes from the txn id; concurrent upserts racing the
+    # delete snapshot legitimately win LWW if their lsn is higher.
     return apply_incremental(
         lake_dir, txn_id, tombs, num_buckets=num_buckets,
-        events_schema=COMPILED_SCHEMA,
+        events_schema=COMPILED_SCHEMA, dedup_below_hwm=False,
     )
 
 
@@ -347,6 +354,7 @@ def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
         txns=[txn],
         schema_version=m.schema_version,
         schema_fields=m.schema_fields,
+        num_buckets=num_buckets,
     )
     _publish(lake_dir, final)
     vacuum(lake_dir)

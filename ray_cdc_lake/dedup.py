@@ -785,7 +785,6 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
         out_key, out_bucket, out_id, out_vec = [], [], [], []
         for i, d in enumerate(ids):
             vb = m[i].tobytes()
-            row = np.packbits(bits[i]).tobytes()  # bands*rows/8 bytes
             for b in range(EMB_LSH_BANDS):
                 band_bits = bits[i, b * EMB_LSH_ROWS : (b + 1) * EMB_LSH_ROWS]
                 dig = hashlib.md5(

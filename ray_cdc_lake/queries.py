@@ -1046,11 +1046,14 @@ def q_steps_pipeline(sf_dir: str):
         ext = np.select(
             [ids % 3 == 0, ids % 3 == 1], [".jp2", ".tiff"], default=".tif"
         )
+        # pad width 5 covers every doc_id in the corpora; DuckDB's lpad
+        # TRUNCATES beyond the width (pyarrow's does not), so the width
+        # must exceed the longest id on BOTH sides of the oracle compare
         fname = pc.binary_join_element_wise(
             "tekst_",
             pc.cast(batch["source"], pa.string()),
             "_",
-            pc.utf8_lpad(pc.cast(batch["doc_id"] , pa.string()), 3, "0"),
+            pc.utf8_lpad(pc.cast(batch["doc_id"] , pa.string()), 5, "0"),
             pa.array(ext.tolist(), type=pa.string()),
             "",
         )
@@ -1453,7 +1456,7 @@ DOC_SQL: dict[str, str] = {
         WITH prepped AS (
           SELECT doc_id, text,
                  'tekst_' || source || '_' ||
-                 lpad(CAST(doc_id AS VARCHAR), 3, '0') ||
+                 lpad(CAST(doc_id AS VARCHAR), 5, '0') ||
                  CASE WHEN doc_id % 3 = 0 THEN '.jp2'
                       WHEN doc_id % 3 = 1 THEN '.tiff'
                       ELSE '.tif' END AS filename

@@ -153,8 +153,20 @@ def route_with_retries(
 
     This is the single-actor form; distributed, the retry stream is a
     Dataset union per round with the same policy columns.
+
+    Schema contract: BOTH returned tables always carry the routed schema
+    (stage outputs + disposition/attempt/penalty_ms), including when one
+    side — or the whole input — is empty, so callers can concat results
+    across batches without per-batch schema drift. Rows that exhaust
+    ``max_rounds`` land in the quarantine output still carrying their
+    final ``disposition='retry'`` (that is what round exhaustion means).
     """
     passed, quarantined = [], []
+    # establish the routed schema up front (works for empty input too:
+    # stage and policy are applied to the 0-row batch)
+    routed_schema = apply_route_policy(
+        stage(batch.slice(0, 0)), policy, route_col=route_col
+    ).schema
     pending = batch
     for _ in range(max_rounds):
         if pending.num_rows == 0:
@@ -168,18 +180,13 @@ def route_with_retries(
         pending = parts["retry"]
     else:
         if pending.num_rows:
-            quarantined.append(
-                pending.append_column(
-                    "exhausted", pa.array([True] * pending.num_rows)
-                )
-            )
+            # max_rounds exhausted: the still-retrying rows (already in
+            # the routed schema) are quarantined as-is
+            quarantined.append(pending)
 
-    def _cat(parts: list[pa.Table], like: pa.Table) -> pa.Table:
+    def _cat(parts: list[pa.Table]) -> pa.Table:
         if not parts:
-            return like.schema.empty_table()
+            return routed_schema.empty_table()
         return pa.concat_tables(parts, promote_options="permissive")
 
-    ref = passed[0] if passed else (quarantined[0] if quarantined else None)
-    if ref is None:
-        return batch.schema.empty_table(), batch.schema.empty_table()
-    return _cat(passed, ref), _cat(quarantined, ref)
+    return _cat(passed), _cat(quarantined)

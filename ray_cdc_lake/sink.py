@@ -160,6 +160,9 @@ class Manifest:
     txns: list[str] = field(default_factory=list)
     schema_version: int = 0
     schema_fields: list[list[str]] = field(default_factory=list)  # [name, type_str]
+    # the key-hash modulus this lake was bucketed with (0 = unrecorded;
+    # point lookups then fall back to a dense-keyspace heuristic)
+    num_buckets: int = 0
 
     def hwm(self) -> dict[int, int]:
         return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
@@ -198,6 +201,7 @@ def read_manifest(
         txns=d["txns"],
         schema_version=d.get("schema_version", 0),
         schema_fields=d.get("schema_fields", []),
+        num_buckets=d.get("num_buckets", 0),
     )
 
 
@@ -228,6 +232,7 @@ def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None
         "txns": m.txns,
         "schema_version": m.schema_version,
         "schema_fields": m.schema_fields,
+        "num_buckets": m.num_buckets,
         "committed_at": time.time(),
     }
     tmp = mpath + f".tmp-{os.getpid()}"
@@ -263,6 +268,7 @@ def commit_txn(
     fail_before_publish: bool = False,
     store: LakeStore | None = None,
     expected_version: int | None = None,
+    num_buckets: int | None = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -304,6 +310,7 @@ def commit_txn(
         txns=[*manifest.txns, txn_id],
         schema_version=manifest.schema_version,
         schema_fields=manifest.schema_fields,
+        num_buckets=num_buckets if num_buckets is not None else manifest.num_buckets,
     )
     _publish(lake_dir, new, store=store)
     return new
@@ -424,10 +431,13 @@ def read_key(
     if not m.buckets:
         return None
     if num_buckets is None:
-        # dense-keyspace heuristic (hash buckets fill densely once keys
-        # outnumber buckets); pass num_buckets explicitly for sparse or
-        # non-default lakes
-        num_buckets = max(int(b) for b in m.buckets) + 1
+        if m.num_buckets > 0:
+            num_buckets = m.num_buckets  # recorded at commit — exact
+        else:
+            # legacy manifests: dense-keyspace heuristic (wrong whenever
+            # the highest-index bucket holds no keys) — pass num_buckets
+            # explicitly for lakes committed before it was recorded
+            num_buckets = max(int(b) for b in m.buckets) + 1
     h = key_hash_u64(pa.array([repo]), pa.array([path]))
     bucket = int(h[0] % np.uint64(num_buckets))
     info = m.buckets.get(str(bucket))

@@ -141,7 +141,13 @@ def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
     2. exact verification — one more streaming pass counts ONLY the
        candidate set (broadcast is_in filter; the groupby input is <= k
        distinct values, so the shuffle is trivial), then exact top-N with
-       a deterministic (count desc, value asc) tie-break.
+       a deterministic (count desc, value asc) tie-break;
+    3. guarantee check — a value OUTSIDE the candidate set has true
+       frequency <= N/(k+1), so the result is provably exact iff the
+       verified N-th count exceeds that bound. When the data is too flat
+       for the budget (no true heavy hitters), the operator FALLS BACK to
+       the exact bucketed groupby instead of returning a silently wrong
+       top-N.
 
     This is the candidates+verify shape that replaces a 10^10-row
     groupby over a high-cardinality key with two cheap passes.
@@ -207,6 +213,68 @@ def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
             .to_arrow()
         )
 
+    result = (
+        exact.repartition(1)
+        .map_batches(topn, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    # guarantee check: a non-candidate's true frequency is <= N/(k+1);
+    # the sketch-based top-N is exact only if its N-th count clears that
+    # bound. Flat data (no true heavy hitters at this budget) falls back
+    # to the exact bucketed groupby — never a silently wrong answer.
+    from ray.data.aggregate import Count
+
+    n_total = int(ds.aggregate(Count(column, alias_name="n"))["n"])
+    bound = n_total / (k + 1)
+    counts = [int(r["n_events"]) for r in result]
+    if len(counts) >= top and counts[top - 1] > bound:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    column: pa.array(
+                        [r[column] for r in result], type=pa.int64()
+                    ),
+                    "n_events": pa.array(counts, type=pa.int64()),
+                }
+            )
+        )
+    return _exact_topn(ds, column, top)
+
+
+def _exact_topn(ds, column: str, top: int):
+    """Fallback exact top-N: per-batch partial counts -> grouped sum ->
+    tiny final sort. One shuffle over (value, count) partials — the path
+    heavy_hitters avoids when the sketch guarantee holds."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch.select([column]))
+            .group_by(column)
+            .agg(pl.len().cast(pl.Int64).alias("n_events"))
+            .to_arrow()
+        )
+
+    exact = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(column)
+        .aggregate(Sum("n_events", alias_name="n_events"))
+    )
+
+    def topn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .sort(["n_events", column], descending=[True, False])
+            .head(top)
+            .to_arrow()
+        )
+
     return exact.repartition(1).map_batches(
         topn, batch_format="pyarrow", batch_size=None
     )
@@ -233,23 +301,31 @@ def distributed_quantiles(
        exact rank element is selected.
 
     Returns a pa.Table (q, value). Rank convention matches DuckDB's
-    ``quantile_disc``: the ascending element at floor(q * (n-1)).
-    Skew caveat: a value concentration can make one bin large — the
-    robust path recurses the narrowing on that bin; this implementation
-    collects it directly (fine below ~10M rows per hot bin).
+    ``quantile_disc``: the ascending element at floor(q * (n-1)), with n
+    counting NON-NaN rows only (NaN is ignored everywhere, like SQL
+    aggregates ignore NULL). Skew caveat: a value concentration can make
+    one bin large — the robust path recurses the narrowing on that bin;
+    this implementation collects it directly (fine below ~10M rows per
+    hot bin).
     """
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Min, Sum
 
-    stats = ds.aggregate(
-        Min(column, alias_name="lo"),
-        Max(column, alias_name="hi"),
-        Count(column, alias_name="n"),
-    )
-    lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
-    if n == 0:
+    # NaN-aware (lo, hi): Arrow Min/Max PROPAGATE NaN on doubles, which
+    # would poison every bin edge — nanmin/nanmax partials instead
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], type=pa.float64()),
+                             "hi": pa.array([], type=pa.float64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())])})
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").take_all()
+    if not mm:
         return pa.table({"q": pa.array([], type=pa.float64()),
                          "value": pa.array([], type=pa.float64())})
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
     width = (hi - lo) / bins or 1.0
 
     def hist_partial(batch: pa.Table) -> pa.Table:
@@ -277,6 +353,10 @@ def distributed_quantiles(
     )
     hist = np.frombuffer(hrow[0]["h"], dtype=np.int64)
     cum = np.cumsum(hist)
+    n = int(cum[-1])  # non-NaN count — the histogram total, by definition
+    if n == 0:
+        return pa.table({"q": pa.array([], type=pa.float64()),
+                         "value": pa.array([], type=pa.float64())})
 
     ranks = [int(np.floor(q * (n - 1))) for q in qs]  # 0-based ascending
     target_bins = sorted({int(np.searchsorted(cum, r, side="right")) for r in ranks})

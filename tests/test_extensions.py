@@ -323,3 +323,40 @@ def test_distributed_kmeans_matches_single_process():
     got = distributed_kmeans(SF)
     # float sums are batch-order dependent, so allclose, not equality
     assert np.allclose(c, got, atol=1e-9)
+
+
+def test_heavy_hitters_falls_back_on_flat_data():
+    """Near-uniform data (top frequency below N/(k+1)): the MG candidate
+    set cannot cover the true top-N, so the operator must fall back to
+    the exact path instead of returning a silently wrong answer."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray_cdc_lake.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2000, 120_000).astype("int64")  # ~60 each
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(vals)})).repartition(16)
+    got = heavy_hitters(ds, "user_id", top=10).to_pandas()
+    import collections
+
+    c = collections.Counter(vals.tolist())
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got.user_id, got.n_events)) == want
+
+
+def test_quantiles_ignore_nan():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray_cdc_lake.sketches import distributed_quantiles
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=5_000)
+    v[::7] = np.nan  # ~14% NaN
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(8)
+    got = distributed_quantiles(ds, "x", [0.5, 0.9]).to_pandas()
+    clean = np.sort(v[~np.isnan(v)])
+    n = len(clean)
+    for q, val in zip(got.q, got.value):
+        assert val == clean[int(np.floor(q * (n - 1)))]

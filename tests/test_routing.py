@@ -123,3 +123,30 @@ def test_manifest_two_versions_byte_exact():
     )
     with pytest.raises(ValueError):
         serialize_manifest(model, 3)
+
+
+def test_route_with_retries_schema_stable_on_empty_and_exhausted():
+    """Both outputs always carry the routed schema — empty input, empty
+    side, and max_rounds exhaustion included — so per-batch results
+    concat without schema drift."""
+
+    def stage(batch: pa.Table) -> pa.Table:
+        out = batch
+        if "route" in out.column_names:
+            out = out.drop_columns(["route"])
+        return out.append_column(
+            "route", pa.array(["transient"] * out.num_rows, type=pa.string())
+        )
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "route": pa.array([], type=pa.string())})
+    p0, q0 = route_with_retries(empty, stage)
+    full = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                     "route": pa.array(["x"], type=pa.string())})
+    p1, q1 = route_with_retries(full, stage, max_rounds=2)
+    assert p0.schema.names == p1.schema.names == q0.schema.names == q1.schema.names
+    assert "disposition" in p0.schema.names and "penalty_ms" in q1.schema.names
+    # cross-batch concat must not raise
+    pa.concat_tables([p0, p1], promote_options="permissive")
+    pa.concat_tables([q0, q1], promote_options="permissive")
+    assert q1.num_rows == 1  # exhausted row quarantined, nothing lost

@@ -392,3 +392,19 @@ def test_maybe_compact_threshold(tmp_path):
     m = maybe_compact(lake, max_txns=1, num_buckets=4)  # over threshold
     assert m is not None and len(m.txns) == 1
     assert lake_state(lake) == before
+
+
+def test_read_key_with_sparse_top_bucket(tmp_path):
+    """Few keys + many buckets: the highest-index bucket is almost surely
+    empty, so modulus inference from occupied buckets would be wrong —
+    the manifest now records num_buckets and every live key must resolve."""
+    from ray_cdc_lake.sink import read_key
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=64)
+    m = read_manifest(lake)
+    assert m.num_buckets == 64
+    assert len(m.buckets) < 64  # the sparse case that broke inference
+    for (repo, path), (lsn, content) in lake_state(lake).items():
+        row = read_key(lake, repo, path)  # NO explicit num_buckets
+        assert row is not None and row["lsn"] == lsn
