@@ -618,20 +618,31 @@ def _edge_signature(edges) -> tuple[int, int]:
     return (int(agg["n"] or 0), int(agg["h"] or 0))
 
 
-def connected_components(pairs, max_rounds: int = 12):
-    """Distributed connected components over a pair Dataset (id_a, id_b)
-    via alternating large-star / small-star (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") — the scalable cluster-resolution
-    step that turns near-dup PAIRS into per-document cluster labels.
+DRIVER_CC_THRESHOLD = 1_000_000  # edges; below this, a single-process
+# union-find beats ~10 shuffle rounds of fixed executor cost
 
-    Each round is two bucketed groupbys over the EDGE set (O(edges)
-    traffic, O(buckets) groups); rounds converge in O(log n) for
-    real-world graphs. The edge set is materialized per round — it is the
-    derived pair set (tiny next to the corpus), and the alternative is an
-    unboundedly deep lazy plan re-executed per convergence probe.
 
-    Returns a Dataset (member_id, cluster_id) covering every node that
-    appears in an edge; cluster_id is the component's minimum id.
+def connected_components(pairs, max_rounds: int = 12,
+                         driver_threshold: int = DRIVER_CC_THRESHOLD):
+    """Connected components over a pair Dataset (id_a, id_b) — the
+    cluster-resolution step that turns near-dup PAIRS into per-document
+    cluster labels. Size-adaptive, like a broadcast join vs a shuffle
+    join:
+
+    * edge sets under ``driver_threshold`` are collected and resolved by
+      a single-process union-find — the pair set is the DERIVED small
+      side (dup pairs, not the corpus), and a dozen distributed shuffle
+      rounds cost more in fixed executor overhead than the union-find
+      does in total;
+    * larger edge sets run alternating large-star / small-star rounds
+      (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+      two bucketed groupbys over the edges per round (O(edges) traffic,
+      O(buckets) groups), O(log n) rounds, edge set materialized per
+      round with a tiny signature probe for convergence.
+
+    Both paths return a Dataset (member_id, cluster_id) covering every
+    node that appears in an edge; cluster_id is the component minimum.
+    Both are pinned against the same union-find reference in tests.
     """
 
     def seed(b: pa.Table) -> pa.Table:
@@ -642,6 +653,10 @@ def connected_components(pairs, max_rounds: int = 12):
 
     edges = _canonical_distinct(pairs.map_batches(seed, batch_format="pyarrow"))
     edges = edges.materialize()
+
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(edges)
     sig = _edge_signature(edges)
     for _ in range(max_rounds):
         # large-star works on the symmetrized view
@@ -702,6 +717,39 @@ def connected_components(pairs, max_rounds: int = 12):
         _cc_bucket(allrows, "member_id")
         .groupby("_cb")
         .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
+def _driver_union_find(edges):
+    """Small-side CC: collect the (already distinct/canonical) edges and
+    resolve with path-compressed union-find; emit (member_id, cluster_id)
+    with min-id roots — byte-compatible with the distributed output."""
+    import ray.data as rd
+
+    df = edges.to_pandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(df["src"].to_numpy(), df["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(parent)
+    labels = [find(v) for v in members]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "member_id": pa.array(members, type=pa.int64()),
+                "cluster_id": pa.array(labels, type=pa.int64()),
+            }
+        )
     )
 
 

@@ -91,9 +91,13 @@ def test_connected_components_vs_union_find():
     pairs = rd.from_arrow(
         pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
     )
+    # small-side path (driver union-find)
     got_df = connected_components(pairs).to_pandas()
     got = dict(zip(got_df.member_id, got_df.cluster_id))
     assert got == want
+    # distributed star rounds forced (threshold 0) — identical output
+    got_dist = connected_components(pairs, driver_threshold=0).to_pandas()
+    assert dict(zip(got_dist.member_id, got_dist.cluster_id)) == want
 
 
 def test_langid_predicts_en_for_english_corpus():
