@@ -1,0 +1,431 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+train/valid/test splitting, PII-style redaction, weighted per-source
+mixture sampling, deterministic bottom-k reservoir sampling, a
+Bloom-filter semi-join (the no-broadcast scale path for key membership),
+and a count-min sketch (frequency estimation without a groupby).
+
+These are the curation analogs of the reference's per-document routing
+and membership probes (route columns: Jhove.kt:519-537; key-existence
+probe: S3Utils.kt:27-33) applied to corpus assembly. Everything is
+vectorized Arrow/numpy; the only driver-side materialization is the
+small side of each operator (key sets, sketches), broadcast once with
+``ray.put``.
+
+Determinism note: every sampling decision is a pure function of the row
+key via a Lehmer (minstd) multiplicative hash ``(key * 48271) mod
+(2^31 - 1)`` — int64-safe in BOTH numpy and DuckDB for keys below
+~1.9e14 (the product stays under 2^63), so the exact SQL oracle computes
+the identical buckets. No RNG state, so re-runs and resumes agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sources import read_table
+
+LEHMER_A = 48271
+LEHMER_M = 2147483647  # 2^31 - 1 (prime -> multiplication is a bijection)
+
+# split fractions: bucket < 80 -> train, < 90 -> valid, else test
+TRAIN_PCT, VALID_PCT = 80, 90
+
+
+def lehmer_bucket(keys: np.ndarray, mod: int = 100) -> np.ndarray:
+    """Deterministic hash bucket in [0, mod) — identical to the SQL
+    ``(key * 48271) % 2147483647 % mod`` (int64-safe, see module doc)."""
+    return (keys.astype(np.int64) * LEHMER_A) % LEHMER_M % mod
+
+
+def _lehmer_sql(col: str, mod: int = 100) -> str:
+    return f"(({col} * {LEHMER_A}) % {LEHMER_M}) % {mod}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+
+
+def split_assign(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = lehmer_bucket(ids)
+    split = np.where(b < TRAIN_PCT, "train", np.where(b < VALID_PCT, "valid", "test"))
+    return pa.Table.from_arrays(
+        [
+            batch["doc_id"],
+            pa.array(b, type=pa.int64()),
+            pa.array(split.tolist(), type=pa.string()),
+        ],
+        names=["doc_id", "bucket", "split"],
+    )
+
+
+def q_corpus_split(sf_dir: str):
+    """Deterministic train/valid/test assignment: pure map over the key —
+    no shuffle, no RNG, stable under re-runs/resumes (the property a
+    100 TB corpus split MUST have so late-arriving shards land in the
+    same split)."""
+    return read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        split_assign, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction scrub
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround): both pyarrow and DuckDB run RE2, so
+# engine and oracle replace the SAME spans. Order matters and is fixed:
+# term redaction first, then digit runs over the already-scrubbed text.
+REDACT_TERMS = r"\b(customer|user|key)\b"
+REDACT_DIGITS = r"[0-9]{6,}"
+
+
+def redact(batch: pa.Table) -> pa.Table:
+    t = batch["text"]
+    n_terms = pc.count_substring_regex(t, REDACT_TERMS)
+    t1 = pc.replace_substring_regex(t, REDACT_TERMS, "<REDACTED>")
+    n_digits = pc.count_substring_regex(t1, REDACT_DIGITS)
+    t2 = pc.replace_substring_regex(t1, REDACT_DIGITS, "<NUM>")
+    n = pc.add(pc.cast(n_terms, pa.int64()), pc.cast(n_digits, pa.int64()))
+    return pa.Table.from_arrays(
+        [batch["doc_id"], t2, n], names=["doc_id", "redacted", "n_redactions"]
+    )
+
+
+def q_text_redact(sf_dir: str):
+    """PII-style scrub: two vectorized RE2 replace kernels per batch (term
+    list, then long digit runs) plus match counts — the per-document
+    content-normalization shape (JhoveParser/transforms analog) applied
+    to corpus hygiene. Pure map; compiled-regex cost is amortized by the
+    Arrow kernel, no per-row Python."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted per-source mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_rate_pct(src_num: np.ndarray) -> np.ndarray:
+    """Keep-rate percent per source: deterministic function of the numeric
+    source suffix — (7*n + 13) % 101 spans 0..100 across sources."""
+    return (src_num.astype(np.int64) * 7 + 13) % 101
+
+
+def mixture_filter(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # numeric suffix of 'srcN' — vectorized regex extract, no Python rows
+    suffix = pc.extract_regex(batch["source"], r"(?P<n>[0-9]+)$")
+    src_num = pc.cast(pc.struct_field(suffix, "n"), pa.int64()).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    rate = mixture_rate_pct(src_num)
+    keep = lehmer_bucket(ids) < rate
+    return batch.filter(pa.array(keep))
+
+
+def q_corpus_mixture(sf_dir: str):
+    """Weighted mixture sampling: each source contributes at its own
+    deterministic keep-rate (the dataset-mixing step of an LLM data
+    recipe). Hash-gated filter — a pure map, no shuffle; rates are a
+    function of the source, so adding a source never reshuffles the
+    existing sample."""
+    return read_table(
+        sf_dir, "documents", columns=["doc_id", "source"]
+    ).map_batches(mixture_filter, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic bottom-k reservoir sample
+# ---------------------------------------------------------------------------
+
+SAMPLE_K = 100
+
+
+def q_corpus_sample(sf_dir: str, k: int = SAMPLE_K):
+    """Uniform k-sample WITHOUT an RNG or a global sort: keep the k rows
+    with the smallest Lehmer hash (bottom-k priority sampling). The
+    per-batch partial bottom-k is mergeable — each block ships at most k
+    (hash, key) pairs, the final reduce re-selects bottom-k — so the
+    collect is O(blocks*k), never the data. Equivalent SQL: ORDER BY
+    hash LIMIT k (injective hash -> no ties across keys)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * LEHMER_A) % LEHMER_M
+        if len(ids) > k:
+            idx = np.argpartition(h, k)[:k]
+            ids, h = ids[idx], h[idx]
+        return pa.table(
+            {"doc_id": pa.array(ids), "h": pa.array(h)}
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        ranks = np.arange(1, len(order) + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "sample_rank": pa.array(ranks),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: all partials must reach final() as ONE batch
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join: the no-broadcast-exact-set membership path
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 17  # 128 Kbit = 16 KiB
+BLOOM_K = 4
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def bloom_build(keys: np.ndarray, bits_log2: int = BLOOM_BITS_LOG2) -> np.ndarray:
+    """Bit array (uint8[2^bits_log2 / 8]) with BLOOM_K double-hash probes
+    per key."""
+    m = np.uint64(1 << bits_log2)
+    bits = np.zeros((1 << bits_log2) // 8, dtype=np.uint8)
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+    for i in range(BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def bloom_probe(keys: np.ndarray, bits: np.ndarray,
+                bits_log2: int = BLOOM_BITS_LOG2) -> np.ndarray:
+    """Vectorized membership test: True = possibly present (FP rate
+    ~ (1 - e^{-kn/m})^k), False = definitely absent."""
+    m = np.uint64(1 << bits_log2)
+    h1 = _splitmix64(keys)
+    h2 = _splitmix64(keys ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(BLOOM_K):
+        pos = (h1 + np.uint64(i) * h2) % m
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 != 0
+    return hit
+
+
+SEMI_BUCKETS = 64
+
+
+def q_semi_join_bloom(sf_dir: str):
+    """Semi-join at the scale where the exact key set does NOT fit a
+    broadcast: a 16 KiB Bloom filter (built from the small side, shipped
+    once) prunes ~all non-members map-side; the few survivors are then
+    verified EXACTLY by a co-partitioned set-intersect (union tagged
+    probe/build keys, bucket by hash, per-bucket membership) — the
+    shuffle moves only bloom survivors + build keys, never the full
+    probe side. Result equals the plain semi-join (same SQL oracle)."""
+    import ray
+    import pyarrow.parquet as pq
+    from .sources import get_broadcast
+
+    build = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])[
+        "s_suppkey"
+    ].to_numpy(zero_copy_only=False).astype(np.int64)
+    bits_ref = ray.put(bloom_build(build.astype(np.uint64)))
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        bits = get_broadcast(bits_ref)
+        keys = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.filter(pa.array(bloom_probe(keys.astype(np.uint64), bits)))
+        t = pl.from_arrow(t).unique(maintain_order=False).to_arrow()
+        return t.append_column(
+            "is_build", pa.array(np.zeros(t.num_rows, dtype=bool))
+        )
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    import ray.data as rd
+
+    build_tbl = pa.table(
+        {
+            "user_id": pa.array(np.unique(build)),
+            "is_build": pa.array(np.ones(len(np.unique(build)), dtype=bool)),
+        }
+    )
+    both = survivors.union(rd.from_arrow(build_tbl))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_b", pa.array(lehmer_bucket(ids, SEMI_BUCKETS))
+        )
+
+    def verify(g: pa.Table) -> pa.Table:
+        ids = g["user_id"].to_numpy(zero_copy_only=False)
+        is_build = g["is_build"].to_numpy(zero_copy_only=False)
+        build_keys = np.unique(ids[is_build])
+        probe_keys = np.unique(ids[~is_build])
+        out = probe_keys[np.isin(probe_keys, build_keys)]
+        return pa.table({"user_id": pa.array(out, type=pa.int64())})
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: point frequency estimates without a groupby
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048  # error bound: est <= true + e/width * N  (w.h.p.)
+
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def cms_partial(values: np.ndarray, depth: int = CMS_DEPTH,
+                width: int = CMS_WIDTH) -> np.ndarray:
+    """int64[depth, width] counts for one batch — vectorized bincount per
+    row of the sketch."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    v = values.astype(np.uint64)
+    for d in range(depth):
+        idx = (_splitmix64(v ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        sk[d] = np.bincount(idx, minlength=width)
+    return sk
+
+
+def cms_query(sketch: np.ndarray, keys: np.ndarray,
+              width: int = CMS_WIDTH) -> np.ndarray:
+    """Point estimates: min over rows (classic CMS upper-bound estimate)."""
+    v = keys.astype(np.uint64)
+    ests = np.empty((sketch.shape[0], len(keys)), dtype=np.int64)
+    for d in range(sketch.shape[0]):
+        idx = (_splitmix64(v ^ _CMS_SEEDS[d]) % np.uint64(width)).astype(np.int64)
+        ests[d] = sketch[d][idx]
+    return ests.min(axis=0)
+
+
+CMS_PROBE_USERS = [1, 2, 3, 4, 5]
+
+
+def cms_counts(ds, column: str, probe_keys: list[int]):
+    """Dataset -> table (key, est_count): per-batch partial sketches
+    (depth*width int64 = 64 KiB blobs) merged by elementwise SUM — the
+    same tiny-blob combiner shape as the HLL — then probed for the given
+    keys. Estimates overcount only (est >= true; est <= true + eN/w)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"sk": pa.array([cms_partial(v).tobytes()], type=pa.binary())}
+        )
+
+    def reduce_all(batch: pa.Table) -> pa.Table:
+        total = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+        for blob in batch["sk"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+        ests = cms_query(total, np.array(probe_keys, dtype=np.int64))
+        return pa.table(
+            {
+                column: pa.array(probe_keys, type=pa.int64()),
+                "est_count": pa.array(ests),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: all partials must reach reduce_all as ONE batch
+        .map_batches(reduce_all, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_sketch_cms_counts(sf_dir: str):
+    """Per-user event-count estimates for a probe set via count-min sketch
+    — frequency lookup on a 10^10-event stream without any groupby. No
+    SQL oracle (approximate); the tolerance test pins est>=exact and the
+    eN/w error bound."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    return cms_counts(ds, "user_id", CMS_PROBE_USERS)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SQL = {
+    "corpus_split": f"""
+        SELECT doc_id,
+               {_lehmer_sql('doc_id')} AS bucket,
+               CASE WHEN {_lehmer_sql('doc_id')} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_lehmer_sql('doc_id')} < {VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents""",
+    "text_redact": f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 regexp_replace(text, '{REDACT_TERMS}', '<REDACTED>', 'g') AS t1,
+                 CAST(len(regexp_extract_all(text, '{REDACT_TERMS}')) AS BIGINT) AS n1
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(t1, '{REDACT_DIGITS}', '<NUM>', 'g') AS redacted,
+               n1 + CAST(len(regexp_extract_all(t1, '{REDACT_DIGITS}')) AS BIGINT)
+                   AS n_redactions
+        FROM s1""",
+    "corpus_mixture": f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE {_lehmer_sql('doc_id')} <
+              (CAST(regexp_extract(source, '([0-9]+)$') AS BIGINT) * 7 + 13) % 101""",
+    "corpus_sample": f"""
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY (doc_id * {LEHMER_A}) % {LEHMER_M}, doc_id
+               ) AS sample_rank
+        FROM documents
+        ORDER BY (doc_id * {LEHMER_A}) % {LEHMER_M}, doc_id
+        LIMIT {SAMPLE_K}""",
+    "semi_join_bloom": """
+        SELECT DISTINCT e.user_id
+        FROM events e
+        WHERE e.user_id IN (SELECT s_suppkey FROM supplier)""",
+}
+
+
+def registry():
+    queries = {
+        "corpus_split": q_corpus_split,
+        "text_redact": q_text_redact,
+        "corpus_mixture": q_corpus_mixture,
+        "corpus_sample": q_corpus_sample,
+        "semi_join_bloom": q_semi_join_bloom,
+        "sketch_cms_counts": q_sketch_cms_counts,
+    }
+    return queries, dict(SQL)

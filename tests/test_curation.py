@@ -1,0 +1,99 @@
+"""Curation operators: properties the SQL oracle can't express —
+CMS error bounds, bloom-filter soundness, bottom-k merge invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ray_cdc_lake import curation as cu
+
+
+def test_bloom_no_false_negatives():
+    keys = np.arange(0, 5000, 7, dtype=np.uint64)
+    bits = cu.bloom_build(keys)
+    assert cu.bloom_probe(keys, bits).all(), "bloom must never miss a member"
+
+
+def test_bloom_false_positive_rate_small():
+    members = np.arange(0, 2000, dtype=np.uint64)
+    bits = cu.bloom_build(members)
+    probe = np.arange(1_000_000, 1_050_000, dtype=np.uint64)
+    fp = cu.bloom_probe(probe, bits).mean()
+    # m=131072 bits, n=2000, k=4 -> theoretical fp ~ (1-e^{-kn/m})^4 ~ 1.2e-5
+    assert fp < 0.01, f"false-positive rate {fp} too high"
+
+
+def test_cms_overcounts_within_bound():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=200_000).astype(np.int64)
+    # split into 8 "blocks", merge partials by sum (the distributed shape)
+    total = np.zeros((cu.CMS_DEPTH, cu.CMS_WIDTH), dtype=np.int64)
+    for chunk in np.array_split(vals, 8):
+        total += cu.cms_partial(chunk)
+    probe = np.arange(0, 500, dtype=np.int64)
+    est = cu.cms_query(total, probe)
+    exact = np.bincount(vals, minlength=500)[:500]
+    assert (est >= exact).all(), "CMS must never undercount"
+    bound = np.e / cu.CMS_WIDTH * len(vals)
+    # Markov bound holds per key w.p. >= 1 - e^-depth; allow a few outliers
+    frac_over = ((est - exact) > bound).mean()
+    assert frac_over < 0.05, f"{frac_over:.1%} keys exceed the eN/w bound"
+
+
+def test_lehmer_bucket_matches_sql_semantics():
+    ids = np.array([0, 1, 2, 499, 123456789], dtype=np.int64)
+    expect = (ids * 48271) % 2147483647 % 100
+    assert (cu.lehmer_bucket(ids) == expect).all()
+
+
+def test_split_assign_fractions_and_determinism():
+    ids = np.arange(100_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+    out1 = cu.split_assign(t)
+    out2 = cu.split_assign(t)
+    assert out1.equals(out2)
+    splits = np.asarray(out1["split"].to_numpy(zero_copy_only=False))
+    frac_train = (splits == "train").mean()
+    assert 0.78 < frac_train < 0.82, frac_train
+
+
+def test_bottom_k_merge_invariance():
+    """Partial bottom-k per block then re-select == bottom-k over all."""
+    ids = np.arange(10_000, dtype=np.int64)
+    h = (ids * cu.LEHMER_A) % cu.LEHMER_M
+    want = ids[np.lexsort((ids, h))[: cu.SAMPLE_K]]
+    # simulate 13 uneven blocks with partial k-selection
+    parts = []
+    for chunk in np.array_split(ids, 13):
+        ch = (chunk * cu.LEHMER_A) % cu.LEHMER_M
+        if len(chunk) > cu.SAMPLE_K:
+            idx = np.argpartition(ch, cu.SAMPLE_K)[: cu.SAMPLE_K]
+            chunk, ch = chunk[idx], ch[idx]
+        parts.append((chunk, ch))
+    allc = np.concatenate([p[0] for p in parts])
+    allh = np.concatenate([p[1] for p in parts])
+    got = allc[np.lexsort((allc, allh))[: cu.SAMPLE_K]]
+    assert (got == want).all()
+
+
+def test_cms_query_vs_exact_on_events(sf_tiny, duck):
+    """The registered sketch query's estimates bound the exact counts."""
+    from ray_cdc_lake.curation import q_sketch_cms_counts
+    from tests.util import to_pandas
+
+    df = to_pandas(q_sketch_cms_counts(sf_tiny)).set_index("user_id")
+    exact = dict(
+        duck.execute(
+            "SELECT user_id, count(*) FROM events "
+            f"WHERE user_id IN ({','.join(map(str, cu.CMS_PROBE_USERS))}) "
+            "GROUP BY user_id"
+        ).fetchall()
+    )
+    n = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    bound = np.e / cu.CMS_WIDTH * n
+    for uid in cu.CMS_PROBE_USERS:
+        est = int(df.loc[uid, "est_count"])
+        true = int(exact.get(uid, 0))
+        assert true <= est <= true + max(bound, 1) + 3, (uid, est, true)
