@@ -297,6 +297,76 @@ def q_semi_join_bloom(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# benchmark-contamination check: broadcast probe-token overlap
+# ---------------------------------------------------------------------------
+
+BENCH_DOC_MAX = 5  # docs with doc_id < 5 stand in for the eval benchmark
+
+
+def q_corpus_contamination(sf_dir: str):
+    """Train/eval contamination screen: fraction of each document's
+    DISTINCT tokens that appear in the benchmark documents' token set
+    (docs 0..4 stand in for the held-out eval set). The benchmark
+    vocabulary is tiny by construction — read once with a parquet
+    filter pushdown, broadcast via ``ray.put``, probed per batch with a
+    vectorized ``is_in`` over per-row deduped token lists. One pure map,
+    no shuffle; the ratio is a single float64 division so it matches
+    the SQL oracle bit-for-bit."""
+    import ray
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    from .sources import get_broadcast
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filters=pads.field("doc_id") < BENCH_DOC_MAX,
+    )
+    bench_terms = pc.unique(
+        pc.list_flatten(pc.split_pattern(bench_tbl["text"], " "))
+    )
+    # broadcast the python list (what polars is_in wants) so the
+    # conversion happens once per worker via the get_broadcast cache,
+    # not once per batch
+    ref = ray.put(bench_terms.to_pylist())
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        bench = get_broadcast(ref)  # list[str] of benchmark tokens
+        df = (
+            pl.from_arrow(batch)
+            .with_columns(
+                pl.col("text").str.split(" ").list.unique().alias("terms")
+            )
+            .select(
+                "doc_id",
+                pl.col("terms").list.len().cast(pl.Int64).alias("n_distinct"),
+                pl.col("terms")
+                .list.eval(pl.element().is_in(bench))
+                .list.sum()
+                .cast(pl.Int64)
+                .alias("n_hit"),
+            )
+        )
+        n_distinct = df["n_distinct"].to_numpy().astype(np.int64)
+        n_hit = df["n_hit"].to_numpy().astype(np.int64)
+        ratio = n_hit / np.maximum(n_distinct, 1)
+        return pa.table(
+            {
+                "doc_id": df["doc_id"].to_arrow(),
+                "n_distinct": pa.array(n_distinct),
+                "n_hit": pa.array(n_hit),
+                "contamination": pa.array(ratio),
+            }
+        )
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # count-min sketch: point frequency estimates without a groupby
 # ---------------------------------------------------------------------------
 
@@ -416,6 +486,21 @@ SQL = {
         SELECT DISTINCT e.user_id
         FROM events e
         WHERE e.user_id IN (SELECT s_suppkey FROM supplier)""",
+    "corpus_contamination": f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+          FROM documents WHERE doc_id < {BENCH_DOC_MAX}),
+        d AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents)
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / greatest(count(*), 1) AS contamination
+        FROM d LEFT JOIN bench b USING (term)
+        GROUP BY d.doc_id""",
 }
 
 
@@ -426,6 +511,7 @@ def registry():
         "corpus_mixture": q_corpus_mixture,
         "corpus_sample": q_corpus_sample,
         "semi_join_bloom": q_semi_join_bloom,
+        "corpus_contamination": q_corpus_contamination,
         "sketch_cms_counts": q_sketch_cms_counts,
     }
     return queries, dict(SQL)

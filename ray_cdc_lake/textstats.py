@@ -235,6 +235,73 @@ def q_text_embed_fake(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# per-source top terms: the TF-analysis shuffle done combiner-first
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 5
+
+
+def q_text_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
+    """Top-k terms per source by frequency. The naive plan shuffles every
+    token; this one pre-aggregates (source, term) counts INSIDE each
+    batch (polars explode + group_by — vectorized), so the groupby
+    shuffle moves one partial count per distinct (source, term, block),
+    a tiny fraction of the token stream. Per-source top-k is a
+    within-group sort with a deterministic (count desc, term asc)
+    tie-break — never a global sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .with_columns(pl.col("text").str.split(" ").alias("term"))
+            .drop("text")
+            .explode("term")
+            .group_by(["source", "term"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g)
+            .sort(["n", "term"], descending=[True, False])
+            .head(k)
+            .with_row_index("rank", offset=1)
+            .with_columns(pl.col("rank").cast(pl.Int64))
+            .select(["source", "term", "n", "rank"])
+            .to_arrow()
+        )
+
+    return counts.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+TOP_TERMS_SQL = f"""
+    WITH t AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+    c AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY source, term),
+    r AS (
+      SELECT source, term, n,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n DESC, term) AS rank
+      FROM c)
+    SELECT source, term, n, rank FROM r WHERE rank <= {TOP_TERMS_K}"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -335,5 +402,8 @@ def registry():
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_embed_fake": q_text_embed_fake,
+        "text_top_terms": q_text_top_terms,
     }
-    return queries, dict(SQL)
+    sql = dict(SQL)
+    sql["text_top_terms"] = TOP_TERMS_SQL
+    return queries, sql
