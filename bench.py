@@ -50,6 +50,8 @@ SECONDARY = [
     "dedup_clusters",
     "corpus_curation",
     "text_quality",
+    "text_top_terms",
+    "semi_join_bloom",
     "knn_bruteforce",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
