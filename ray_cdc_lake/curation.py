@@ -119,12 +119,15 @@ def mixture_rate_pct(src_num: np.ndarray) -> np.ndarray:
 
 def mixture_filter(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # numeric suffix of 'srcN' — vectorized regex extract, no Python rows
+    # numeric suffix of 'srcN' — vectorized regex extract, no Python rows.
+    # A source with no numeric suffix extracts NULL; fill with -1 so its
+    # keep-rate comparison is false — the same row-drop the SQL oracle's
+    # NULL comparison produces.
     suffix = pc.extract_regex(batch["source"], r"(?P<n>[0-9]+)$")
-    src_num = pc.cast(pc.struct_field(suffix, "n"), pa.int64()).to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-    rate = mixture_rate_pct(src_num)
+    src_num = pc.fill_null(
+        pc.cast(pc.struct_field(suffix, "n"), pa.int64()), -1
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    rate = np.where(src_num < 0, np.int64(-1), mixture_rate_pct(src_num))
     keep = lehmer_bucket(ids) < rate
     return batch.filter(pa.array(keep))
 

@@ -78,6 +78,17 @@ def test_bottom_k_merge_invariance():
     assert (got == want).all()
 
 
+def test_mixture_filter_drops_sources_without_numeric_suffix():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "source": pa.array(["src5", "weird", "src12"]),
+        }
+    )
+    out = cu.mixture_filter(t)
+    assert "weird" not in out["source"].to_pylist()
+
+
 def test_cms_query_vs_exact_on_events(sf_tiny, duck):
     """The registered sketch query's estimates bound the exact counts."""
     from ray_cdc_lake.curation import q_sketch_cms_counts
