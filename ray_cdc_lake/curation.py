@@ -190,6 +190,79 @@ def q_corpus_sample(sf_dir: str, k: int = SAMPLE_K):
 
 
 # ---------------------------------------------------------------------------
+# stratified per-source sample: bottom-k within each group
+# ---------------------------------------------------------------------------
+
+STRAT_K = 10
+
+
+def q_corpus_sample_stratified(sf_dir: str, k: int = STRAT_K):
+    """k-per-source stratified sample: within each source, keep the k
+    rows with the smallest Lehmer hash (deterministic, RNG-free — the
+    bottom-k priority sample applied per stratum). One groupby shuffle
+    of (doc_id, source) pairs only; the per-group work is a vectorized
+    partial selection, never a global sort."""
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * LEHMER_A) % LEHMER_M
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                "source": g["source"].take(pa.array(order)),
+                "doc_id": pa.array(ids[order]),
+                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "source"])
+        .groupby("source")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: fixed token-budget training sequences
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def q_corpus_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
+    """Pack documents into fixed-token-budget training sequences — the
+    pretraining batch-assembly step. Deterministic contiguous packing:
+    within each source (the packing partition), documents ordered by
+    doc_id are assigned seq_id = floor(exclusive_running_token_sum /
+    budget). Per-source cumsum inside ``map_groups`` — packing never
+    needs a global order, so the only shuffle is the source groupby.
+    A document larger than the budget still lands in one sequence (real
+    packers then truncate/split downstream)."""
+
+    def per_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("doc_id", "ascending")])
+        n_tok = pc.cast(
+            pc.list_value_length(pc.split_pattern(g["text"], " ")), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+        seq_id = prev // budget
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "source": g["source"],
+                "n_tokens": pa.array(n_tok),
+                "seq_id": pa.array(seq_id),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .groupby("source")
+        .map_groups(per_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join: the no-broadcast-exact-set membership path
 # ---------------------------------------------------------------------------
 
@@ -489,6 +562,30 @@ SQL = {
         SELECT DISTINCT e.user_id
         FROM events e
         WHERE e.user_id IN (SELECT s_suppkey FROM supplier)""",
+    "corpus_sample_stratified": f"""
+        WITH r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * {LEHMER_A}) % {LEHMER_M}, doc_id
+                 ) AS rnk
+          FROM documents)
+        SELECT source, doc_id, rnk FROM r WHERE rnk <= {STRAT_K}""",
+    "corpus_pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT *,
+                 COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS prev
+          FROM t)
+        SELECT doc_id, source, n_tokens,
+               CAST(prev // {PACK_BUDGET} AS BIGINT) AS seq_id
+        FROM c""",
     "corpus_contamination": f"""
         WITH bench AS (
           SELECT DISTINCT unnest(string_split(text, ' ')) AS term
@@ -513,6 +610,8 @@ def registry():
         "text_redact": q_text_redact,
         "corpus_mixture": q_corpus_mixture,
         "corpus_sample": q_corpus_sample,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
         "sketch_cms_counts": q_sketch_cms_counts,
