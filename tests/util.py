@@ -1,7 +1,9 @@
 """Shared test helpers: normalize a query result (Dataset / DataFrame /
-Table) and compare against a DuckDB oracle the way the driver does —
-row-count + schema-agnostic, order-insensitive value comparison with
-columns sorted by name."""
+Table) and compare against a DuckDB oracle EXACTLY the way the driver
+does — columns sorted by name, every column stringified, then an
+order-insensitive row compare. Driver-faithful on purpose: a dtype
+drift (e.g. DuckDB's windowed sum(BIGINT) -> HUGEINT -> float64 ->
+"3.0" vs "3") must fail HERE, not first in CORRECTNESS_r{N}.json."""
 
 from __future__ import annotations
 
@@ -19,12 +21,12 @@ def to_pandas(result) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's canonicalization, verbatim: sort columns by name,
+    stringify every column, sort rows by all columns."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object or str(df[c].dtype).startswith("string"):
-            df[c] = df[c].astype("string")
-    df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
-    return df
+        df[c] = df[c].astype("string")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
 
 
 def assert_matches_oracle(ray_result, duck, sql: str, name: str = "") -> None:
@@ -34,21 +36,14 @@ def assert_matches_oracle(ray_result, duck, sql: str, name: str = "") -> None:
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
-    # value compare with numeric tolerance-free equality
-    for c in got.columns:
-        g, w = got[c], want[c]
-        if str(g.dtype).startswith(("float", "Float")) or str(w.dtype).startswith(
-            ("float", "Float")
-        ):
-            pd.testing.assert_series_equal(
-                g.astype("float64"),
-                w.astype("float64"),
-                check_names=False,
-                check_exact=False,
-                rtol=1e-12,
-                atol=1e-12,
-            )
-        else:
-            assert g.astype("string").fillna("<NULL>").tolist() == w.astype(
-                "string"
-            ).fillna("<NULL>").tolist(), f"{name}: column {c} differs"
+    g = got.fillna("<NULL>")
+    w = want.fillna("<NULL>")
+    if not g.equals(w):
+        diff = (g != w).any(axis=1)
+        sample = pd.concat(
+            [g[diff].head(5).add_suffix("_got"), w[diff].head(5).add_suffix("_want")],
+            axis=1,
+        )
+        raise AssertionError(
+            f"{name}: {int(diff.sum())} rows differ after canon; first:\n{sample}"
+        )
