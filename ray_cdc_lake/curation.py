@@ -523,6 +523,71 @@ def q_sketch_cms_counts(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# the composed curation recipe: mixture -> redact -> exact-dedup -> split
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_recipe(sf_dir: str):
+    """The end-to-end curation recipe as ONE streaming pipeline:
+    weighted mixture filter -> PII redaction -> exact dedup on the
+    redacted text (keep the lowest doc_id) -> train/valid/test split.
+    Everything up to the dedup shuffle is fused maps; the dedup uses the
+    combiner-first shape (per-batch min per md5, so the groupby moves
+    one row per (hash, block)). The keeper's (doc_id, source) rides the
+    shuffle as a single lexicographically-ordered packed key — min of
+    the packed string IS min by doc_id — so no second join is needed to
+    recover the keeper's attributes."""
+    from ray.data.aggregate import Min
+    import hashlib
+
+    def redact_keep(batch: pa.Table) -> pa.Table:
+        t1 = pc.replace_substring_regex(batch["text"], REDACT_TERMS, "<REDACTED>")
+        t2 = pc.replace_substring_regex(t1, REDACT_DIGITS, "<NUM>")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "redacted": t2}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["redacted"].to_pylist()
+        ]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        # zero-padded doc_id prefix -> lexicographic min == numeric min
+        packed = [f"{i:020d}|{s}" for i, s in zip(ids.tolist(), srcs)]
+        t = pa.table(
+            {"h": pa.array(md5s), "packed": pa.array(packed, type=pa.string())}
+        )
+        return (
+            pl.from_arrow(t)
+            .group_by("h")
+            .agg(pl.col("packed").min().alias("packed"))
+            .to_arrow()
+        )
+
+    def unpack_and_split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["packed"], "|", max_splits=1)
+        ids = pc.cast(pc.list_element(parts, 0), pa.int64())
+        srcs = pc.list_element(parts, 1)
+        out = pa.table({"doc_id": ids, "source": srcs})
+        split = split_assign(out.select(["doc_id"]))
+        return out.append_column("split", split["split"])
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(mixture_filter, batch_format="pyarrow")
+        .map_batches(redact_keep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(unpack_and_split, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -586,6 +651,26 @@ SQL = {
         SELECT doc_id, source, n_tokens,
                CAST(prev // {PACK_BUDGET} AS BIGINT) AS seq_id
         FROM c""",
+    "corpus_recipe": f"""
+        WITH kept AS (
+          SELECT doc_id, source, text FROM documents
+          WHERE {_lehmer_sql('doc_id')} <
+                (CAST(regexp_extract(source, '([0-9]+)$') AS BIGINT) * 7 + 13) % 101),
+        red AS (
+          SELECT doc_id, source,
+                 regexp_replace(
+                   regexp_replace(text, '{REDACT_TERMS}', '<REDACTED>', 'g'),
+                   '{REDACT_DIGITS}', '<NUM>', 'g') AS redacted
+          FROM kept),
+        ded AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY redacted ORDER BY doc_id) AS rn
+          FROM red)
+        SELECT doc_id, source,
+               CASE WHEN {_lehmer_sql('doc_id')} < {TRAIN_PCT} THEN 'train'
+                    WHEN {_lehmer_sql('doc_id')} < {VALID_PCT} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM ded WHERE rn = 1""",
     "corpus_contamination": f"""
         WITH bench AS (
           SELECT DISTINCT unnest(string_split(text, ' ')) AS term
@@ -614,6 +699,7 @@ def registry():
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
+        "corpus_recipe": q_corpus_recipe,
         "sketch_cms_counts": q_sketch_cms_counts,
     }
     return queries, dict(SQL)
