@@ -43,6 +43,21 @@ def _lehmer_sql(col: str, mod: int = 100) -> str:
     return f"(({col} * {LEHMER_A}) % {LEHMER_M}) % {mod}"
 
 
+# the mixture keep predicate, defined ONCE and interpolated into every
+# oracle that filters by it (corpus_mixture, corpus_recipe). TRY_CAST:
+# DuckDB regexp_extract returns '' on no match and CAST('') errors;
+# TRY_CAST yields NULL so the comparison drops the row — matching
+# mixture_filter's fill_null(-1) drop.
+MIXTURE_PRED_SQL = (
+    "(({col} * %d) %% %d) %% 100 < "
+    "(TRY_CAST(regexp_extract(source, '([0-9]+)$') AS BIGINT) * 7 + 13) %% 101"
+) % (LEHMER_A, LEHMER_M)
+
+
+def _mixture_pred(col: str = "doc_id") -> str:
+    return MIXTURE_PRED_SQL.format(col=col)
+
+
 # ---------------------------------------------------------------------------
 # deterministic train/valid/test split
 # ---------------------------------------------------------------------------
@@ -83,13 +98,21 @@ REDACT_TERMS = r"\b(customer|user|key)\b"
 REDACT_DIGITS = r"[0-9]{6,}"
 
 
-def redact(batch: pa.Table) -> pa.Table:
-    t = batch["text"]
+def redact_text(t):
+    """The two-step replace chain (terms first, then digit runs over the
+    scrubbed text) — the ONE place the order and tokens are defined, so
+    q_text_redact and q_corpus_recipe cannot drift apart. Returns
+    (redacted, n_redactions)."""
     n_terms = pc.count_substring_regex(t, REDACT_TERMS)
     t1 = pc.replace_substring_regex(t, REDACT_TERMS, "<REDACTED>")
     n_digits = pc.count_substring_regex(t1, REDACT_DIGITS)
     t2 = pc.replace_substring_regex(t1, REDACT_DIGITS, "<NUM>")
     n = pc.add(pc.cast(n_terms, pa.int64()), pc.cast(n_digits, pa.int64()))
+    return t2, n
+
+
+def redact(batch: pa.Table) -> pa.Table:
+    t2, n = redact_text(batch["text"])
     return pa.Table.from_arrays(
         [batch["doc_id"], t2, n], names=["doc_id", "redacted", "n_redactions"]
     )
@@ -121,8 +144,9 @@ def mixture_filter(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     # numeric suffix of 'srcN' — vectorized regex extract, no Python rows.
     # A source with no numeric suffix extracts NULL; fill with -1 so its
-    # keep-rate comparison is false — the same row-drop the SQL oracle's
-    # NULL comparison produces.
+    # keep-rate comparison is false — the same row-drop the SQL oracle
+    # produces (DuckDB regexp_extract yields '' on no match and
+    # TRY_CAST('') is NULL, so its comparison is NULL -> dropped).
     suffix = pc.extract_regex(batch["source"], r"(?P<n>[0-9]+)$")
     src_num = pc.fill_null(
         pc.cast(pc.struct_field(suffix, "n"), pa.int64()), -1
@@ -200,13 +224,19 @@ def q_corpus_sample_stratified(sf_dir: str, k: int = STRAT_K):
     """k-per-source stratified sample: within each source, keep the k
     rows with the smallest Lehmer hash (deterministic, RNG-free — the
     bottom-k priority sample applied per stratum). One groupby shuffle
-    of (doc_id, source) pairs only; the per-group work is a vectorized
-    partial selection, never a global sort."""
+    of (doc_id, source) pairs only; per-group work is an O(n)
+    argpartition preselect of ~k candidates, then a sort of just those
+    k — never a sort of the stratum."""
 
     def per_group(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = (ids * LEHMER_A) % LEHMER_M
-        order = np.lexsort((ids, h))[:k]
+        if len(ids) > k:
+            # O(n) preselect, then sort only the k winners
+            pre = np.argpartition(h, k)[:k]
+            order = pre[np.lexsort((ids[pre], h[pre]))]
+        else:
+            order = np.lexsort((ids, h))[:k]
         return pa.table(
             {
                 "source": g["source"].take(pa.array(order)),
@@ -541,31 +571,29 @@ def q_corpus_recipe(sf_dir: str):
     import hashlib
 
     def redact_keep(batch: pa.Table) -> pa.Table:
-        t1 = pc.replace_substring_regex(batch["text"], REDACT_TERMS, "<REDACTED>")
-        t2 = pc.replace_substring_regex(t1, REDACT_DIGITS, "<NUM>")
+        t2, _ = redact_text(batch["text"])
         return pa.table(
             {"doc_id": batch["doc_id"], "source": batch["source"], "redacted": t2}
         )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
-
-        md5s = [
+        # md5 has no Arrow kernel — the one per-row loop in this pipeline
+        md5s = pa.array(
             hashlib.md5(t.encode("utf-8")).hexdigest()
             for t in batch["redacted"].to_pylist()
-        ]
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        srcs = batch["source"].to_pylist()
-        # zero-padded doc_id prefix -> lexicographic min == numeric min
-        packed = [f"{i:020d}|{s}" for i, s in zip(ids.tolist(), srcs)]
-        t = pa.table(
-            {"h": pa.array(md5s), "packed": pa.array(packed, type=pa.string())}
         )
+        # zero-padded doc_id prefix -> lexicographic min == numeric min;
+        # built with Arrow kernels (lpad + elementwise join), no row loop
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 20, "0"),
+            batch["source"],
+            "|",
+        )
+        t = pa.table({"h": md5s, "packed": packed})
         return (
-            pl.from_arrow(t)
-            .group_by("h")
-            .agg(pl.col("packed").min().alias("packed"))
-            .to_arrow()
+            t.group_by("h")
+            .aggregate([("packed", "min")])
+            .rename_columns(["h", "packed"])
         )
 
     def unpack_and_split(batch: pa.Table) -> pa.Table:
@@ -613,8 +641,7 @@ SQL = {
     "corpus_mixture": f"""
         SELECT doc_id, source
         FROM documents
-        WHERE {_lehmer_sql('doc_id')} <
-              (CAST(regexp_extract(source, '([0-9]+)$') AS BIGINT) * 7 + 13) % 101""",
+        WHERE {_mixture_pred()}""",
     "corpus_sample": f"""
         SELECT doc_id,
                row_number() OVER (
@@ -654,8 +681,7 @@ SQL = {
     "corpus_recipe": f"""
         WITH kept AS (
           SELECT doc_id, source, text FROM documents
-          WHERE {_lehmer_sql('doc_id')} <
-                (CAST(regexp_extract(source, '([0-9]+)$') AS BIGINT) * 7 + 13) % 101),
+          WHERE {_mixture_pred()}),
         red AS (
           SELECT doc_id, source,
                  regexp_replace(

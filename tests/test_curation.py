@@ -89,6 +89,31 @@ def test_mixture_filter_drops_sources_without_numeric_suffix():
     assert "weird" not in out["source"].to_pylist()
 
 
+def test_mixture_oracle_sql_drops_no_suffix_sources_without_error():
+    """Engine AND oracle must agree on the no-numeric-suffix drop: DuckDB
+    regexp_extract returns '' on no match and a plain CAST('') errors —
+    the oracle uses TRY_CAST, so it must run clean and drop the row."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'src5'), (2, 'weird'), (3, 'src12')) t(doc_id, source)"
+    )
+    _, sql = cu.registry()
+    rows = con.sql(sql["corpus_mixture"]).fetchall()
+    assert all(r[1] != "weird" for r in rows)
+    # engine on the same three rows agrees row-for-row
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "source": pa.array(["src5", "weird", "src12"]),
+        }
+    )
+    got = sorted(zip(*[c.to_pylist() for c in cu.mixture_filter(t).columns]))
+    assert got == sorted(rows)
+
+
 def test_cms_query_vs_exact_on_events(sf_tiny, duck):
     """The registered sketch query's estimates bound the exact counts."""
     from ray_cdc_lake.curation import q_sketch_cms_counts
