@@ -49,6 +49,7 @@ SECONDARY = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "corpus_curation",
+    "corpus_recipe",
     "text_quality",
     "text_top_terms",
     "semi_join_bloom",
