@@ -235,6 +235,92 @@ def q_text_embed_fake(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# repetition filter: duplicate-trigram fraction per document
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition quality signal: the fraction of a
+    document's word trigrams that are duplicates. Fully vectorized —
+    tokens integer-coded with one ``np.unique`` per batch (codes are
+    injective within the batch, so code-triple equality IS string-triple
+    equality), trigram triples compared via one lexsort + adjacent-diff,
+    per-row distinct counts via bincount. No per-row Python."""
+    toks = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = flat.flatten().to_numpy(zero_copy_only=False)
+    codes = (
+        np.unique(values, return_inverse=True)[1]
+        if len(values)
+        else np.zeros(0, dtype=np.int64)
+    )
+
+    nrows = len(lens)
+    offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    n_tri = np.maximum(lens - 2, 0)
+    total = int(n_tri.sum())
+    if total:
+        row_id = np.repeat(np.arange(nrows, dtype=np.int64), n_tri)
+        tri_cum = np.cumsum(n_tri) - n_tri  # trigram index at each row start
+        starts = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(tri_cum, n_tri)
+            + np.repeat(offsets[:-1], n_tri)
+        )
+        tri = np.stack(
+            [row_id, codes[starts], codes[starts + 1], codes[starts + 2]], axis=1
+        )
+        order = np.lexsort((tri[:, 3], tri[:, 2], tri[:, 1], tri[:, 0]))
+        s = tri[order]
+        first = np.concatenate(
+            ([True], np.any(np.diff(s, axis=0) != 0, axis=1))
+        )
+        n_distinct = np.bincount(s[first, 0], minlength=nrows).astype(np.int64)
+    else:
+        n_distinct = np.zeros(nrows, dtype=np.int64)
+
+    dup = np.where(
+        n_tri == 0, 0.0, 1.0 - n_distinct / np.maximum(n_tri, 1)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_trigrams": pa.array(n_tri),
+            "n_distinct": pa.array(n_distinct),
+            "dup_fraction": pa.array(dup),
+        }
+    )
+
+
+def q_text_repetition(sf_dir: str):
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_score, batch_format="pyarrow"
+    )
+
+
+REPETITION_SQL = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN
+               [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+             ELSE [] END AS tris
+      FROM t)
+    SELECT doc_id,
+           CAST(len(tris) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(tris) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
+           END AS dup_fraction
+    FROM g"""
+
+
+# ---------------------------------------------------------------------------
 # per-source top terms: the TF-analysis shuffle done combiner-first
 # ---------------------------------------------------------------------------
 
@@ -403,7 +489,9 @@ def registry():
         "text_fingerprint": q_text_fingerprint,
         "text_embed_fake": q_text_embed_fake,
         "text_top_terms": q_text_top_terms,
+        "text_repetition": q_text_repetition,
     }
     sql = dict(SQL)
     sql["text_top_terms"] = TOP_TERMS_SQL
+    sql["text_repetition"] = REPETITION_SQL
     return queries, sql
