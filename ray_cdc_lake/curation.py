@@ -174,6 +174,24 @@ def q_corpus_mixture(sf_dir: str):
 SAMPLE_K = 100
 
 
+def bottom_k_partial(ids: np.ndarray, k: int):
+    """O(n) per-block bottom-k preselect by Lehmer-hash priority: returns
+    (ids, hashes) of at most k candidates. Mergeable: re-selecting
+    bottom-k over concatenated partials equals bottom-k over the whole
+    input (property-tested)."""
+    h = (ids.astype(np.int64) * LEHMER_A) % LEHMER_M
+    if len(ids) > k:
+        idx = np.argpartition(h, k)[:k]
+        return ids[idx], h[idx]
+    return ids, h
+
+
+def bottom_k_final(ids: np.ndarray, h: np.ndarray, k: int) -> np.ndarray:
+    """Exact bottom-k over (possibly merged) candidates, deterministic
+    (hash asc, id asc) order."""
+    return ids[np.lexsort((ids, h))[:k]]
+
+
 def q_corpus_sample(sf_dir: str, k: int = SAMPLE_K):
     """Uniform k-sample WITHOUT an RNG or a global sort: keep the k rows
     with the smallest Lehmer hash (bottom-k priority sampling). The
@@ -184,10 +202,7 @@ def q_corpus_sample(sf_dir: str, k: int = SAMPLE_K):
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * LEHMER_A) % LEHMER_M
-        if len(ids) > k:
-            idx = np.argpartition(h, k)[:k]
-            ids, h = ids[idx], h[idx]
+        ids, h = bottom_k_partial(ids, k)
         return pa.table(
             {"doc_id": pa.array(ids), "h": pa.array(h)}
         )
@@ -195,11 +210,11 @@ def q_corpus_sample(sf_dir: str, k: int = SAMPLE_K):
     def final(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         h = batch["h"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, h))[:k]
-        ranks = np.arange(1, len(order) + 1, dtype=np.int64)
+        keep = bottom_k_final(ids, h, k)
+        ranks = np.arange(1, len(keep) + 1, dtype=np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids[order]),
+                "doc_id": pa.array(keep),
                 "sample_rank": pa.array(ranks),
             }
         )
@@ -230,18 +245,15 @@ def q_corpus_sample_stratified(sf_dir: str, k: int = STRAT_K):
 
     def per_group(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * LEHMER_A) % LEHMER_M
-        if len(ids) > k:
-            # O(n) preselect, then sort only the k winners
-            pre = np.argpartition(h, k)[:k]
-            order = pre[np.lexsort((ids[pre], h[pre]))]
-        else:
-            order = np.lexsort((ids, h))[:k]
+        # O(n) preselect, then sort only the ~k winners; source is the
+        # group key, constant within the group
+        keep = bottom_k_final(*bottom_k_partial(ids, k), k)
+        n = len(keep)
         return pa.table(
             {
-                "source": g["source"].take(pa.array(order)),
-                "doc_id": pa.array(ids[order]),
-                "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "source": pa.array([g["source"][0].as_py()] * n),
+                "doc_id": pa.array(keep),
+                "rnk": pa.array(np.arange(1, n + 1, dtype=np.int64)),
             }
         )
 
@@ -259,6 +271,14 @@ def q_corpus_sample_stratified(sf_dir: str, k: int = STRAT_K):
 PACK_BUDGET = 2048  # tokens per packed training sequence
 
 
+def pack_assign(n_tok: np.ndarray, budget: int) -> np.ndarray:
+    """Sequence assignment for docs in a fixed order: seq_id = exclusive
+    running token sum // budget. Non-decreasing; each doc starts inside
+    its sequence's token window (property-tested)."""
+    prev = np.concatenate(([0], np.cumsum(n_tok.astype(np.int64))[:-1]))
+    return prev // budget
+
+
 def q_corpus_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
     """Pack documents into fixed-token-budget training sequences — the
     pretraining batch-assembly step. Deterministic contiguous packing:
@@ -274,8 +294,7 @@ def q_corpus_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
         n_tok = pc.cast(
             pc.list_value_length(pc.split_pattern(g["text"], " ")), pa.int64()
         ).to_numpy(zero_copy_only=False).astype(np.int64)
-        prev = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
-        seq_id = prev // budget
+        seq_id = pack_assign(n_tok, budget)
         return pa.table(
             {
                 "doc_id": g["doc_id"],

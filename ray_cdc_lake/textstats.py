@@ -36,6 +36,20 @@ def _token_counts(texts: pa.ChunkedArray):
     return toks, n
 
 
+def _token_flat(texts):
+    """The one place the tokenize-and-flatten contract lives: returns
+    (flat token values as a plain numpy array, per-row int64 lengths).
+    Shared by quality_score and repetition_score so the chunk-combining
+    quirk is fixed in a single spot."""
+    toks, n = _token_counts(texts)
+    flat = toks.combine_chunks()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    values = flat.flatten().to_numpy(zero_copy_only=False)
+    lens = n.to_numpy(zero_copy_only=False).astype(np.int64)
+    return values, lens
+
+
 def token_count(batch: pa.Table) -> pa.Table:
     _, n = _token_counts(batch["text"])
     return pa.Table.from_arrays(
@@ -65,17 +79,11 @@ def quality_score(batch: pa.Table) -> pa.Table:
     """Quality metrics: token count, chars/token, stopword ratio. Ratios
     are single integer divisions so they are bit-identical to the SQL
     oracle's DOUBLE division."""
-    toks, n = _token_counts(batch["text"])
-    n64 = pc.cast(n, pa.int64())
+    values, lengths = _token_flat(batch["text"])
     nchars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
 
-    flat = toks.combine_chunks()
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    values = flat.flatten()
-    is_stop = pc.is_in(values, value_set=pa.array(STOPWORDS))
+    is_stop = pc.is_in(pa.array(values), value_set=pa.array(STOPWORDS))
     stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
-    lengths = n.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     stop_counts = np.add.reduceat(stop_np, offsets[:-1]) if len(stop_np) else np.zeros(0, dtype=np.int64)
@@ -246,12 +254,7 @@ def repetition_score(batch: pa.Table) -> pa.Table:
     injective within the batch, so code-triple equality IS string-triple
     equality), trigram triples compared via one lexsort + adjacent-diff,
     per-row distinct counts via bincount. No per-row Python."""
-    toks = pc.split_pattern(batch["text"], " ")
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.combine_chunks()
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    values = flat.flatten().to_numpy(zero_copy_only=False)
+    values, lens = _token_flat(batch["text"])
     codes = (
         np.unique(values, return_inverse=True)[1]
         if len(values)

@@ -60,21 +60,19 @@ def test_split_assign_fractions_and_determinism():
 
 
 def test_bottom_k_merge_invariance():
-    """Partial bottom-k per block then re-select == bottom-k over all."""
+    """Product kernels: partial bottom-k per block then re-select ==
+    bottom-k over all (13 uneven blocks). The hypothesis variant in
+    test_property_curation.py sweeps random splits; this pins one
+    deterministic large case."""
     ids = np.arange(10_000, dtype=np.int64)
-    h = (ids * cu.LEHMER_A) % cu.LEHMER_M
-    want = ids[np.lexsort((ids, h))[: cu.SAMPLE_K]]
-    # simulate 13 uneven blocks with partial k-selection
-    parts = []
-    for chunk in np.array_split(ids, 13):
-        ch = (chunk * cu.LEHMER_A) % cu.LEHMER_M
-        if len(chunk) > cu.SAMPLE_K:
-            idx = np.argpartition(ch, cu.SAMPLE_K)[: cu.SAMPLE_K]
-            chunk, ch = chunk[idx], ch[idx]
-        parts.append((chunk, ch))
-    allc = np.concatenate([p[0] for p in parts])
-    allh = np.concatenate([p[1] for p in parts])
-    got = allc[np.lexsort((allc, allh))[: cu.SAMPLE_K]]
+    k = cu.SAMPLE_K
+    want = cu.bottom_k_final(*cu.bottom_k_partial(ids, len(ids) + 1), k)
+    parts = [cu.bottom_k_partial(c, k) for c in np.array_split(ids, 13)]
+    got = cu.bottom_k_final(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        k,
+    )
     assert (got == want).all()
 
 
