@@ -293,6 +293,122 @@ def run_stress(replicate: int = 20, epochs: int = 8) -> dict:
     return out_d
 
 
+def run_stress_corpus(replicate: int = 20) -> dict:
+    """Corpus-scale stress for the curation/text operators: replicate the
+    documents table ``replicate``x (doc_ids offset per replica so keys
+    stay unique; texts identical, making the corpus ~replicate-fold
+    duplicate-heavy — the adversarial case for the recipe's dedup
+    combiner). Reports docs/sec for the pure-map repetition filter and
+    the full mixture->redact->dedup->split recipe."""
+    import ray
+    import pyarrow as pa
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.curation import mixture_filter, redact_text, split_assign
+    from ray_cdc_lake.textstats import repetition_score
+    from ray_cdc_lake.sources import read_table
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    ID_STRIDE = 100_000_000
+
+    def replicate_docs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for r in range(replicate):
+            parts.append(
+                batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    pc.add(batch["doc_id"], r * ID_STRIDE),
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def docs():
+        return read_table(
+            SF_DIR, "documents", columns=["doc_id", "source", "text"]
+        ).map_batches(replicate_docs, batch_format="pyarrow")
+
+    n_docs = docs().count()
+    out: dict = {
+        "metric": "corpus_stress_docs_per_sec",
+        "unit": "docs/sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": replicate,
+        "n_docs": n_docs,
+        "queries": {},
+    }
+
+    t0 = time.perf_counter()
+    n = _consume(docs().map_batches(repetition_score, batch_format="pyarrow"))
+    wall = time.perf_counter() - t0
+    out["queries"]["text_repetition"] = round(wall, 3)
+    out["repetition_docs_per_sec"] = round(n / wall, 1)
+
+    from ray_cdc_lake.queries import registry
+
+    t0 = time.perf_counter()
+    # recipe over the replicated corpus: inline the same stages as
+    # q_corpus_recipe but over docs() (the registry fn reads the table
+    # itself, so the stress drives the stage functions directly)
+    import hashlib
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    def redact_keep(batch: pa.Table) -> pa.Table:
+        t2, _ = redact_text(batch["text"])
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"], "redacted": t2}
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        md5s = pa.array(
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["redacted"].to_pylist()
+        )
+        packed = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 20, "0"),
+            batch["source"],
+            "|",
+        )
+        return (
+            pa.table({"h": md5s, "packed": packed})
+            .group_by("h")
+            .aggregate([("packed", "min")])
+            .rename_columns(["h", "packed"])
+        )
+
+    deduped = (
+        docs()
+        .map_batches(mixture_filter, batch_format="pyarrow")
+        .map_batches(redact_keep, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("packed", alias_name="packed"))
+    )
+    n_kept = _consume(deduped)
+    wall = time.perf_counter() - t0
+    out["queries"]["corpus_recipe"] = round(wall, 3)
+    out["recipe_docs_per_sec"] = round(n_docs / wall, 1)
+    out["recipe_survivors"] = n_kept
+    ray.shutdown()
+    return out
+
+
 def run_stats() -> None:
     """Print the flagship replay's per-stage Ray Data stats (operator wall
     / UDF time / rows / memory) — the profiling surface behind BASELINE.md."""
@@ -322,6 +438,9 @@ def run_stats() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stress-corpus" in sys.argv:
+        print(json.dumps(run_stress_corpus(
+            replicate=int(os.environ.get("STRESS_REPLICATE", "20")))))
     elif "--stress" in sys.argv:
         print(json.dumps(run_stress()))
     elif "--stats" in sys.argv:
