@@ -1082,6 +1082,151 @@ SQL = {
 }
 
 
+# ---------------------------------------------------------------------------
+# incremental ingest dedup: new docs vs the already-ingested corpus
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Ingest-time dedup of an incoming batch against the EXISTING corpus
+    (the reference's key-existence probe before apply, S3Utils.kt:27-33,
+    at corpus scale). Existing = even doc_ids, incoming = odd; both sides
+    carry parity-flipped injected duplicates (doc_id%7==0 -> doc_id +
+    1,000,001, same text) so cross-half dups exist and the oracle
+    reproduces them with a UNION ALL.
+
+    Scale shape:
+    1. DISTRIBUTED bloom build over the existing texts' md5-u64: per-batch
+       partial bit arrays, OR-merged as 16 KiB blobs (the same mergeable-
+       blob combiner as the HLL) — the existing side is never collected.
+    2. Incoming probe: a bloom MISS is definitely-new and never enters the
+       shuffle; only bloom hits (true dups + ~1e-5 FPs) are verified
+       exactly by a co-partitioned anti-membership on the full md5 —
+       the all-to-all moves probable-duplicate hashes, not the corpus.
+    The probe projection (doc_id, md5, candidate) is materialized before
+    branching — column-pruned metadata, output-sized; a 10^10-doc run
+    would write it to a parquet segment instead (resumable), same plan.
+    """
+    import ray
+    import ray.data as rd
+    from .curation import bloom_build, bloom_probe, lehmer_bucket
+    from .sources import get_broadcast, read_table
+
+    def corpus(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = (batch["doc_id"].to_numpy(zero_copy_only=False) % 7) == 0
+        inj = batch.filter(pa.array(m))
+        inj = inj.set_column(
+            inj.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(inj["doc_id"], 1_000_001),
+        )
+        return pa.concat_tables([batch, inj])
+
+    def md5_cols(texts) -> tuple[list[str], np.ndarray]:
+        hexes = []
+        u64 = np.empty(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            d = hashlib.md5(t.encode("utf-8")).digest()
+            hexes.append(d.hex())
+            u64[i] = int.from_bytes(d[:8], "little")
+        return hexes, u64
+
+    base = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        corpus, batch_format="pyarrow"
+    )
+
+    def even_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 2 == 0))
+        hexes, _ = md5_cols(t["text"].to_pylist())
+        return pa.table({"h": pa.array(hexes, type=pa.string())})
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 2 == 0))
+        _, u64 = md5_cols(t["text"].to_pylist())
+        return pa.table(
+            {"bits": pa.array([bloom_build(u64).tobytes()], type=pa.binary())}
+        )
+
+    def bloom_reduce(batch: pa.Table) -> pa.Table:
+        total = None
+        for blob in batch["bits"].to_pylist():
+            b = np.frombuffer(blob, dtype=np.uint8)
+            total = b.copy() if total is None else (total | b)
+        return pa.table({"bits": pa.array([total.tobytes()], type=pa.binary())})
+
+    bits_row = (
+        base.map_batches(bloom_partial, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: all partials must OR together in ONE batch
+        .map_batches(bloom_reduce, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    bits_ref = ray.put(np.frombuffer(bits_row[0]["bits"], dtype=np.uint8))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % 2 == 1))
+        hexes, u64 = md5_cols(t["text"].to_pylist())
+        hit = bloom_probe(u64, get_broadcast(bits_ref))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(hexes, type=pa.string()),
+                "cand": pa.array(hit),
+            }
+        )
+
+    probed = base.map_batches(probe, batch_format="pyarrow").materialize()
+    definitely_new = probed.filter(expr="cand == False").select_columns(["doc_id"])
+
+    # exact verify of bloom hits: co-partitioned anti-membership on md5
+    cands = probed.filter(expr="cand == True").select_columns(["doc_id", "h"])
+    build = base.map_batches(even_hashes, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column(
+            "doc_id", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # bucket by the hash prefix (hex -> int), key-hash co-partitioning
+        pre = np.array(
+            [int(h[:8], 16) for h in batch["h"].to_pylist()], dtype=np.int64
+        )
+        return batch.append_column("_b", pa.array(pre % 64))
+
+    def anti(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = np.array(g["h"].to_pylist())
+        build_set = set(hs[ids == -1].tolist())
+        keep = (ids != -1) & ~np.isin(hs, list(build_set) or [""])
+        return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
+
+    verified_new = (
+        cands.union(build.select_columns(["doc_id", "h"]))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(anti, batch_format="pyarrow")
+    )
+    return definitely_new.union(verified_new)
+
+
+INCREMENTAL_SQL = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000001 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0)
+    SELECT i.doc_id FROM corpus i
+    WHERE i.doc_id % 2 = 1
+      AND NOT EXISTS (
+        SELECT 1 FROM corpus e WHERE e.doc_id % 2 = 0 AND e.text = i.text)"""
+
+
 def registry():
     queries = {
         "dedup_exact": q_dedup_exact,
@@ -1092,5 +1237,8 @@ def registry():
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "dedup_clusters": q_dedup_clusters,
         "corpus_curation": q_corpus_curation,
+        "dedup_incremental": q_dedup_incremental,
     }
-    return queries, dict(SQL)
+    sql = dict(SQL)
+    sql["dedup_incremental"] = INCREMENTAL_SQL
+    return queries, sql
