@@ -221,6 +221,132 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN — the memory-compressed 100 TB path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim -> 8x 8-dim subvectors)
+PQ_KS = 16  # centroids per subspace codebook (4-bit codes)
+PQ_RERANK = 4  # exact-rerank pool = PQ_RERANK * K candidates per batch
+
+
+def _kmeans_plain(x: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means for subspace codebooks: evenly spaced
+    sample rows as init (no RNG), empty clusters keep their centroid."""
+    c = x[np.linspace(0, len(x) - 1, k).astype(int)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(0)
+    return c
+
+
+def train_pq(sample: np.ndarray, m: int = PQ_M, ks: int = PQ_KS) -> np.ndarray:
+    """(m, ks, dim/m) codebook tensor trained per subspace."""
+    sub = sample.shape[1] // m
+    return np.stack(
+        [_kmeans_plain(sample[:, s * sub : (s + 1) * sub], ks) for s in range(m)]
+    )
+
+
+def pq_encode(vecs: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes: per-subspace nearest codebook entry. At 64-dim
+    float32 -> 8 bytes/vector, a 32x compression of the stored index."""
+    m, ks, sub = books.shape
+    codes = np.empty((len(vecs), m), dtype=np.uint8)
+    for s in range(m):
+        d = ((vecs[:, None, s * sub : (s + 1) * sub] - books[s][None]) ** 2).sum(-1)
+        codes[:, s] = d.argmin(1)
+    return codes
+
+
+def pq_adc_scores(q: np.ndarray, codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance dot products: per-subspace lookup table
+    LUT[s][c] = q_sub(s) . book[s][c], candidate score = sum of table
+    takes — no per-candidate float math beyond m adds."""
+    m, ks, sub = books.shape
+    lut = np.stack([books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)])
+    return lut[np.arange(m)[:, None], codes.T].sum(0)
+
+
+def q_knn_ivf_pq(sf_dir: str):
+    """Product-quantized ANN (ADC + exact rerank): vectors are PQ-encoded
+    per batch (8 uint8 codes for a 64-dim vector — the index that fits
+    in RAM when 100 TB of raw floats cannot); each query ranks a batch by
+    table-lookup ADC scores, exact-reranks only the top PQ_RERANK*K
+    candidates (their raw vectors are in the same batch — no fetch), and
+    ships exact-scored partials to the same tiny per-query top-K reduce
+    as the other knn variants. Codebooks train on the same O(sample)
+    row-group sample as the IVF quantizer. Recall vs brute force is
+    asserted in tests; no SQL oracle (approximate by design)."""
+    import ray
+    import ray.data as rd
+
+    sample = _normalize(_sample_embeddings(sf_dir, max_rows=4000))
+    books = train_pq(sample)
+
+    qids, qmat = _load_queries(sf_dir)
+    qmat = _normalize(qmat)
+    ref = ray.put((qids, qmat, books))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    from .sources import get_broadcast
+
+    def adc_partial(batch: pa.Table) -> pa.Table:
+        qids_b, qmat_b, books_b = get_broadcast(ref)
+        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        codes = pq_encode(bm, books_b)
+        pool = PQ_RERANK * K
+        out_q, out_n, out_c = [], [], []
+        for qi, q in enumerate(qids_b):
+            adc = pq_adc_scores(qmat_b[qi], codes, books_b)
+            adc[bids == q] = -np.inf
+            r = min(pool, len(adc))
+            cand = (
+                np.argpartition(-adc, r - 1)[:r] if len(adc) > r else np.arange(len(adc))
+            )
+            cand = cand[np.isfinite(adc[cand])]
+            if not len(cand):
+                continue
+            exact = bm[cand] @ qmat_b[qi]  # rerank: exact dot, cand-sized
+            k = min(K, len(cand))
+            top = np.argpartition(-exact, k - 1)[:k] if len(cand) > k else np.arange(len(cand))
+            out_q.extend([q] * len(top))
+            out_n.extend(bids[cand[top]].tolist())
+            out_c.extend(exact[top].tolist())
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_c, type=pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "cos"],
+        )
+
+    partial = ds.map_batches(adc_partial, batch_format="pyarrow")
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
+        n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
+        q = group["query_id"][0].as_py()
+        order = np.lexsort((n, -c))[:K]
+        return pa.Table.from_arrays(
+            [
+                pa.array([q] * len(order), type=pa.int64()),
+                pa.array(n[order], type=pa.int64()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            ],
+            names=["query_id", "neighbor_id", "rank"],
+        )
+
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 SQL = {
     "knn_bruteforce": f"""
         SELECT query_id, neighbor_id, rank FROM (
@@ -239,6 +365,7 @@ def registry():
     queries = {
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_pq": q_knn_ivf_pq,
         "kmeans_clusters": q_kmeans_clusters,
     }
     return queries, dict(SQL)

@@ -137,6 +137,44 @@ def test_knn_ivf_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.5, recalls  # nprobe=2 of ~3 coarse cells
 
 
+def test_knn_ivf_pq_recall_vs_bruteforce():
+    """ADC candidate generation + exact rerank must recover most of the
+    true top-K even on this (hardest-case) near-random embedding table;
+    per-batch candidate pools make the distributed recall strictly
+    better than the global-ADC lower bound (~0.64 measured offline)."""
+    from ray_cdc_lake.similarity import q_knn_bruteforce, q_knn_ivf_pq
+
+    bf = q_knn_bruteforce(SF).to_pandas()
+    pq_ = q_knn_ivf_pq(SF).to_pandas()
+    recalls = []
+    for q in bf.query_id.unique():
+        b = set(bf[bf.query_id == q].neighbor_id)
+        v = set(pq_[pq_.query_id == q].neighbor_id)
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_pq_encode_decode_fidelity():
+    """Codebook round-trip: encoding the training sample and scoring via
+    ADC correlates strongly with exact dots (sanity on the quantizer)."""
+    from ray_cdc_lake.similarity import (
+        _normalize,
+        pq_adc_scores,
+        pq_encode,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(3)
+    x = _normalize(rng.normal(size=(400, 64)))
+    books = train_pq(x)
+    codes = pq_encode(x, books)
+    q = x[0]
+    adc = pq_adc_scores(q, codes, books)
+    exact = x @ q
+    corr = np.corrcoef(adc, exact)[0, 1]
+    assert corr > 0.7, corr
+
+
 def test_decode_image_is_gated():
     from ray_cdc_lake.multimodal import decode_image
 
