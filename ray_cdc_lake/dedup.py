@@ -1103,13 +1103,13 @@ def q_dedup_incremental(sf_dir: str):
        shuffle; only bloom hits (true dups + ~1e-5 FPs) are verified
        exactly by a co-partitioned anti-membership on the full md5 —
        the all-to-all moves probable-duplicate hashes, not the corpus.
-    The probe projection (doc_id, md5, candidate) is materialized before
-    branching — column-pruned metadata, output-sized; a 10^10-doc run
-    would write it to a parquet segment instead (resumable), same plan.
+    The hash projection (doc_id, md5, md5-u64, parity) is computed in ONE
+    pass over the corpus and materialized before branching —
+    column-pruned metadata, output-sized; a 10^10-doc run would write it
+    to a parquet segment instead (resumable), same plan.
     """
     import ray
-    import ray.data as rd
-    from .curation import bloom_build, bloom_probe, lehmer_bucket
+    from .curation import bloom_build, bloom_probe
     from .sources import get_broadcast, read_table
 
     def corpus(batch: pa.Table) -> pa.Table:
@@ -1124,29 +1124,36 @@ def q_dedup_incremental(sf_dir: str):
         )
         return pa.concat_tables([batch, inj])
 
-    def md5_cols(texts) -> tuple[list[str], np.ndarray]:
+    def md5_project(batch: pa.Table) -> pa.Table:
+        """The ONE md5 pass: texts leave the pipeline here; everything
+        downstream works on (doc_id, h, u64, even) metadata."""
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
         hexes = []
         u64 = np.empty(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
             d = hashlib.md5(t.encode("utf-8")).digest()
             hexes.append(d.hex())
             u64[i] = int.from_bytes(d[:8], "little")
-        return hexes, u64
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(hexes, type=pa.string()),
+                "u64": pa.array(u64),
+                "even": pa.array(ids % 2 == 0),
+            }
+        )
 
-    base = read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        corpus, batch_format="pyarrow"
+    hashes = (
+        read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(corpus, batch_format="pyarrow")
+        .map_batches(md5_project, batch_format="pyarrow")
+        .materialize()
     )
 
-    def even_hashes(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(ids % 2 == 0))
-        hexes, _ = md5_cols(t["text"].to_pylist())
-        return pa.table({"h": pa.array(hexes, type=pa.string())})
-
     def bloom_partial(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(ids % 2 == 0))
-        _, u64 = md5_cols(t["text"].to_pylist())
+        t = batch.filter(batch["even"])
+        u64 = t["u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
             {"bits": pa.array([bloom_build(u64).tobytes()], type=pa.binary())}
         )
@@ -1159,7 +1166,7 @@ def q_dedup_incremental(sf_dir: str):
         return pa.table({"bits": pa.array([total.tobytes()], type=pa.binary())})
 
     bits_row = (
-        base.map_batches(bloom_partial, batch_format="pyarrow")
+        hashes.map_batches(bloom_partial, batch_format="pyarrow")
         .repartition(1)
         # batch_size=None: all partials must OR together in ONE batch
         .map_batches(bloom_reduce, batch_format="pyarrow", batch_size=None)
@@ -1168,24 +1175,32 @@ def q_dedup_incremental(sf_dir: str):
     bits_ref = ray.put(np.frombuffer(bits_row[0]["bits"], dtype=np.uint8))
 
     def probe(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        t = batch.filter(pa.array(ids % 2 == 1))
-        hexes, u64 = md5_cols(t["text"].to_pylist())
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.invert(batch["even"]))
+        u64 = t["u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
         hit = bloom_probe(u64, get_broadcast(bits_ref))
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "h": pa.array(hexes, type=pa.string()),
+                "h": t["h"],
+                "u64": t["u64"],
                 "cand": pa.array(hit),
             }
         )
 
-    probed = base.map_batches(probe, batch_format="pyarrow").materialize()
+    # probe is a cheap vectorized map over the materialized hash
+    # projection; its two filtered consumers re-run only this map
+    probed = hashes.map_batches(probe, batch_format="pyarrow")
     definitely_new = probed.filter(expr="cand == False").select_columns(["doc_id"])
 
     # exact verify of bloom hits: co-partitioned anti-membership on md5
-    cands = probed.filter(expr="cand == True").select_columns(["doc_id", "h"])
-    build = base.map_batches(even_hashes, batch_format="pyarrow").map_batches(
+    cands = probed.filter(expr="cand == True").select_columns(
+        ["doc_id", "h", "u64"]
+    )
+    build = hashes.filter(expr="even == True").select_columns(
+        ["h", "u64"]
+    ).map_batches(
         lambda b: b.append_column(
             "doc_id", pa.array(np.full(b.num_rows, -1, dtype=np.int64))
         ),
@@ -1193,11 +1208,11 @@ def q_dedup_incremental(sf_dir: str):
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        # bucket by the hash prefix (hex -> int), key-hash co-partitioning
-        pre = np.array(
-            [int(h[:8], 16) for h in batch["h"].to_pylist()], dtype=np.int64
+        # co-partition by the md5-u64 column — vectorized, no re-parsing
+        u64 = batch["u64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.drop_columns(["u64"]).append_column(
+            "_b", pa.array((u64 % np.uint64(64)).astype(np.int64))
         )
-        return batch.append_column("_b", pa.array(pre % 64))
 
     def anti(g: pa.Table) -> pa.Table:
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
@@ -1207,7 +1222,7 @@ def q_dedup_incremental(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids[keep], type=pa.int64())})
 
     verified_new = (
-        cands.union(build.select_columns(["doc_id", "h"]))
+        cands.union(build.select_columns(["doc_id", "h", "u64"]))
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(anti, batch_format="pyarrow")

@@ -68,6 +68,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _final_topk(group: pa.Table) -> pa.Table:
+    """Shared per-query top-K reducer for every knn variant: exact-scored
+    (query_id, neighbor_id, cos) partials -> ranked top-K. Deterministic:
+    cos desc, neighbor_id asc tiebreak."""
+    c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
+    n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
+    q = group["query_id"][0].as_py()
+    order = np.lexsort((n, -c))[:K]
+    return pa.Table.from_arrays(
+        [
+            pa.array([q] * len(order), type=pa.int64()),
+            pa.array(n[order], type=pa.int64()),
+            pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        ],
+        names=["query_id", "neighbor_id", "rank"],
+    )
+
+
 def q_knn_bruteforce(sf_dir: str):
     import ray
     import ray.data as rd
@@ -110,22 +128,7 @@ def q_knn_bruteforce(sf_dir: str):
 
     partial = ds.map_batches(partial_topk, batch_format="pyarrow")
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
-        n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
-        q = group["query_id"][0].as_py()
-        # deterministic: cos desc, neighbor_id asc tiebreak
-        order = np.lexsort((n, -c))[:K]
-        return pa.Table.from_arrays(
-            [
-                pa.array([q] * len(order), type=pa.int64()),
-                pa.array(n[order], type=pa.int64()),
-                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            ],
-            names=["query_id", "neighbor_id", "rank"],
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
 
 
 def _kmeans_spherical(mat: np.ndarray, nlist: int, iters: int = 8) -> np.ndarray:
@@ -204,21 +207,7 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
 
     partial = ds.map_batches(probe_partial, batch_format="pyarrow")
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
-        n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
-        q = group["query_id"][0].as_py()
-        order = np.lexsort((n, -c))[:K]
-        return pa.Table.from_arrays(
-            [
-                pa.array([q] * len(order), type=pa.int64()),
-                pa.array(n[order], type=pa.int64()),
-                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            ],
-            names=["query_id", "neighbor_id", "rank"],
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -330,21 +319,7 @@ def q_knn_ivf_pq(sf_dir: str):
 
     partial = ds.map_batches(adc_partial, batch_format="pyarrow")
 
-    def final_topk(group: pa.Table) -> pa.Table:
-        c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
-        n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
-        q = group["query_id"][0].as_py()
-        order = np.lexsort((n, -c))[:K]
-        return pa.Table.from_arrays(
-            [
-                pa.array([q] * len(order), type=pa.int64()),
-                pa.array(n[order], type=pa.int64()),
-                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            ],
-            names=["query_id", "neighbor_id", "rank"],
-        )
-
-    return partial.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(_final_topk, batch_format="pyarrow")
 
 
 SQL = {
