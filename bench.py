@@ -48,12 +48,14 @@ SECONDARY = [
     "dedup_exact",
     "dedup_embedding_lsh",
     "dedup_clusters",
+    "dedup_incremental",
     "corpus_curation",
     "corpus_recipe",
     "text_quality",
     "text_top_terms",
     "semi_join_bloom",
     "knn_bruteforce",
+    "knn_ivf_pq",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 
