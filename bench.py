@@ -52,6 +52,8 @@ SECONDARY = [
     "corpus_curation",
     "corpus_recipe",
     "text_quality",
+    "text_seg_dedup",
+    "corpus_chunk",
     "text_top_terms",
     "semi_join_bloom",
     "knn_bruteforce",

@@ -635,6 +635,169 @@ def q_corpus_recipe(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# word-window kernel: chunking with overlap + segment-level global dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_W, CHUNK_STRIDE = 32, 24  # training-chunk window / stride (words)
+SEG_W = 4  # aligned boilerplate segment width (words)
+SEG_DUP_MIN_DOCS = 2  # segment is boilerplate if seen in >= this many docs
+
+
+def word_windows(texts, width: int, stride: int):
+    """Explode each string into word windows ``[s, s+width)`` for
+    ``s in range(0, n_words, stride)`` — the shared kernel for training
+    chunking (overlapping) and segment dedup (non-overlapping,
+    ``stride == width``). Fully vectorized: one ``split_pattern``, one
+    gather (``take`` with numpy-computed indices), one ``binary_join``;
+    no Python loop over rows or windows.
+
+    Returns ``(row_idx, ord_, lens, window_texts)`` where ``row_idx``
+    maps each window back to its input row, ``ord_`` is the window
+    ordinal within the row, ``lens`` the window word count.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]  # normalize in case of a sliced buffer
+    flat = words.flatten()
+    n = np.diff(off)
+    n_win = (n + stride - 1) // stride  # == len(range(0, n, stride))
+    total = int(n_win.sum())
+    row_idx = np.repeat(np.arange(len(n), dtype=np.int64), n_win)
+    cum = np.concatenate([[0], np.cumsum(n_win)])
+    ord_ = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_win)
+    starts = ord_ * stride
+    lens = np.minimum(starts + width, n[row_idx]) - starts
+    out_off = np.concatenate([[0], np.cumsum(lens)])
+    base = off[row_idx] + starts
+    take_idx = (
+        np.arange(out_off[-1], dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(base, lens)
+    )
+    la = pa.ListArray.from_arrays(
+        pa.array(out_off, type=pa.int32()), flat.take(pa.array(take_idx))
+    )
+    return row_idx, ord_, lens, pc.binary_join(la, " ")
+
+
+def _one_chunk(batch: pa.Table, name: str):
+    c = batch.column(name)
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def chunk_docs(batch: pa.Table) -> pa.Table:
+    """doc -> overlapping training chunks of CHUNK_W words, stride
+    CHUNK_STRIDE (tail windows may be short; all are emitted)."""
+    row_idx, ord_, lens, chunks = word_windows(
+        _one_chunk(batch, "text"), CHUNK_W, CHUNK_STRIDE
+    )
+    return pa.table(
+        {
+            "doc_id": _one_chunk(batch, "doc_id").take(pa.array(row_idx)),
+            "chunk_id": pa.array(ord_, type=pa.int64()),
+            "chunk_text": chunks,
+            "n_words": pa.array(lens, type=pa.int64()),
+        }
+    )
+
+
+def q_corpus_chunk(sf_dir: str):
+    """Fixed-window training chunking with overlap (W=32 words, stride
+    24): each document becomes ceil(n_words/stride) chunks, consecutive
+    chunks sharing W-stride words — the standard long-document -> LLM
+    context-window preparation step. Pure streaming flat-map (one
+    ``map_batches``, no shuffle, no state); output rows carry
+    (doc_id, chunk_id, chunk_text, n_words) so a downstream tokenizer
+    or packer can run without re-reading the corpus. Reference analog:
+    the page-window fan-out of one item into ordered per-page rows
+    (ReorderFiles.kt:311-326)."""
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        chunk_docs, batch_format="pyarrow"
+    )
+
+
+def q_text_seg_dedup(sf_dir: str):
+    """C4-style boilerplate removal, exact at segment granularity: split
+    every document into aligned non-overlapping SEG_W-word segments,
+    find segments occurring in >= SEG_DUP_MIN_DOCS distinct documents,
+    and rebuild each document from its non-boilerplate segments.
+
+    Shape at scale: pass A is combiner-first — each batch emits one row
+    per (segment, distinct-doc-count-in-batch), valid because a doc
+    lives in exactly one batch, so the global ``groupby(seg).sum`` is
+    an exact distinct-doc count; only the duplicated tail (empirically
+    ~5-8%% of unique segments on this corpus, and bounded by true
+    boilerplate on a real one) is collected and broadcast once with
+    ``ray.put``. Pass B is a pure map: re-explode, vectorized ``is_in``
+    against the broadcast set, vectorized per-row rebuild. At 100 TB the
+    broadcast set swaps for this module's bloom filter (bloom_build /
+    bloom_probe) with an identical pass structure."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .sources import get_broadcast
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        row_idx, _, _, segs = word_windows(_one_chunk(batch, "text"), SEG_W, SEG_W)
+        t = pa.table(
+            {
+                "seg": segs,
+                "doc_id": _one_chunk(batch, "doc_id").take(pa.array(row_idx)),
+            }
+        )
+        return (
+            t.group_by("seg")
+            .aggregate([("doc_id", "count_distinct")])
+            .rename_columns(["seg", "nd"])
+        )
+
+    dup = (
+        docs.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("seg")
+        .aggregate(Sum("nd", alias_name="n_docs"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_docs"], SEG_DUP_MIN_DOCS)),
+            batch_format="pyarrow",
+        )
+    )
+    dup_tbls = [ray.get(r) for r in dup.to_arrow_refs()]
+    dup_segs = (
+        pa.concat_tables(dup_tbls)["seg"].combine_chunks()
+        if dup_tbls
+        else pa.array([], pa.string())
+    )
+    ref = ray.put(dup_segs)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        dupset = get_broadcast(ref)
+        row_idx, _, _, segs = word_windows(_one_chunk(batch, "text"), SEG_W, SEG_W)
+        keep = pc.invert(pc.is_in(segs, value_set=dupset))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        n_segs = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+        n_kept = np.bincount(row_idx[keep_np], minlength=n_rows).astype(np.int64)
+        out_off = np.concatenate([[0], np.cumsum(n_kept)])
+        la = pa.ListArray.from_arrays(
+            pa.array(out_off, type=pa.int32()), segs.filter(keep)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pc.binary_join(la, " "),
+                "n_segments": pa.array(n_segs),
+                "n_removed": pa.array(n_segs - n_kept),
+            }
+        )
+
+    return docs.map_batches(clean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -716,6 +879,38 @@ SQL = {
                     WHEN {_lehmer_sql('doc_id')} < {VALID_PCT} THEN 'valid'
                     ELSE 'test' END AS split
         FROM ded WHERE rn = 1""",
+    "corpus_chunk": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               array_to_string(
+                 words[start + 1 : least(start + {CHUNK_W}, len(words))], ' '
+               ) AS chunk_text,
+               CAST(least(start + {CHUNK_W}, len(words)) - start AS BIGINT)
+                   AS n_words
+        FROM w, unnest(range(0, len(words), {CHUNK_STRIDE})) AS t(start)""",
+    "text_seg_dedup": f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        segs AS (
+          SELECT doc_id, start,
+                 array_to_string(
+                   words[start + 1 : least(start + {SEG_W}, len(words))], ' '
+                 ) AS seg
+          FROM w, unnest(range(0, len(words), {SEG_W})) AS t(start)),
+        dup AS (
+          SELECT seg FROM segs
+          GROUP BY seg
+          HAVING count(DISTINCT doc_id) >= {SEG_DUP_MIN_DOCS})
+        SELECT s.doc_id,
+               COALESCE(
+                 string_agg(s.seg, ' ' ORDER BY s.start)
+                   FILTER (WHERE d.seg IS NULL), '') AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_segments,
+               CAST(count(d.seg) AS BIGINT) AS n_removed
+        FROM segs s LEFT JOIN dup d USING (seg)
+        GROUP BY s.doc_id""",
     "corpus_contamination": f"""
         WITH bench AS (
           SELECT DISTINCT unnest(string_split(text, ' ')) AS term
@@ -744,6 +939,8 @@ def registry():
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
+        "corpus_chunk": q_corpus_chunk,
+        "text_seg_dedup": q_text_seg_dedup,
         "corpus_recipe": q_corpus_recipe,
         "sketch_cms_counts": q_sketch_cms_counts,
     }

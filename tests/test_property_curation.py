@@ -82,3 +82,60 @@ def test_split_assign_pure_function_of_key(ids):
     fwd = dict(zip(ids, cu.split_assign(t_fwd)["split"].to_pylist()))
     rev = dict(zip(ids[::-1], cu.split_assign(t_rev)["split"].to_pylist()))
     assert fwd == rev
+
+
+# --- word-window kernel (chunking + segment dedup share it) ----------------
+
+words_st = st.lists(
+    st.sampled_from(["key", "agg", "row", "scan", "slow", "fast", "table"]),
+    min_size=1,
+    max_size=120,
+)
+texts_st = st.lists(words_st.map(" ".join), min_size=1, max_size=40)
+
+
+@given(texts_st, st.integers(2, 12), st.integers(1, 12))
+@settings(max_examples=60, deadline=None)
+def test_word_windows_match_python_slicing(texts, width, stride):
+    row_idx, ord_, lens, wins = cu.word_windows(pa.array(texts), width, stride)
+    wins = wins.to_pylist()
+    k = 0
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for j, s in enumerate(range(0, len(ws), stride)):
+            assert row_idx[k] == i and ord_[k] == j
+            expect = ws[s : s + width]
+            assert wins[k] == " ".join(expect)
+            assert lens[k] == len(expect)
+            k += 1
+    assert k == len(wins)
+
+
+@given(texts_st, st.integers(1, 12))
+@settings(max_examples=40, deadline=None)
+def test_word_windows_nonoverlapping_reassemble(texts, width):
+    """width == stride partitions the words: joining the windows back
+    with spaces must reproduce the original text exactly (the rebuild
+    invariant text_seg_dedup relies on)."""
+    row_idx, _, _, wins = cu.word_windows(pa.array(texts), width, width)
+    wins = wins.to_pylist()
+    rebuilt = ["" for _ in texts]
+    for i, w in zip(row_idx, wins):
+        rebuilt[i] = w if not rebuilt[i] else rebuilt[i] + " " + w
+    assert rebuilt == texts
+
+
+@given(texts_st)
+@settings(max_examples=30, deadline=None)
+def test_chunk_overlap_invariant(texts):
+    """Consecutive full-width chunks share exactly W - stride words."""
+    row_idx, ord_, lens, wins = cu.word_windows(
+        pa.array(texts), cu.CHUNK_W, cu.CHUNK_STRIDE
+    )
+    wins = wins.to_pylist()
+    for k in range(1, len(wins)):
+        if row_idx[k] != row_idx[k - 1] or lens[k] < cu.CHUNK_W:
+            continue
+        prev_tail = wins[k - 1].split(" ")[cu.CHUNK_STRIDE :]
+        cur_head = wins[k].split(" ")[: cu.CHUNK_W - cu.CHUNK_STRIDE]
+        assert prev_tail == cur_head
