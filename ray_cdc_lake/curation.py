@@ -737,8 +737,10 @@ def q_text_seg_dedup(sf_dir: str):
     broadcast set swaps for this module's bloom filter (bloom_build /
     bloom_probe) with an identical pass structure."""
     import ray
-    from ray.data.aggregate import Sum
+    import pandas as pd
     from .sources import get_broadcast
+
+    SEG_BUCKETS = 64
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -750,24 +752,42 @@ def q_text_seg_dedup(sf_dir: str):
                 "doc_id": _one_chunk(batch, "doc_id").take(pa.array(row_idx)),
             }
         )
-        return (
+        t = (
             t.group_by("seg")
             .aggregate([("doc_id", "count_distinct")])
             .rename_columns(["seg", "nd"])
         )
+        # bucketed shuffle key: a groupby over ~unique-segment-count
+        # string groups is the sort-aggregate trap; 64 hash buckets keep
+        # the all-to-all coarse (same pattern as merge.add_bucket)
+        h = pd.util.hash_array(
+            np.asarray(t["seg"].to_pandas(), dtype=object), categorize=False
+        )
+        return t.append_column(
+            "_sb", pa.array((h % np.uint64(SEG_BUCKETS)).astype(np.int64))
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g)
+            .group_by("seg")
+            .agg(pl.col("nd").sum().alias("n_docs"))
+            .filter(pl.col("n_docs") >= SEG_DUP_MIN_DOCS)
+            .select("seg")
+            .to_arrow()
+        )
 
     dup = (
         docs.map_batches(seg_partial, batch_format="pyarrow")
-        .groupby("seg")
-        .aggregate(Sum("nd", alias_name="n_docs"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n_docs"], SEG_DUP_MIN_DOCS)),
-            batch_format="pyarrow",
-        )
+        .groupby("_sb")
+        .map_groups(bucket_dups, batch_format="pyarrow")
     )
-    dup_tbls = [ray.get(r) for r in dup.to_arrow_refs()]
+    # empty blocks surface as zero-column tables — drop them before concat
+    dup_tbls = [t for t in (ray.get(r) for r in dup.to_arrow_refs()) if t.num_columns]
     dup_segs = (
-        pa.concat_tables(dup_tbls)["seg"].combine_chunks()
+        pc.cast(pa.concat_tables(dup_tbls)["seg"].combine_chunks(), pa.string())
         if dup_tbls
         else pa.array([], pa.string())
     )

@@ -2021,11 +2021,20 @@ def q_q1_lineitem(sf_dir: str):
 
 def q_top_customers(sf_dir: str):
     """Grouped aggregate + global top-k (sort + limit) + broadcast name
-    lookup. Deterministic tiebreak on the key."""
+    lookup. Deterministic tiebreak on the key.
+
+    Shuffle shape: per-block polars combiner shrinks orders to one row
+    per (custkey, block), then a BUCKETED groupby (64 buckets = custkey
+    mod 64, the flagship's pattern from merge.py) merges partials and
+    takes a per-bucket top-10 in one vectorized map_groups — a key's
+    rows all share a bucket, so per-bucket sums are complete and the
+    640-candidate final reduce is exact. Ray's native per-key
+    ``groupby.aggregate`` on ~100 k groups was measured 8-10x slower
+    here (sort-based aggregate: 16 s + 8 s CPU at sf0.1)."""
     import ray
-    import ray.data as rd
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
+
+    TOPK_BUCKETS = 64
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
     )
@@ -2043,16 +2052,28 @@ def q_top_customers(sf_dir: str):
                 pl.len().cast(pl.Int64).alias("n_orders"),
                 pl.col("cents").sum().alias("total_cents"),
             )
+            .with_columns(
+                (pl.col("o_custkey") % TOPK_BUCKETS).alias("bucket")
+            )
+            .to_arrow()
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(g)
+            .group_by("o_custkey")
+            .agg(pl.col("n_orders").sum(), pl.col("total_cents").sum())
+            .sort(["total_cents", "o_custkey"], descending=[True, False])
+            .head(10)
             .to_arrow()
         )
 
     agg = (
         ds.map_batches(partials, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("total_cents", alias_name="total_cents"),
-        )
+        .groupby("bucket")
+        .map_groups(bucket_topk, batch_format="pyarrow")
     )
     # top-k without a global sort: local top-10 per block, single tiny
     # final reduce (the all-to-all sort would move every group row)
