@@ -54,6 +54,7 @@ SECONDARY = [
     "text_quality",
     "text_seg_dedup",
     "corpus_chunk",
+    "corpus_shuffle_shards",
     "text_top_terms",
     "semi_join_bloom",
     "knn_bruteforce",

@@ -312,6 +312,70 @@ def q_corpus_pack_sequences(sf_dir: str, budget: int = PACK_BUDGET):
 
 
 # ---------------------------------------------------------------------------
+# deterministic global training shuffle into shards
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16  # scale knob: at 100 TB pick shards of ~2-4 GB so one
+#                shard's key triples fit a single map_groups worker
+SHUFFLE_SEED = 20260817  # epoch reshuffle = change the seed; the +seed
+#                          offset decorrelates order from shard assignment
+
+
+def shuffle_keys(batch: pa.Table) -> pa.Table:
+    """Pure-map key assignment: shard = Lehmer(doc_id) % N_SHARDS, order
+    key = Lehmer(doc_id + seed). Both int64-safe in numpy AND DuckDB
+    (module determinism note), so the oracle computes identical keys."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    shard = lehmer_bucket(ids, N_SHARDS)
+    skey = ((ids + SHUFFLE_SEED) * LEHMER_A) % LEHMER_M
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "shard": pa.array(shard, type=pa.int64()),
+            "skey": pa.array(skey, type=pa.int64()),
+        }
+    )
+
+
+def q_corpus_shuffle_shards(sf_dir: str):
+    """Deterministic global training shuffle: every document gets a
+    (shard, shuffle_rank) — the reproducible read order a trainer
+    consumes shard-by-shard. RNG-free (both keys are Lehmer hashes of
+    doc_id, see module doc), so re-runs, resumes and late-arriving
+    shards produce the SAME order, and a new epoch is just a new seed —
+    the training-export analog of the reference's deterministic
+    sequence assignment (``…/processors/ReorderFiles.kt:149-185``).
+
+    Scale shape: key minting is a pure column-pruned map; the only
+    shuffle is the shard groupby moving (doc_id, shard, skey) triples —
+    never document payloads (a writer joins ranks back to payloads by
+    doc_id, or re-derives both keys inline since they are pure
+    functions). Per-shard rank is one vectorized lexsort; N_SHARDS is
+    the knob that bounds per-group memory."""
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = g["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, skey))  # ties broken by doc_id
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(1, len(order) + 1)
+        return pa.table(
+            {
+                "shard": g["shard"],
+                "doc_id": g["doc_id"],
+                "shuffle_rank": pa.array(rank),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(shuffle_keys, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(per_shard, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bloom-filter semi-join: the no-broadcast-exact-set membership path
 # ---------------------------------------------------------------------------
 
@@ -865,6 +929,15 @@ SQL = {
                  ) AS rnk
           FROM documents)
         SELECT source, doc_id, rnk FROM r WHERE rnk <= {STRAT_K}""",
+    "corpus_shuffle_shards": f"""
+        SELECT {_lehmer_sql('doc_id', N_SHARDS)} AS shard,
+               doc_id,
+               row_number() OVER (
+                 PARTITION BY {_lehmer_sql('doc_id', N_SHARDS)}
+                 ORDER BY ((doc_id + {SHUFFLE_SEED}) * {LEHMER_A}) % {LEHMER_M},
+                          doc_id
+               ) AS shuffle_rank
+        FROM documents""",
     "corpus_pack_sequences": f"""
         WITH t AS (
           SELECT doc_id, source,
@@ -957,6 +1030,7 @@ def registry():
         "corpus_sample": q_corpus_sample,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_pack_sequences": q_corpus_pack_sequences,
+        "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
         "corpus_chunk": q_corpus_chunk,

@@ -84,6 +84,31 @@ def test_split_assign_pure_function_of_key(ids):
     assert fwd == rev
 
 
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=300, unique=True))
+@settings(max_examples=60, deadline=None)
+def test_shuffle_keys_rank_is_permutation(ids):
+    """Per shard, shuffle ranks are exactly 1..n; the order is a pure
+    function of doc_id (batch composition/order never changes a row's
+    (shard, rank) pair when the shard's membership is fixed)."""
+    t = cu.shuffle_keys(pa.table({"doc_id": pa.array(ids, type=pa.int64())}))
+    shard = np.asarray(t["shard"])
+    skey = np.asarray(t["skey"])
+    dids = np.asarray(t["doc_id"])
+    for s in np.unique(shard):
+        m = shard == s
+        order = np.lexsort((dids[m], skey[m]))
+        rank = np.empty(order.size, dtype=np.int64)
+        rank[order] = np.arange(1, order.size + 1)
+        assert sorted(rank) == list(range(1, order.size + 1))
+        # determinism: recomputing from a reversed table gives same pairs
+    t2 = cu.shuffle_keys(
+        pa.table({"doc_id": pa.array(ids[::-1], type=pa.int64())})
+    )
+    pairs1 = dict(zip(np.asarray(t["doc_id"]).tolist(), np.asarray(t["skey"]).tolist()))
+    pairs2 = dict(zip(np.asarray(t2["doc_id"]).tolist(), np.asarray(t2["skey"]).tolist()))
+    assert pairs1 == pairs2
+
+
 # --- word-window kernel (chunking + segment dedup share it) ----------------
 
 words_st = st.lists(
