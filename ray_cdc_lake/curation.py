@@ -698,6 +698,82 @@ def q_corpus_recipe(sf_dir: str):
     )
 
 
+def q_corpus_funnel(sf_dir: str):
+    """Per-stage audit of the curation recipe — the observability row a
+    100 TB run publishes next to its output (how many documents survived
+    mixture, dedup, and where the winners landed): stages ``input``,
+    ``mixture``, ``dedup``, ``train``/``valid``/``test``. The lineage
+    analog of the reference's batch-summary emit
+    (``…/processors/Jhove.kt:519-537`` route tallies).
+
+    One combiner-first pass computes every count: per-batch partials of
+    (md5, group_n, min zero-padded doc_id) so the single groupby moves
+    one ~60-byte row per (hash, block); mixture-kept = sum(group_n),
+    dedup-unique = group count, splits from each winner's id — all five
+    reduced in ONE ``Dataset.sum`` over indicator columns (a scalar
+    result, no driver-side data). The ``input`` count is parquet
+    metadata only."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kept = mixture_filter(batch)
+        t2, _ = redact_text(kept["text"])
+        md5s = pa.array(
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in t2.to_pylist()
+        )
+        w = pc.utf8_lpad(pc.cast(kept["doc_id"], pa.string()), 20, "0")
+        t = pa.table({"h": md5s, "w": w})
+        g = t.group_by("h").aggregate([("w", "count"), ("w", "min")])
+        return g.rename_columns(["h", "n", "w"]).set_column(
+            1, "n", pc.cast(g.column(1), pa.int64())
+        )
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["w"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = lehmer_bucket(ids.astype(np.int64))
+        return pa.table(
+            {
+                "n": batch["n"],
+                "one": pa.array(np.ones(len(ids), dtype=np.int64)),
+                "is_train": pa.array((b < TRAIN_PCT).astype(np.int64)),
+                "is_valid": pa.array(
+                    ((b >= TRAIN_PCT) & (b < VALID_PCT)).astype(np.int64)
+                ),
+                "is_test": pa.array((b >= VALID_PCT).astype(np.int64)),
+            }
+        )
+
+    n_input = read_table(sf_dir, "documents", columns=["doc_id"]).count()
+    sums = (
+        read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"), Min("w", alias_name="w"))
+        .map_batches(indicators, batch_format="pyarrow")
+        .sum(["n", "one", "is_train", "is_valid", "is_test"])
+    ) or {}
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["input", "mixture", "dedup", "train", "valid", "test"]
+            ),
+            "n_rows": pa.array(
+                [
+                    n_input,
+                    sums.get("sum(n)", 0),
+                    sums.get("sum(one)", 0),
+                    sums.get("sum(is_train)", 0),
+                    sums.get("sum(is_valid)", 0),
+                    sums.get("sum(is_test)", 0),
+                ],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # word-window kernel: chunking with overlap + segment-level global dedup
 # ---------------------------------------------------------------------------
@@ -972,6 +1048,36 @@ SQL = {
                     WHEN {_lehmer_sql('doc_id')} < {VALID_PCT} THEN 'valid'
                     ELSE 'test' END AS split
         FROM ded WHERE rn = 1""",
+    "corpus_funnel": f"""
+        WITH red AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(text, '{REDACT_TERMS}', '<REDACTED>', 'g'),
+                   '{REDACT_DIGITS}', '<NUM>', 'g') AS redacted
+          FROM documents
+          WHERE {_mixture_pred()}),
+        grp AS (
+          SELECT min(doc_id) AS win, CAST(count(*) AS BIGINT) AS n
+          FROM red GROUP BY redacted)
+        SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+          FROM documents
+        UNION ALL
+        SELECT 'mixture', CAST(COALESCE(sum(n), 0) AS BIGINT) FROM grp
+        UNION ALL
+        SELECT 'dedup', CAST(count(*) AS BIGINT) FROM grp
+        UNION ALL
+        SELECT 'train', CAST(COALESCE(sum(
+          CASE WHEN {_lehmer_sql('win')} < {TRAIN_PCT} THEN 1 ELSE 0 END
+        ), 0) AS BIGINT) FROM grp
+        UNION ALL
+        SELECT 'valid', CAST(COALESCE(sum(
+          CASE WHEN {_lehmer_sql('win')} >= {TRAIN_PCT}
+                AND {_lehmer_sql('win')} < {VALID_PCT} THEN 1 ELSE 0 END
+        ), 0) AS BIGINT) FROM grp
+        UNION ALL
+        SELECT 'test', CAST(COALESCE(sum(
+          CASE WHEN {_lehmer_sql('win')} >= {VALID_PCT} THEN 1 ELSE 0 END
+        ), 0) AS BIGINT) FROM grp""",
     "corpus_chunk": f"""
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -1031,6 +1137,7 @@ def registry():
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
+        "corpus_funnel": q_corpus_funnel,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
         "corpus_chunk": q_corpus_chunk,
