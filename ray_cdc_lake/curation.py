@@ -774,6 +774,61 @@ def q_corpus_funnel(sf_dir: str):
     )
 
 
+MIXTURE_ALPHA = 0.3  # sampling temperature: weight ∝ n^alpha (GPT-3 style)
+MIXTURE_QUOTA = 100_000  # planned docs per training epoch
+
+
+def q_corpus_mixture_weights(sf_dir: str):
+    """Temperature-based mixture reweighting planner — the per-source
+    sampling table multilingual/multi-domain training recipes publish
+    (weight ∝ n^alpha, alpha<1 upsamples small sources; GPT-3 App. A,
+    XLM-R §3.1). The planning analog of the reference's batch-summary
+    emit (``…/processors/Jhove.kt:519-537``).
+
+    One combiner-first count per source (per-batch polars partials, the
+    groupby moves one (source, n) pair per block; ~#sources rows total —
+    the result is driver-side BY DESIGN, it is the broadcast input of a
+    sampling stage). Weights are emitted as integer parts-per-million so
+    the DuckDB oracle hash-compares exactly (both sides: float64 pow,
+    round, cast)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(batch)
+            .group_by("source")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    rows = (
+        read_table(sf_dir, "documents", columns=["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # #sources rows — tiny by design (the plan table)
+    )
+    src = sorted(r["source"] for r in rows)
+    n = np.array([next(r["n"] for r in rows if r["source"] == s) for s in src],
+                 dtype=np.float64)
+    a = np.power(n, MIXTURE_ALPHA)
+    z = a.sum()
+    return pa.table(
+        {
+            "source": pa.array(src),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "weight_ppm": pa.array(
+                np.round(1e6 * a / z).astype(np.int64)
+            ),
+            "quota_docs": pa.array(
+                np.round(MIXTURE_QUOTA * a / z).astype(np.int64)
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # word-window kernel: chunking with overlap + segment-level global dedup
 # ---------------------------------------------------------------------------
@@ -1078,6 +1133,17 @@ SQL = {
         SELECT 'test', CAST(COALESCE(sum(
           CASE WHEN {_lehmer_sql('win')} >= {VALID_PCT} THEN 1 ELSE 0 END
         ), 0) AS BIGINT) FROM grp""",
+    "corpus_mixture_weights": f"""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        t AS (SELECT sum(pow(n_docs, {MIXTURE_ALPHA})) AS z FROM c)
+        SELECT source, n_docs,
+               CAST(round(1000000 * pow(n_docs, {MIXTURE_ALPHA}) / z)
+                    AS BIGINT) AS weight_ppm,
+               CAST(round({MIXTURE_QUOTA} * pow(n_docs, {MIXTURE_ALPHA}) / z)
+                    AS BIGINT) AS quota_docs
+        FROM c, t""",
     "corpus_chunk": f"""
         WITH w AS (
           SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -1138,6 +1204,7 @@ def registry():
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "corpus_shuffle_shards": q_corpus_shuffle_shards,
         "corpus_funnel": q_corpus_funnel,
+        "corpus_mixture_weights": q_corpus_mixture_weights,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
         "corpus_chunk": q_corpus_chunk,
