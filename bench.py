@@ -59,6 +59,8 @@ SECONDARY = [
     "semi_join_bloom",
     "knn_bruteforce",
     "knn_ivf_pq",
+    "dedup_semantic",
+    "corpus_funnel",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 
