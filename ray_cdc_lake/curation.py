@@ -337,6 +337,24 @@ def shuffle_keys(batch: pa.Table) -> pa.Table:
     )
 
 
+def per_shard(g: pa.Table) -> pa.Table:
+    """Rank one shard's rows by (skey, doc_id) — the vectorized per-group
+    kernel of :func:`q_corpus_shuffle_shards` (module-level so property
+    tests exercise the exact production ranking, not a re-derivation)."""
+    ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    skey = g["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, skey))  # ties broken by doc_id
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(1, len(order) + 1)
+    return pa.table(
+        {
+            "shard": g["shard"],
+            "doc_id": g["doc_id"],
+            "shuffle_rank": pa.array(rank),
+        }
+    )
+
+
 def q_corpus_shuffle_shards(sf_dir: str):
     """Deterministic global training shuffle: every document gets a
     (shard, shuffle_rank) — the reproducible read order a trainer
@@ -352,20 +370,6 @@ def q_corpus_shuffle_shards(sf_dir: str):
     doc_id, or re-derives both keys inline since they are pure
     functions). Per-shard rank is one vectorized lexsort; N_SHARDS is
     the knob that bounds per-group memory."""
-
-    def per_shard(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        skey = g["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((ids, skey))  # ties broken by doc_id
-        rank = np.empty(len(order), dtype=np.int64)
-        rank[order] = np.arange(1, len(order) + 1)
-        return pa.table(
-            {
-                "shard": g["shard"],
-                "doc_id": g["doc_id"],
-                "shuffle_rank": pa.array(rank),
-            }
-        )
 
     return (
         read_table(sf_dir, "documents", columns=["doc_id"])
@@ -810,20 +814,23 @@ def q_corpus_mixture_weights(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .take_all()  # #sources rows — tiny by design (the plan table)
     )
-    src = sorted(r["source"] for r in rows)
-    n = np.array([next(r["n"] for r in rows if r["source"] == s) for s in src],
-                 dtype=np.float64)
+    by_src = {r["source"]: r["n"] for r in rows}
+    src = sorted(by_src)
+    n = np.array([by_src[s] for s in src], dtype=np.float64)
     a = np.power(n, MIXTURE_ALPHA)
     z = a.sum()
+    # round half AWAY FROM ZERO (floor(x+0.5) — all values positive) to
+    # match DuckDB's round(); np.round is banker's half-to-even and
+    # diverges by 1 when a quotient lands on x.5.
     return pa.table(
         {
             "source": pa.array(src),
             "n_docs": pa.array(n.astype(np.int64)),
             "weight_ppm": pa.array(
-                np.round(1e6 * a / z).astype(np.int64)
+                np.floor(1e6 * a / z + 0.5).astype(np.int64)
             ),
             "quota_docs": pa.array(
-                np.round(MIXTURE_QUOTA * a / z).astype(np.int64)
+                np.floor(MIXTURE_QUOTA * a / z + 0.5).astype(np.int64)
             ),
         }
     )

@@ -943,8 +943,6 @@ def q_dedup_semantic(
     Rows-only driver check (iterative k-means is not SQL-expressible)."""
     import ray
 
-    from ray.data.aggregate import Min, Sum
-
     from .similarity import _kmeans_spherical, _normalize, _sample_embeddings
     from .sources import get_broadcast
 
@@ -1022,7 +1020,6 @@ def q_dedup_semantic(
             .agg(pl.col("won").min().alias("won"))
             .filter(pl.col("won") == 1)
             .select("vec_id")
-            .sort("vec_id")
         )
         return g.to_arrow()
 

@@ -96,10 +96,14 @@ def test_shuffle_keys_rank_is_permutation(ids):
     dids = np.asarray(t["doc_id"])
     for s in np.unique(shard):
         m = shard == s
-        order = np.lexsort((dids[m], skey[m]))
-        rank = np.empty(order.size, dtype=np.int64)
-        rank[order] = np.arange(1, order.size + 1)
-        assert sorted(rank) == list(range(1, order.size + 1))
+        # the PRODUCTION per-group kernel, not a re-derivation:
+        ranked = cu.per_shard(t.filter(pa.array(m)))
+        rank = np.asarray(ranked["shuffle_rank"])
+        assert sorted(rank) == list(range(1, int(m.sum()) + 1))
+        # rank order must equal lexsort by (skey, tie-broken by doc_id)
+        expect = np.lexsort((dids[m], skey[m]))
+        got_ids = np.asarray(ranked["doc_id"])
+        assert got_ids[np.argsort(rank)].tolist() == dids[m][expect].tolist()
         # determinism: recomputing from a reversed table gives same pairs
     t2 = cu.shuffle_keys(
         pa.table({"doc_id": pa.array(ids[::-1], type=pa.int64())})
