@@ -2500,9 +2500,9 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     # training-data extensions (registered lazily so a bug in one module
     # doesn't break the core registry)
-    from . import dedup, similarity, textstats, multimodal, curation
+    from . import cdc_views, dedup, similarity, textstats, multimodal, curation
 
-    for mod in (dedup, similarity, textstats, multimodal, curation):
+    for mod in (cdc_views, dedup, similarity, textstats, multimodal, curation):
         q, s = mod.registry()
         queries.update(q)
         sql.update(s)
