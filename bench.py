@@ -61,6 +61,10 @@ SECONDARY = [
     "knn_ivf_pq",
     "dedup_semantic",
     "corpus_funnel",
+    "cdc_scd2_history",
+    "cdc_patch_upserts",
+    "events_watermark",
+    "cdc_incremental_view",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 

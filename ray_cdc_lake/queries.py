@@ -556,15 +556,30 @@ def q_cdc_schema_evolution(sf_dir: str):
     return read_lake(lake).map_batches(finish, batch_format="pyarrow")
 
 
+_TWO_TXN_CACHE: dict[tuple[str, str], tuple[str, int]] = {}
+
+
 def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
-    """Build (idempotently, per sf_dir) a lake committed in TWO txns split
-    at lsn = 2*STRIDE — the fixture for time-travel / diff queries.
-    Returns (lake_dir, cut)."""
+    """Build (once per process, per (sf_dir, name)) a lake committed in
+    TWO txns split at lsn = 2*STRIDE — the fixture for time-travel /
+    diff / incremental-view queries. Returns (lake_dir, cut).
+
+    Memoized in-process only: a fresh process always rebuilds from
+    scratch (no stale on-disk state can leak across code versions), but
+    within one driver/bench run the tt/diff/delpfx/ivm queries share one
+    build instead of paying the two-commit cost four times. Safe because
+    the build is deterministic and mutating consumers (delete-by-prefix)
+    re-apply under a fixed txn id, which the exactly-once sink makes
+    idempotent."""
     import shutil
 
     from .checkpoint import apply_incremental
     from .events import STRIDE
     from .schemas import COMPILED_SCHEMA
+
+    hit = _TWO_TXN_CACHE.get((sf_dir, name))
+    if hit is not None:
+        return hit
 
     lake = f"/tmp/ray_cdc_lake_{name}/{sf_dir.strip('/').replace('/', '_')}"
     shutil.rmtree(lake, ignore_errors=True)
@@ -581,6 +596,7 @@ def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
     )
     apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
     apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
+    _TWO_TXN_CACHE[(sf_dir, name)] = (lake, cut)
     return lake, cut
 
 
