@@ -63,8 +63,9 @@ class DeriveEvents:
         self.epochs = int(epochs)
         # E distinct rev suffixes, built once — the fan-out just takes
         # from this array instead of stringifying n*E integers per batch
+        # (large_string to match the content column's type family)
         self._suffixes = pa.array(
-            [f" [rev {i}]" for i in range(self.epochs)], type=pa.string()
+            [f" [rev {i}]" for i in range(self.epochs)], type=pa.large_string()
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -73,9 +74,12 @@ class DeriveEvents:
         doc_id = doc_id_a.to_numpy(zero_copy_only=False).astype(np.int64)
         lang = batch["lang"].combine_chunks()
         source = batch["source"].combine_chunks()
-        # all-string inside the join kernels (mixed string/large_string has
-        # no kernel); _events_table casts content to large_string at the end
-        text = pc.cast(batch["text"].combine_chunks(), pa.string())
+        # content is the byte-dominant column: keep it large_string from the
+        # START so the take/join fan-out emits the schema type directly and
+        # _events_table's cast is a no-op — a string->large_string cast at
+        # the end would re-copy n*E*len(content) bytes. (Array args of the
+        # join kernel must share one type family; scalars adapt.)
+        text = pc.cast(batch["text"].combine_chunks(), pa.large_string())
         n = len(doc_id)
 
         path = pc.binary_join_element_wise(
@@ -94,8 +98,9 @@ class DeriveEvents:
         e = np.tile(np.arange(E, dtype=np.int64), n)
         lsn = e * STRIDE + np.repeat(doc_id, E)
         op = pc.if_else(pa.array(e == 0), pa.scalar("insert"), pa.scalar("update"))
+        sep = pa.scalar("", type=pa.large_string())
         content = pc.binary_join_element_wise(
-            pc.take(text, idx), pc.take(self._suffixes, pa.array(e)), ""
+            pc.take(text, idx), pc.take(self._suffixes, pa.array(e)), sep
         )
         tables.append(
             _events_table(
@@ -139,7 +144,9 @@ class DeriveEvents:
                     new_path=pc.replace_substring(path_r, ".txt", ".md"),
                     lang=pc.take(lang, ridx),
                     content=pc.binary_join_element_wise(
-                        pc.take(text, ridx), f" [rev {E - 1}]", ""
+                        pc.take(text, ridx),
+                        pa.scalar(f" [rev {E - 1}]", type=pa.large_string()),
+                        sep,
                     ),
                 )
             )
@@ -158,7 +165,9 @@ class DeriveEvents:
                         new_path=pa.nulls(len(qidx), pa.string()),
                         lang=pc.take(lang, qidx),
                         content=pc.binary_join_element_wise(
-                            pc.take(text, qidx), " [rev 1]", ""
+                            pc.take(text, qidx),
+                            pa.scalar(" [rev 1]", type=pa.large_string()),
+                            sep,
                         ),
                     )
                 )
@@ -218,19 +227,11 @@ def compile_changes(batch: pa.Table) -> pa.Table:
     plain = batch.filter(pc.invert(is_ren))
     rens = batch.filter(is_ren)
 
+    # zero-copy column reorder/drop — content is already large_string
+    # (EVENT_SCHEMA); a combine_chunks+cast here would re-copy every
+    # content byte of the non-rename majority
     parts = [
-        pa.Table.from_arrays(
-            [
-                plain["lsn"],
-                plain["op"],
-                plain["repo"],
-                plain["path"],
-                plain["commit"],
-                plain["lang"],
-                plain["content"].combine_chunks().cast(pa.large_string()),
-            ],
-            schema=COMPILED_SCHEMA,
-        )
+        plain.select([f.name for f in COMPILED_SCHEMA]).cast(COMPILED_SCHEMA)
     ]
     if rens.num_rows:
         nulls = pa.nulls(rens.num_rows, pa.string())

@@ -73,23 +73,32 @@ def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
     # oracle's row_number() has the identical contract.
     sort_keys.append(("commit", "descending"))
     idx = pc.sort_indices(t, sort_keys=sort_keys)
-    t = t.take(idx)
-    if added_rank:
-        t = t.drop_columns(["_op_rank"])
-    # first row of each key run: vectorized "key differs from previous row"
+    # Winners-only gather: materializing the full sorted table would copy
+    # every content byte (the dominant column) just to immediately drop
+    # all but one row per key — in the bandwidth-bound fan-out regime that
+    # take IS the stage cost. Instead, find each key run's first position
+    # using only the (small) key columns in sorted order, then take the
+    # full rows for winners alone.
     import numpy as np
 
-    first = np.ones(t.num_rows, dtype=bool)
+    n = t.num_rows
+    first = np.ones(n, dtype=bool)
     for k in keys:
-        col = t[k]
-        neq = pc.not_equal(col.slice(1), col.slice(0, t.num_rows - 1))
-        neq = neq.combine_chunks().to_numpy(zero_copy_only=False)
+        col = pc.take(t[k], idx)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        neq = np.asarray(neq.to_numpy(zero_copy_only=False), dtype=bool)
         if k == keys[0]:
-            diff = np.asarray(neq, dtype=bool)
+            diff = neq
         else:
-            diff |= np.asarray(neq, dtype=bool)
+            diff |= neq
     first[1:] = diff
-    return t.filter(pa.array(first))
+    idx_np = idx.to_numpy(zero_copy_only=False)
+    t = t.take(pa.array(idx_np[first]))
+    if added_rank:
+        t = t.drop_columns(["_op_rank"])
+    return t
 
 
 # Reduce-side memory guard: groups above this row count go through the
