@@ -322,9 +322,9 @@ def q_cdc_incremental_view(sf_dir: str):
     from .queries import E, _two_txn_lake
     from .sink import read_lake
 
-    lake, cut = _two_txn_lake(sf_dir, "ivm")
+    lake, cut = _two_txn_lake(sf_dir, "twotxn")
 
-    def live_partial(src: str):
+    def live_partial():
         def fn(batch: pa.Table) -> pa.Table:
             import polars as pl
 
@@ -341,7 +341,7 @@ def q_cdc_incremental_view(sf_dir: str):
         return fn
 
     view1 = read_lake(lake, version=1).map_batches(
-        live_partial("base"), batch_format="pyarrow"
+        live_partial(), batch_format="pyarrow"
     )
 
     # the delta inputs: v1's live keys (old side) + seg2's per-key winners

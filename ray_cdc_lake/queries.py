@@ -566,11 +566,14 @@ def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
 
     Memoized in-process only: a fresh process always rebuilds from
     scratch (no stale on-disk state can leak across code versions), but
-    within one driver/bench run the tt/diff/delpfx/ivm queries share one
-    build instead of paying the two-commit cost four times. Safe because
-    the build is deterministic and mutating consumers (delete-by-prefix)
-    re-apply under a fixed txn id, which the exactly-once sink makes
-    idempotent."""
+    within one driver/bench run the tt/diff/delpfx/ivm queries share ONE
+    build (same ``name``) instead of paying the two-commit cost four
+    times. The sharing contract: read-only consumers must PIN manifest
+    versions (tt/ivm read version=1, diff reads 1 vs 2 — a later
+    maintenance txn never changes a pinned snapshot), and mutating
+    consumers must apply under a FIXED txn id (delete-by-prefix's
+    "txn-del-de"), which the exactly-once sink makes idempotent — so the
+    four queries compose in any order."""
     import shutil
 
     from .checkpoint import apply_incremental
@@ -605,7 +608,7 @@ def q_cdc_time_travel(sf_dir: str):
     (the snapshot BEFORE txn-2) — manifests are immutable claims, so any
     retained version is a consistent state. Oracle: the LWW replay
     truncated at the txn boundary."""
-    lake, _ = _two_txn_lake(sf_dir, "tt")
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
@@ -622,7 +625,7 @@ def q_cdc_lake_diff(sf_dir: str):
     by one bucketed shuffle of both live states."""
     from .checkpoint import lake_diff
 
-    lake, _ = _two_txn_lake(sf_dir, "diff")
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
     return lake_diff(lake, 1, 2)
 
 
@@ -634,7 +637,7 @@ def q_cdc_delete_prefix(sf_dir: str):
     from .checkpoint import delete_by_prefix
     from .sink import read_lake
 
-    lake, _ = _two_txn_lake(sf_dir, "delpfx")
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
     delete_by_prefix(lake, "docs/de", "txn-del-de")
 
     def finish(t: pa.Table) -> pa.Table:
