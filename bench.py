@@ -65,6 +65,8 @@ SECONDARY = [
     "cdc_patch_upserts",
     "events_watermark",
     "cdc_incremental_view",
+    "cdc_merge_into",
+    "text_tfidf",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 

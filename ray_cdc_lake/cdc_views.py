@@ -19,6 +19,10 @@ serve, each expressed Ray-Data-first over the derived binlog.
   advanced from snapshot v1 to v2 using ONLY v1's live rows and the new
   event segment (never rescanning v2): the textbook delta-maintenance
   argument for why a CDC feed is worth producing at all.
+* MERGE INTO — conditional merge rules (matched-update, matched-delete
+  with a protection guard, not-matched-insert, pass-through) applied to
+  a committed snapshot + change segment: the generic upsert shape a
+  plain last-writer-wins merge cannot express.
 
 Every op keeps the engine's merge contract (LWW by (lsn, op-rank,
 commit); deletes apply before inserts within an LSN — merge.py:47-92)
@@ -447,6 +451,120 @@ def q_cdc_incremental_view(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# MERGE INTO — conditional merge rules beyond last-writer-wins
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_merge_into(sf_dir: str):
+    """Generic conditional MERGE (the SQL ``MERGE INTO`` shape) of a
+    change segment into a committed snapshot — the rule table a plain
+    LWW upsert cannot express:
+
+    * WHEN MATCHED and source is a delete and target ``lang='de'``
+      -> KEEP the target row (``protected`` — the retention/legal-hold
+      rule; reference analog: the penalize-don't-drop routing decision,
+      ``…/exceptions/RoutedException.kt:5-10``),
+    * WHEN MATCHED and source is a delete -> drop the row,
+    * WHEN MATCHED otherwise -> take the source row (``updated``),
+    * WHEN NOT MATCHED and source is not a delete -> insert (``inserted``),
+    * target rows the segment never touched pass through (``unchanged``).
+
+    Scale shape: identical to the flagship merge — both sides carry only
+    their final per-key row (v1 live state; seg2 LWW winners), one
+    bucketed shuffle co-locates each key, and the rule table is a
+    vectorized full join + mask per bucket. Since the lake's layout IS
+    bucket-partitioned (sink.py), a deployment reads the target
+    co-partitioned and only winners move."""
+    from .pipeline import derive_event_log
+    from .queries import E, _two_txn_lake
+    from .sink import read_lake
+
+    lake, cut = _two_txn_lake(sf_dir, "twotxn")
+
+    seg2 = (
+        derive_event_log(sf_dir, E)
+        .map_batches(compile_changes, batch_format="pyarrow")
+        .map_batches(normalize_content, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+        )
+    )
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = ["repo", "path", "commit", "lang", "content", "lsn"]
+            t = batch.select(cols + (["op"] if "op" in batch.column_names else []))
+            if "op" not in t.column_names:
+                t = t.append_column(
+                    "op", pa.array(["live"] * t.num_rows, type=pa.string())
+                )
+            return t.append_column(
+                "_side", pa.array([side] * t.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    both = (
+        read_lake(lake, version=1)
+        .map_batches(tag("tgt"), batch_format="pyarrow")
+        .union(lww_winners(seg2).map_batches(tag("src"), batch_format="pyarrow"))
+        .map_batches(
+            lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
+        )
+    )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        t = df.filter(pl.col("_side") == "tgt").drop("_side", "op")
+        s = df.filter(pl.col("_side") == "src").drop("_side")
+        m = t.join(s, on=["repo", "path"], how="full", suffix="_s", coalesce=True)
+        has_t = pl.col("lsn").is_not_null()
+        has_s = pl.col("lsn_s").is_not_null()
+        is_del = has_s & (pl.col("op") == "delete")
+        action = (
+            pl.when(~has_s)
+            .then(pl.lit("unchanged"))
+            .when(~has_t & ~is_del)
+            .then(pl.lit("inserted"))
+            .when(is_del & has_t & (pl.col("lang") == "de"))
+            .then(pl.lit("protected"))
+            .when(is_del)
+            .then(pl.lit(None, dtype=pl.Utf8))  # deleted -> dropped
+            .otherwise(pl.lit("updated"))
+        )
+        take_src = pl.col("action").is_in(["inserted", "updated"])
+        out = (
+            m.with_columns(action.alias("action"))
+            .filter(pl.col("action").is_not_null())
+            .with_columns(
+                pl.when(take_src)
+                .then(pl.col(f"{c}_s"))
+                .otherwise(pl.col(c))
+                .alias(c)
+                for c in ["commit", "lang", "content", "lsn"]
+            )
+            .select(["repo", "path", "commit", "lang", "content", "lsn", "action"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("repo", pa.string()),
+                    ("path", pa.string()),
+                    ("commit", pa.string()),
+                    ("lang", pa.string()),
+                    ("content", pa.large_string()),
+                    ("lsn", pa.int64()),
+                    ("action", pa.string()),
+                ]
+            )
+        )
+
+    return both.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -459,7 +577,53 @@ def registry():
         "cdc_patch_upserts": q_cdc_patch_upserts,
         "events_watermark": q_events_watermark,
         "cdc_incremental_view": q_cdc_incremental_view,
+        "cdc_merge_into": q_cdc_merge_into,
     }
+    cut = 2 * STRIDE
+    merge_sql = f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        t_rank AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized WHERE lsn < {cut}),
+        tgt AS (
+          SELECT repo, path, "commit", lang, content, lsn
+          FROM t_rank WHERE rn = 1 AND op <> 'delete'),
+        s_rank AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized WHERE lsn >= {cut}),
+        src AS (
+          SELECT repo, path, "commit", lang, content, lsn, op
+          FROM s_rank WHERE rn = 1),
+        m AS (
+          SELECT COALESCE(t.repo, s.repo) AS repo,
+                 COALESCE(t.path, s.path) AS path,
+                 t."commit" AS t_commit, t.lang AS t_lang,
+                 t.content AS t_content, t.lsn AS t_lsn,
+                 s."commit" AS s_commit, s.lang AS s_lang,
+                 s.content AS s_content, s.lsn AS s_lsn, s.op AS s_op,
+                 CASE
+                   WHEN s.lsn IS NULL THEN 'unchanged'
+                   WHEN t.lsn IS NULL AND s.op <> 'delete' THEN 'inserted'
+                   WHEN s.op = 'delete' AND t.lsn IS NOT NULL
+                        AND t.lang = 'de' THEN 'protected'
+                   WHEN s.op = 'delete' THEN NULL
+                   ELSE 'updated'
+                 END AS action
+          FROM tgt t FULL JOIN src s
+            ON t.repo = s.repo AND t.path = s.path)
+        SELECT repo, path,
+               CASE WHEN action IN ('inserted','updated')
+                    THEN s_commit ELSE t_commit END AS "commit",
+               CASE WHEN action IN ('inserted','updated')
+                    THEN s_lang ELSE t_lang END AS lang,
+               CASE WHEN action IN ('inserted','updated')
+                    THEN s_content ELSE t_content END AS content,
+               CASE WHEN action IN ('inserted','updated')
+                    THEN s_lsn ELSE t_lsn END AS lsn,
+               action
+        FROM m WHERE action IS NOT NULL"""
     sql = {
         "cdc_scd2_history": f"""
             WITH {EVENTS_CTE}, {COMPILED_CTE},
@@ -504,6 +668,7 @@ def registry():
             SELECT event_id, event_ts, watermark,
                    (event_ts < watermark - to_microseconds({LATENESS_US})) AS is_late
             FROM w""",
+        "cdc_merge_into": merge_sql,
         "cdc_incremental_view": f"""
             WITH {EVENTS_CTE}, {COMPILED_CTE}
             SELECT repo, CAST(count(*) AS BIGINT) AS n_files,

@@ -1676,6 +1676,46 @@ def q_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def q_events_lag_delta(sf_dir: str):
+    """Per-user lag window (the O1/J1 windowing family's lag/lead half):
+    for every event, the previous event's timestamp on the same user and
+    the gap in µs — the primitive under sessionization, retry detection
+    and inter-arrival modeling. Scale shape: one bucketed shuffle on
+    hash(user) (64 buckets, not per-user groups), then a vectorized
+    per-bucket sort + shift(1)-within-user — never a global sort."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((uid % DEFAULT_NUM_BUCKETS).astype(np.int64))
+        )
+
+    def lag_bucket(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(g.drop_columns(["bucket"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(pl.col("ts").shift(1).over("user_id").alias("prev_ts"))
+        )
+        return (
+            df.with_columns(
+                (
+                    pl.col("ts").cast(pl.Int64) - pl.col("prev_ts").cast(pl.Int64)
+                ).alias("gap_us")
+            )
+            .select(["event_id", "user_id", "ts", "prev_ts", "gap_us"])
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lag_bucket, batch_format="pyarrow")
+    )
+
+
 def q_doc_seq_assign(sf_dir: str):
     """Within-group ordered index assignment (J1/O1 analog,
     CreateMetsBrowsing.kt:222-247): sort by doc_id within source, 1-based
@@ -2333,6 +2373,12 @@ REL_SQL: dict[str, str] = {
         SELECT DISTINCT e.user_id
         FROM events e
         WHERE e.user_id IN (SELECT s_suppkey FROM supplier)""",
+    "events_lag_delta": """
+        SELECT event_id, user_id, ts,
+               lag(ts) OVER w AS prev_ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "user_sessions": """
         WITH o AS (
           SELECT user_id, ts,
@@ -2492,6 +2538,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "validation_summary": q_validation_summary,
         "semi_join_users": q_semi_join_users,
         "user_sessions": q_user_sessions,
+        "events_lag_delta": q_events_lag_delta,
         "join_events_customers": q_join_events_customers,
         "anti_join_users": q_anti_join_users,
         "doc_seq_assign": q_doc_seq_assign,
