@@ -355,6 +355,9 @@ def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
         schema_version=m.schema_version,
         schema_fields=m.schema_fields,
         num_buckets=num_buckets,
+        # lineage metrics survive compaction even though the txns they
+        # describe are vacuumed — they are history, not file references
+        metrics=m.metrics,
     )
     _publish(lake_dir, final)
     vacuum(lake_dir)

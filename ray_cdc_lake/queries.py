@@ -763,6 +763,30 @@ CDC_SQL: dict[str, str] = {
                sha256(content) AS content_sha256, lsn
         FROM ranked WHERE rn = 1 AND op <> 'delete'
           AND path NOT LIKE 'docs/de/%'""",
+    "cdc_ingest_metrics": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        r1 AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn1
+          FROM normalized WHERE lsn < 2*{STRIDE_SQL}),
+        w1 AS (SELECT lsn, op FROM r1 WHERE rn1 = 1),
+        w2 AS (SELECT lsn, op FROM ranked
+               WHERE rn = 1 AND lsn >= 2*{STRIDE_SQL})
+        SELECT 'txn-0001' AS txn_id,
+               CAST(count(*) AS BIGINT) AS applied_rows,
+               CAST(count(*) FILTER (WHERE op <> 'delete') AS BIGINT)
+                   AS applied_upserts,
+               CAST(count(*) FILTER (WHERE op = 'delete') AS BIGINT)
+                   AS applied_tombstones,
+               max(lsn) AS hwm_lsn
+        FROM w1
+        UNION ALL
+        SELECT 'txn-0002',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE op <> 'delete') AS BIGINT),
+               CAST(count(*) FILTER (WHERE op = 'delete') AS BIGINT),
+               max(lsn)
+        FROM w2""",
     "cdc_time_travel": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
         normalized AS (
@@ -1260,6 +1284,48 @@ def q_cdc_lake_lineage(sf_dir: str):
             pa.array([r[3] for r in rows], type=pa.int64()),
         ],
         names=["bucket", "txn_id", "hwm_lsn", "n_rows"],
+    )
+
+
+def q_cdc_ingest_metrics(sf_dir: str):
+    """Per-txn ingest metrics from the commit manifest (the metrics half
+    of the north-star's "per-partition lineage + metrics", complementing
+    `cdc_lake_lineage`'s per-bucket half): for every committed txn, how
+    many rows it actually APPLIED (lsn above the bucket's previous
+    watermark — not the copy-on-write rewrite size), split into upserts
+    vs tombstones, plus the txn's high-watermark LSN. Recorded at commit
+    time by sink.commit_txn from a column-pruned (op, lsn) read; read
+    back here from the PINNED version-2 manifest so the shared fixture's
+    later maintenance txns don't change the answer."""
+    from .sink import read_manifest
+
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
+    m = read_manifest(lake, version=2)
+    rows = sorted(
+        (
+            t,
+            int(v["applied_rows"]),
+            int(v["applied_upserts"]),
+            int(v["applied_tombstones"]),
+            int(v["hwm_lsn"]),
+        )
+        for t, v in m.metrics.items()
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.int64()),
+            pa.array([r[2] for r in rows], type=pa.int64()),
+            pa.array([r[3] for r in rows], type=pa.int64()),
+            pa.array([r[4] for r in rows], type=pa.int64()),
+        ],
+        names=[
+            "txn_id",
+            "applied_rows",
+            "applied_upserts",
+            "applied_tombstones",
+            "hwm_lsn",
+        ],
     )
 
 
@@ -2512,6 +2578,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_widening": q_cdc_schema_widening,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_ingest_metrics": q_cdc_ingest_metrics,
         "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_lake_lineage": q_cdc_lake_lineage,

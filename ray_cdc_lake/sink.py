@@ -163,6 +163,13 @@ class Manifest:
     # the key-hash modulus this lake was bucketed with (0 = unrecorded;
     # point lookups then fall back to a dense-keyspace heuristic)
     num_buckets: int = 0
+    # txn_id -> ingest DELTA metrics recorded at commit time (the
+    # north-star's "per-partition lineage + metrics" observability half):
+    # {"applied_rows", "applied_upserts", "applied_tombstones",
+    #  "hwm_lsn"} — applied = rows this txn actually changed (lsn above
+    # the bucket's previous watermark), NOT the copy-on-write rewrite
+    # size. Old manifests without the key read back as {}.
+    metrics: dict[str, dict] = field(default_factory=dict)
 
     def hwm(self) -> dict[int, int]:
         return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
@@ -202,6 +209,7 @@ def read_manifest(
         schema_version=d.get("schema_version", 0),
         schema_fields=d.get("schema_fields", []),
         num_buckets=d.get("num_buckets", 0),
+        metrics=d.get("metrics", {}),
     )
 
 
@@ -233,6 +241,7 @@ def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None
         "schema_version": m.schema_version,
         "schema_fields": m.schema_fields,
         "num_buckets": m.num_buckets,
+        "metrics": m.metrics,
         "committed_at": time.time(),
     }
     tmp = mpath + f".tmp-{os.getpid()}"
@@ -269,6 +278,7 @@ def commit_txn(
     store: LakeStore | None = None,
     expected_version: int | None = None,
     num_buckets: int | None = None,
+    record_metrics: bool = True,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -300,6 +310,12 @@ def commit_txn(
 
     bucket_stats = _write_txn_data(lake_dir, txn_id, winners, store=store)
 
+    metrics = dict(manifest.metrics)
+    if record_metrics:
+        metrics[txn_id] = _txn_delta_metrics(
+            lake_dir, txn_id, manifest.hwm(), store
+        )
+
     if fail_before_publish:
         raise RuntimeError(f"injected failure before publish of {txn_id}")
 
@@ -311,9 +327,71 @@ def commit_txn(
         schema_version=manifest.schema_version,
         schema_fields=manifest.schema_fields,
         num_buckets=num_buckets if num_buckets is not None else manifest.num_buckets,
+        metrics=metrics,
     )
     _publish(lake_dir, new, store=store)
     return new
+
+
+def _delta_counts_one_bucket(files, prev_hwm: int, fs) -> tuple[int, int, int]:
+    """(applied_rows, applied_tombstones, max_lsn) for one committed
+    bucket dir: rows with lsn above the bucket's PREVIOUS watermark are
+    the ones this txn actually changed (everything below is the
+    copy-on-write carry-over of prior state). Column-pruned read of
+    (op, lsn) only — never the content bytes."""
+    import pyarrow.compute as pc
+
+    applied = tombs = 0
+    mx = -1
+    for f in files:
+        t = pq.read_table(f, columns=["op", "lsn"], filesystem=fs)
+        if t.num_rows == 0:
+            continue
+        mx = max(mx, pc.max(t["lsn"]).as_py())
+        new = t.filter(pc.greater(t["lsn"], prev_hwm))
+        applied += new.num_rows
+        tombs += pc.sum(
+            pc.cast(pc.equal(new["op"], "delete"), "int64")
+        ).as_py() or 0
+    return applied, tombs, mx
+
+
+def _txn_delta_metrics(
+    lake_dir: str, txn_id: str, prev_hwm: dict[int, int], store: LakeStore
+) -> dict:
+    """Ingest metrics for one committed txn, computed from the just-moved
+    data dir BEFORE the manifest publish (one parallel Ray task per
+    bucket; at 100 TB op+lsn are a sliver of the content-dominated
+    files). Deterministic — identical across crashed retries, so the
+    idempotent-publish content comparison still holds."""
+    import ray
+
+    final_dir = os.path.join(lake_dir, DATA_DIR, txn_id)
+    fn = ray.remote(num_cpus=0.5)(_delta_counts_one_bucket)
+    refs = []
+    for entry in store.listdir(final_dir):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=", 1)[1])
+        bdir = os.path.join(final_dir, entry)
+        files = [
+            os.path.join(bdir, f)
+            for f in store.listdir(bdir)
+            if f.endswith(".parquet")
+        ]
+        refs.append(fn.remote(files, prev_hwm.get(b, -1), store.fs))
+    applied = tombs = 0
+    mx = -1
+    for a, t, m in ray.get(refs):
+        applied += a
+        tombs += t
+        mx = max(mx, m)
+    return {
+        "applied_rows": applied,
+        "applied_upserts": applied - tombs,
+        "applied_tombstones": tombs,
+        "hwm_lsn": mx,
+    }
 
 
 def _write_txn_data(

@@ -144,3 +144,73 @@ def test_store_dir_primitives(tmp_path):
     store.rmtree(dst)
     assert not store.exists(dst)
     store.rmtree(dst)  # idempotent on missing path
+
+
+# ---------------------------------------------------------------------------
+# per-txn ingest metrics (commit-time delta accounting)
+# ---------------------------------------------------------------------------
+
+
+def _mk(keys_ops_lsns) -> pa.Table:
+    rows = list(keys_ops_lsns)
+    return pa.table(
+        {
+            "repo": pa.array(["r"] * len(rows)),
+            "path": pa.array([k for k, _, _ in rows]),
+            "lsn": pa.array([l for _, _, l in rows], type=pa.int64()),
+            "commit": pa.array([f"c{l}" for _, _, l in rows]),
+            "op": pa.array([o for _, o, _ in rows]),
+            "content": pa.array(["x"] * len(rows), type=pa.large_string()),
+            "bucket": pa.array([hash(k) % 2 for k, _, _ in rows], type=pa.int64()),
+        }
+    )
+
+
+def test_commit_records_delta_metrics(tmp_path):
+    """applied_* counts rows ABOVE the bucket's previous watermark — the
+    txn's real delta, not the copy-on-write rewrite size — split into
+    upserts vs tombstones, with the txn high-watermark LSN."""
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    m1 = commit_txn(lake, "t1", rd.from_arrow(_mk([("a", "insert", 1), ("b", "insert", 2)])))
+    assert m1.metrics["t1"] == {
+        "applied_rows": 2,
+        "applied_upserts": 2,
+        "applied_tombstones": 0,
+        "hwm_lsn": 2,
+    }
+    # txn 2 rewrites both keys' buckets (carry-over rows at lsn <= hwm)
+    # plus one update and one tombstone above the watermark
+    m2 = commit_txn(
+        lake,
+        "t2",
+        rd.from_arrow(
+            _mk(
+                [
+                    ("a", "insert", 1),  # carried over, below hwm
+                    ("b", "delete", 10),  # tombstone, applied
+                    ("c", "insert", 11),  # new key, applied
+                ]
+            )
+        ),
+    )
+    assert m2.metrics["t2"]["applied_tombstones"] == 1
+    assert m2.metrics["t2"]["applied_upserts"] == 1
+    assert m2.metrics["t2"]["applied_rows"] == 2
+    assert m2.metrics["t2"]["hwm_lsn"] == 11
+    assert m2.metrics["t1"] == m1.metrics["t1"]  # history preserved
+
+
+def test_metrics_survive_compaction(tmp_path):
+    """Compaction vacuums the txns but keeps their lineage metrics — they
+    are history, not file references."""
+    import ray.data as rd
+    from ray_cdc_lake.checkpoint import compact
+
+    lake = str(tmp_path / "lake")
+    commit_txn(lake, "t1", rd.from_arrow(_mk([("a", "insert", 1)])))
+    commit_txn(lake, "t2", rd.from_arrow(_mk([("a", "insert", 5)])))
+    final = compact(lake, num_buckets=2)
+    assert set(final.metrics) == {"t1", "t2"}
+    assert read_manifest(lake).metrics["t2"]["applied_rows"] == 1
