@@ -1,0 +1,185 @@
+"""`ray job submit` entry point: `python -m ray_cdc_lake <cmd> ...`.
+
+The deployment surface the north rule names — the same module a fixed
+N-node cluster runs via
+
+    ray job submit --working-dir . -- python -m ray_cdc_lake tail \
+        --sf-dir /data/corpus --lake s3://bucket/lake
+
+Commands (thin wrappers over the library; all idempotent/resumable):
+
+* ``replay``  — full event-log replay into a lake as ONE exactly-once
+  txn (re-running with the same --txn-id is a no-op).
+* ``tail``    — segmented binlog tail: one txn per LSN window; a killed
+  run resumes at the first uncommitted window (pipeline.tail_replay).
+* ``compact`` — LSM major compaction + vacuum.
+* ``vacuum``  — drop unreferenced txn data.
+* ``metrics`` — print the manifest's per-bucket lineage and per-txn
+  ingest metrics as JSON (the ops/observability surface).
+* ``query``   — run any registry query by name against an sf dir.
+
+Ray session ownership: this CLI owns its session (the brief's rule —
+only bench.py, CLI entry points and the test fixture call ray.init).
+Under `ray job submit` the bare ``ray.init()`` attaches to the cluster;
+standalone it starts a local one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_up() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()  # job context attaches; standalone starts local
+    from . import enable_self_contained_pickling, tune_data_context
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+
+def cmd_replay(a) -> int:
+    from .checkpoint import apply_incremental
+    from .pipeline import derive_event_log
+    from .schemas import COMPILED_SCHEMA
+    from .transforms import normalize_content
+    from .events import compile_changes
+
+    _ray_up()
+    ev = (
+        derive_event_log(a.sf_dir, a.epochs)
+        .map_batches(compile_changes, batch_format="pyarrow")
+        .map_batches(normalize_content, batch_format="pyarrow")
+    )
+    m = apply_incremental(
+        a.lake, a.txn_id, ev, num_buckets=a.buckets, events_schema=COMPILED_SCHEMA
+    )
+    print(
+        json.dumps(
+            {
+                "lake": a.lake,
+                "version": m.version,
+                "txns": m.txns,
+                "metrics": m.metrics.get(a.txn_id, {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_tail(a) -> int:
+    from .pipeline import tail_replay
+
+    _ray_up()
+    txns = tail_replay(
+        a.lake, a.sf_dir, epochs=a.epochs, micro_batches=a.micro_batches,
+        num_buckets=a.buckets,
+    )
+    print(json.dumps({"lake": a.lake, "committed": txns}))
+    return 0
+
+
+def cmd_compact(a) -> int:
+    from .checkpoint import compact
+
+    _ray_up()
+    m = compact(a.lake, num_buckets=a.buckets)
+    print(json.dumps({"lake": a.lake, "version": m.version, "txns": m.txns}))
+    return 0
+
+
+def cmd_vacuum(a) -> int:
+    from .sink import vacuum
+
+    dropped = vacuum(a.lake)
+    print(json.dumps({"lake": a.lake, "dropped": dropped}))
+    return 0
+
+
+def cmd_metrics(a) -> int:
+    from .sink import read_manifest
+
+    m = read_manifest(a.lake, version=a.version)
+    print(
+        json.dumps(
+            {
+                "version": m.version,
+                "num_buckets": m.num_buckets,
+                "lineage": m.buckets,
+                "txn_metrics": m.metrics,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    return 0
+
+
+def cmd_query(a) -> int:
+    from .queries import registry
+
+    _ray_up()
+    queries, _ = registry()
+    if a.name not in queries:
+        print(f"unknown query {a.name!r}; choose from:", file=sys.stderr)
+        print("  " + "\n  ".join(sorted(queries)), file=sys.stderr)
+        return 2
+    res = queries[a.name](a.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    print(df.head(a.limit).to_string())
+    print(f"[{len(df)} rows]")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m ray_cdc_lake")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, lake=True, sf=False):
+        if lake:
+            sp.add_argument("--lake", required=True, help="lake directory/URI")
+        if sf:
+            sp.add_argument("--sf-dir", required=True, help="input tables dir")
+        sp.add_argument("--buckets", type=int, default=64)
+
+    sp = sub.add_parser("replay", help="full replay as one exactly-once txn")
+    common(sp, sf=True)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--txn-id", default="replay-0001")
+    sp.set_defaults(fn=cmd_replay)
+
+    sp = sub.add_parser("tail", help="segmented binlog tail (resumable)")
+    common(sp, sf=True)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--micro-batches", type=int, default=4)
+    sp.set_defaults(fn=cmd_tail)
+
+    sp = sub.add_parser("compact", help="major compaction + vacuum")
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
+    common(sp)
+    sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("metrics", help="print lineage + ingest metrics")
+    common(sp)
+    sp.add_argument("--version", type=int, default=None)
+    sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("query", help="run a registry query by name")
+    sp.add_argument("--name", required=True)
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_query)
+
+    a = p.parse_args(argv)
+    return a.fn(a)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,32 @@
+"""The `python -m ray_cdc_lake` job-submit surface: thin, idempotent
+wrappers over the library. Run in-process (the session fixture owns Ray;
+_ray_up's is_initialized guard must respect that)."""
+
+from __future__ import annotations
+
+import json
+
+from ray_cdc_lake.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cli_replay_metrics_roundtrip(tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    assert main(["replay", "--sf-dir", SF, "--lake", lake]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 1 and out["metrics"]["applied_rows"] > 0
+
+    # idempotent: same txn-id re-applies as a no-op, version unchanged
+    assert main(["replay", "--sf-dir", SF, "--lake", lake]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["version"] == 1 and out2["txns"] == out["txns"]
+
+    assert main(["metrics", "--lake", lake]) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["txn_metrics"]["replay-0001"] == out["metrics"]
+    assert len(m["lineage"]) > 0
+
+
+def test_cli_query_unknown_name(tmp_path, capsys):
+    assert main(["query", "--name", "nope", "--sf-dir", SF]) == 2
