@@ -18,7 +18,7 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pyarrow as pa
 
-from .merge import lww_winners_keep_bucket
+from .merge import lww_winners_keep_bucket, partial_lww
 from .schemas import DEFAULT_NUM_BUCKETS
 from .sink import Manifest, commit_txn, read_lake, read_manifest
 from .transforms import add_bucket
@@ -155,11 +155,23 @@ def _apply_incremental_once(
                     cols.append(pa.nulls(batch.num_rows, types[n]))
             return pa.Table.from_arrays(cols, names=names)
 
-        ds = ds.map_batches(conform, batch_format="pyarrow").union(
-            prior.map_batches(conform, batch_format="pyarrow")
+        # combiner PER BRANCH, before the union: a combiner placed after
+        # the UnionOperator cannot fuse into either branch's map chain,
+        # so every pre-combine event byte (the full fan-out) would cross
+        # the object store just to be collapsed one operator later. LWW
+        # is associative — per-branch partials reduce to the same winners.
+        ds = (
+            ds.map_batches(conform, batch_format="pyarrow")
+            .map_batches(partial_lww, batch_format="pyarrow")
+            .union(
+                prior.map_batches(conform, batch_format="pyarrow").map_batches(
+                    partial_lww, batch_format="pyarrow"
+                )
+            )
         )
-
-    winners = lww_winners_keep_bucket(ds)
+        winners = lww_winners_keep_bucket(ds, combined=True)
+    else:
+        winners = lww_winners_keep_bucket(ds)
     return commit_txn(
         lake_dir,
         txn_id,

@@ -146,11 +146,20 @@ def lww_winners(
     )
 
 
-def lww_winners_keep_bucket(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+def lww_winners_keep_bucket(
+    ds: "ray.data.Dataset", combined: bool = False
+) -> "ray.data.Dataset":
     """LWW winners per key for a dataset that ALREADY has a 'bucket'
     column; keeps 'bucket', 'op' and tombstone rows (the sink persists
-    tombstones LSM-style so stale events can't resurrect deleted keys)."""
-    ds = ds.map_batches(partial_lww, batch_format="pyarrow")
+    tombstones LSM-style so stale events can't resurrect deleted keys).
+
+    ``combined=True`` skips the map-side combiner — for callers that
+    already applied ``partial_lww`` upstream (e.g. per-branch BEFORE a
+    union: a combiner placed after a UnionOperator cannot fuse into the
+    branches' map chains, so the full pre-combine fan-out would hit the
+    object store just to be collapsed one operator later)."""
+    if not combined:
+        ds = ds.map_batches(partial_lww, batch_format="pyarrow")
     return ds.groupby("bucket").map_groups(
         lambda g: _group_winners(g, ["repo", "path"]), batch_format="pyarrow"
     )
