@@ -513,55 +513,59 @@ def q_cdc_merge_into(sf_dir: str):
         )
     )
 
-    def merge_bucket(g: pa.Table) -> pa.Table:
-        import polars as pl
+    return both.groupby("bucket").map_groups(merge_rules, batch_format="pyarrow")
 
-        df = pl.from_arrow(g.drop_columns(["bucket"]))
-        t = df.filter(pl.col("_side") == "tgt").drop("_side", "op")
-        s = df.filter(pl.col("_side") == "src").drop("_side")
-        m = t.join(s, on=["repo", "path"], how="full", suffix="_s", coalesce=True)
-        has_t = pl.col("lsn").is_not_null()
-        has_s = pl.col("lsn_s").is_not_null()
-        is_del = has_s & (pl.col("op") == "delete")
-        action = (
-            pl.when(~has_s)
-            .then(pl.lit("unchanged"))
-            .when(~has_t & ~is_del)
-            .then(pl.lit("inserted"))
-            .when(is_del & has_t & (pl.col("lang") == "de"))
-            .then(pl.lit("protected"))
-            .when(is_del)
-            .then(pl.lit(None, dtype=pl.Utf8))  # deleted -> dropped
-            .otherwise(pl.lit("updated"))
-        )
-        take_src = pl.col("action").is_in(["inserted", "updated"])
-        out = (
-            m.with_columns(action.alias("action"))
-            .filter(pl.col("action").is_not_null())
-            .with_columns(
-                pl.when(take_src)
-                .then(pl.col(f"{c}_s"))
-                .otherwise(pl.col(c))
-                .alias(c)
-                for c in ["commit", "lang", "content", "lsn"]
-            )
-            .select(["repo", "path", "commit", "lang", "content", "lsn", "action"])
-        )
-        return out.to_arrow().cast(
-            pa.schema(
-                [
-                    ("repo", pa.string()),
-                    ("path", pa.string()),
-                    ("commit", pa.string()),
-                    ("lang", pa.string()),
-                    ("content", pa.large_string()),
-                    ("lsn", pa.int64()),
-                    ("action", pa.string()),
-                ]
-            )
-        )
 
-    return both.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
+def merge_rules(g: pa.Table) -> pa.Table:
+    """The vectorized MERGE rule table over one co-located bucket of
+    tagged rows (_side: tgt|src). Module-level so the property tests can
+    drive it on arbitrary inputs (tests/test_cdc_views.py)."""
+    import polars as pl
+
+    df = pl.from_arrow(g.drop_columns(["bucket"]) if "bucket" in g.column_names else g)
+    t = df.filter(pl.col("_side") == "tgt").drop("_side", "op")
+    s = df.filter(pl.col("_side") == "src").drop("_side")
+    m = t.join(s, on=["repo", "path"], how="full", suffix="_s", coalesce=True)
+    has_t = pl.col("lsn").is_not_null()
+    has_s = pl.col("lsn_s").is_not_null()
+    is_del = has_s & (pl.col("op") == "delete")
+    action = (
+        pl.when(~has_s)
+        .then(pl.lit("unchanged"))
+        .when(~has_t & ~is_del)
+        .then(pl.lit("inserted"))
+        .when(is_del & has_t & (pl.col("lang") == "de"))
+        .then(pl.lit("protected"))
+        .when(is_del)
+        .then(pl.lit(None, dtype=pl.Utf8))  # deleted -> dropped
+        .otherwise(pl.lit("updated"))
+    )
+    take_src = pl.col("action").is_in(["inserted", "updated"])
+    out = (
+        m.with_columns(action.alias("action"))
+        .filter(pl.col("action").is_not_null())
+        .with_columns(
+            pl.when(take_src)
+            .then(pl.col(f"{c}_s"))
+            .otherwise(pl.col(c))
+            .alias(c)
+            for c in ["commit", "lang", "content", "lsn"]
+        )
+        .select(["repo", "path", "commit", "lang", "content", "lsn", "action"])
+    )
+    return out.to_arrow().cast(
+        pa.schema(
+            [
+                ("repo", pa.string()),
+                ("path", pa.string()),
+                ("commit", pa.string()),
+                ("lang", pa.string()),
+                ("content", pa.large_string()),
+                ("lsn", pa.int64()),
+                ("action", pa.string()),
+            ]
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,73 @@ def test_scd2_intervals_disjoint_and_anchored(sf_tiny, ray_session):
     multi_open = [k for k, n in zip(zip(g["repo"], g["path"]), g["n_open"]) if n > 1]
     assert not multi_open
     assert open_keys == live
+
+
+# ---------------------------------------------------------------------------
+# merge_rules: the MERGE-INTO rule table vs a naive per-key reference
+# ---------------------------------------------------------------------------
+
+merge_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # key id
+        st.sampled_from(["none", "live"]),  # target presence
+        st.sampled_from(["none", "insert", "update", "delete"]),  # source op
+        st.sampled_from(["de", "en", "fr"]),  # target lang
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+
+@given(merge_rows_st)
+@settings(max_examples=60, deadline=None)
+def test_merge_rules_match_naive_reference(rows):
+    tagged = []
+    expect = {}
+    for k, tgt, sop, lang in rows:
+        key = f"p{k}"
+        has_t = tgt == "live"
+        has_s = sop != "none"
+        if not has_t and not has_s:
+            continue
+        if has_t:
+            tagged.append(("r", key, f"tc{k}", lang, f"told{k}", k, "live", "tgt"))
+        if has_s:
+            tagged.append(("r", key, f"sc{k}", "xx", f"snew{k}", 100 + k, sop, "src"))
+        # naive rule table
+        if not has_s:
+            expect[key] = ("unchanged", f"tc{k}", k)
+        elif sop == "delete":
+            if has_t and lang == "de":
+                expect[key] = ("protected", f"tc{k}", k)
+            # else dropped (matched delete, or src-only delete)
+        elif not has_t:
+            expect[key] = ("inserted", f"sc{k}", 100 + k)
+        else:
+            expect[key] = ("updated", f"sc{k}", 100 + k)
+    if not tagged:
+        return
+    g = pa.table(
+        {
+            "repo": pa.array([r[0] for r in tagged]),
+            "path": pa.array([r[1] for r in tagged]),
+            "commit": pa.array([r[2] for r in tagged]),
+            "lang": pa.array([r[3] for r in tagged]),
+            "content": pa.array([r[4] for r in tagged], type=pa.large_string()),
+            "lsn": pa.array([r[5] for r in tagged], type=pa.int64()),
+            "op": pa.array([r[6] for r in tagged]),
+            "_side": pa.array([r[7] for r in tagged]),
+        }
+    )
+    out = cv.merge_rules(g)
+    got = {
+        p: (a, c, l)
+        for p, a, c, l in zip(
+            out["path"].to_pylist(),
+            out["action"].to_pylist(),
+            out["commit"].to_pylist(),
+            out["lsn"].to_pylist(),
+        )
+    }
+    assert got == expect
