@@ -763,6 +763,34 @@ CDC_SQL: dict[str, str] = {
                sha256(content) AS content_sha256, lsn
         FROM ranked WHERE rn = 1 AND op <> 'delete'
           AND path NOT LIKE 'docs/de/%'""",
+    "cdc_table_stats": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        live AS (
+          SELECT repo, path, "commit", lang, content, lsn
+          FROM ranked WHERE rn = 1 AND op <> 'delete')
+        SELECT 'repo' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE repo IS NULL) AS BIGINT) AS n_nulls,
+               min(repo) AS min_value, max(repo) AS max_value FROM live
+        UNION ALL
+        SELECT 'path', CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE path IS NULL) AS BIGINT),
+               min(path), max(path) FROM live
+        UNION ALL
+        SELECT 'commit', CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE "commit" IS NULL) AS BIGINT),
+               min("commit"), max("commit") FROM live
+        UNION ALL
+        SELECT 'lang', CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+               min(lang), max(lang) FROM live
+        UNION ALL
+        SELECT 'content', CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE content IS NULL) AS BIGINT),
+               min(content), max(content) FROM live
+        UNION ALL
+        SELECT 'lsn', CAST(count(*) AS BIGINT),
+               CAST(count(*) FILTER (WHERE lsn IS NULL) AS BIGINT),
+               CAST(min(lsn) AS VARCHAR), CAST(max(lsn) AS VARCHAR) FROM live""",
     "cdc_ingest_metrics": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         r1 AS (
@@ -1327,6 +1355,93 @@ def q_cdc_ingest_metrics(sf_dir: str):
             "hwm_lsn",
         ],
     )
+
+
+STATS_STR_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def q_cdc_table_stats(sf_dir: str):
+    """ANALYZE TABLE over the committed live state: per column, row/null
+    counts and min/max — the table statistics an optimizer or data-skip
+    layer reads (the at-scale role of the parquet footer stats read_key
+    already prunes with, lifted to whole-table granularity).
+
+    Shape: one combiner-first pass — each batch folds to 6 stat rows
+    (column, counts, min, max), the groupby moves ONLY those partials
+    (6 rows per block), and the final reduce is a 6-group aggregate.
+    Numeric columns fold numerically in parallel (a string min of lsn
+    would order "10" < "9") and are stringified only in the final
+    6-row finish step."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .sink import read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        names, n_nulls, mins_s, maxs_s, mins_i, maxs_i = [], [], [], [], [], []
+        for c in STATS_STR_COLS:
+            col = batch[c]
+            mm = pc.min_max(col)
+            names.append(c)
+            n_nulls.append(col.null_count)
+            mins_s.append(mm["min"].as_py())
+            maxs_s.append(mm["max"].as_py())
+            mins_i.append(None)
+            maxs_i.append(None)
+        mm = pc.min_max(batch["lsn"])
+        names.append("lsn")
+        n_nulls.append(batch["lsn"].null_count)
+        mins_s.append(None)
+        maxs_s.append(None)
+        mins_i.append(mm["min"].as_py())
+        maxs_i.append(mm["max"].as_py())
+        return pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n_rows": pa.array([batch.num_rows] * len(names), type=pa.int64()),
+                "n_nulls": pa.array(n_nulls, type=pa.int64()),
+                "min_s": pa.array(mins_s, type=pa.string()),
+                "max_s": pa.array(maxs_s, type=pa.string()),
+                "min_i": pa.array(mins_i, type=pa.int64()),
+                "max_i": pa.array(maxs_i, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        read_lake(lake, version=2)
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_nulls", alias_name="n_nulls"),
+            Min("min_s", alias_name="min_s"),
+            Max("max_s", alias_name="max_s"),
+            Min("min_i", alias_name="min_i"),
+            Max("max_i", alias_name="max_i"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the groupby Min/Max over an all-null partial column comes back
+        # null-typed; cast both sides so coalesce has a concrete kernel
+        min_v = pc.coalesce(
+            pc.cast(t["min_s"], pa.string()), pc.cast(t["min_i"], pa.string())
+        )
+        max_v = pc.coalesce(
+            pc.cast(t["max_s"], pa.string()), pc.cast(t["max_i"], pa.string())
+        )
+        return pa.table(
+            {
+                "column": t["column"],
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+                "n_nulls": pc.cast(t["n_nulls"], pa.int64()),
+                "min_value": min_v,
+                "max_value": max_v,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def q_doc_validate_actor(sf_dir: str):
@@ -2579,6 +2694,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_schema_widening": q_cdc_schema_widening,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_ingest_metrics": q_cdc_ingest_metrics,
+        "cdc_table_stats": q_cdc_table_stats,
         "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_lake_lineage": q_cdc_lake_lineage,
