@@ -136,6 +136,12 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     if not flagship_only:
         from ray_cdc_lake import queries as _q
 
+        # untimed setup: the two-txn fixture lake shared by the
+        # tt/diff/delpfx/ivm/merge/metrics/stats consumers — its first
+        # timed consumer would otherwise pay the build and misreport the
+        # OP's cost (the fixture is test scaffolding, not the operator)
+        _q._two_txn_lake(sf_dir, "twotxn")
+
         reg, _ = _q.registry()
         for name in SECONDARY:
             fn = reg.get(name)

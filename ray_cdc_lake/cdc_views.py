@@ -344,7 +344,7 @@ def q_cdc_incremental_view(sf_dir: str):
 
         return fn
 
-    view1 = read_lake(lake, version=1).map_batches(
+    view1 = read_lake(lake, version=1, columns=["repo", "content"]).map_batches(
         live_partial(), batch_format="pyarrow"
     )
 
@@ -383,7 +383,7 @@ def q_cdc_incremental_view(sf_dir: str):
         )
 
     both = (
-        read_lake(lake, version=1)
+        read_lake(lake, version=1, columns=["repo", "path", "lsn", "content"])
         .map_batches(old_rows, batch_format="pyarrow")
         .union(lww_winners(seg2).map_batches(delta_rows, batch_format="pyarrow"))
         .map_batches(

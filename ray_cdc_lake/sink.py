@@ -448,11 +448,19 @@ def read_lake(
     live_only: bool = True,
     store: LakeStore | None = None,
     version: int | None = None,
+    columns: list[str] | None = None,
+    filter=None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible). Pass
     ``version`` to time-travel to a historical snapshot (see
-    read_manifest for the retention caveat)."""
+    read_manifest for the retention caveat).
+
+    ``columns`` prunes at the parquet read (only those columns leave
+    storage — at 100 TB a consumer that needs (repo, lsn) must not ship
+    content bytes); ``filter`` is a ``pyarrow.dataset`` expression pushed
+    down to row-group pruning (the files are key-sorted within buckets,
+    so key-range filters skip whole row groups via footer min/max)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -468,15 +476,24 @@ def read_lake(
         for fn in store.listdir(d):
             if fn.endswith(".parquet"):
                 files.append(os.path.join(d, fn))
-    ds = rd.read_parquet(files, filesystem=store.fs)
+    read_cols = None
+    if columns is not None:
+        # the live filter needs 'op' even when the caller didn't ask for
+        # it — read it, drop it again in strip()
+        read_cols = list(columns)
+        if live_only and "op" not in read_cols:
+            read_cols.append("op")
+    ds = rd.read_parquet(files, filesystem=store.fs, columns=read_cols, filter=filter)
 
     def strip(t):
         # hive-partition inference re-adds 'bucket' from the dir name;
         # drop it (merge stages recompute it from the stable key hash)
-        if "bucket" in t.column_names:
+        if "bucket" in t.column_names and (columns is None or "bucket" not in columns):
             t = t.drop_columns(["bucket"])
         if live_only:
             t = t.filter(pc.not_equal(t["op"], "delete"))
+        if columns is not None:
+            t = t.select(columns)
         return t
 
     return ds.map_batches(strip, batch_format="pyarrow")

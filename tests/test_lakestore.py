@@ -214,3 +214,28 @@ def test_metrics_survive_compaction(tmp_path):
     final = compact(lake, num_buckets=2)
     assert set(final.metrics) == {"t1", "t2"}
     assert read_manifest(lake).metrics["t2"]["applied_rows"] == 1
+
+
+def test_read_lake_column_and_filter_pushdown(tmp_path):
+    """columns= prunes at the parquet read (op still consulted for the
+    live filter, then dropped); filter= is a pushed-down expression."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    commit_txn(
+        lake,
+        "t1",
+        rd.from_arrow(
+            _mk(
+                [("a", "insert", 1), ("b", "insert", 2), ("c", "delete", 3)]
+            )
+        ),
+    )
+    got = read_lake(lake, columns=["path", "lsn"]).to_pandas()
+    assert sorted(got.columns) == ["lsn", "path"]
+    assert sorted(got["path"]) == ["a", "b"]  # live filter still applied
+
+    flt = pds.field("lsn") >= 2
+    got2 = read_lake(lake, live_only=False, columns=["path"], filter=flt).to_pandas()
+    assert sorted(got2["path"]) == ["b", "c"]
