@@ -122,12 +122,13 @@ def cmd_metrics(a) -> int:
 def cmd_query(a) -> int:
     from .queries import registry
 
-    _ray_up()
     queries, _ = registry()
     if a.name not in queries:
+        # validate before paying for a Ray session — the registry is pure
         print(f"unknown query {a.name!r}; choose from:", file=sys.stderr)
         print("  " + "\n  ".join(sorted(queries)), file=sys.stderr)
         return 2
+    _ray_up()
     res = queries[a.name](a.sf_dir)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     print(df.head(a.limit).to_string())
@@ -139,12 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m ray_cdc_lake")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    def common(sp, lake=True, sf=False):
+    def common(sp, lake=True, sf=False, buckets=True):
         if lake:
             sp.add_argument("--lake", required=True, help="lake directory/URI")
         if sf:
             sp.add_argument("--sf-dir", required=True, help="input tables dir")
-        sp.add_argument("--buckets", type=int, default=64)
+        if buckets:
+            sp.add_argument("--buckets", type=int, default=64)
 
     sp = sub.add_parser("replay", help="full replay as one exactly-once txn")
     common(sp, sf=True)
@@ -163,11 +165,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
-    common(sp)
+    common(sp, buckets=False)
     sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("metrics", help="print lineage + ingest metrics")
-    common(sp)
+    common(sp, buckets=False)
     sp.add_argument("--version", type=int, default=None)
     sp.set_defaults(fn=cmd_metrics)
 

@@ -67,16 +67,11 @@ def q_cdc_scd2_history(sf_dir: str):
     shift so they cannot create zero-length intervals. Event order within
     a key follows the merge contract: lsn, then delete-before-insert at
     the same lsn (rename-set semantics), then commit."""
-    from .pipeline import derive_event_log
+    from .pipeline import compiled_log
     from .queries import E
 
-    compiled = (
-        derive_event_log(sf_dir, E)
-        .map_batches(compile_changes, batch_format="pyarrow")
-        .map_batches(normalize_content, batch_format="pyarrow")
-        .map_batches(
-            lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
-        )
+    compiled = compiled_log(sf_dir, E).map_batches(
+        lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
     )
 
     def scd2_bucket(g: pa.Table) -> pa.Table:
@@ -322,7 +317,7 @@ def q_cdc_incremental_view(sf_dir: str):
     per applied batch rather than recounting the store."""
     from ray.data.aggregate import Sum
 
-    from .pipeline import derive_event_log
+    from .pipeline import compiled_log
     from .queries import E, _two_txn_lake
     from .sink import read_lake
 
@@ -361,14 +356,7 @@ def q_cdc_incremental_view(sf_dir: str):
             }
         )
 
-    seg2 = (
-        derive_event_log(sf_dir, E)
-        .map_batches(compile_changes, batch_format="pyarrow")
-        .map_batches(normalize_content, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
-        )
-    )
+    seg2 = compiled_log(sf_dir, E, min_lsn=cut)
 
     def delta_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -440,12 +428,18 @@ def q_cdc_incremental_view(sf_dir: str):
 
     deltas = both.groupby("bucket").map_groups(bucket_delta, batch_format="pyarrow")
 
+    # A repo whose live set fully drains sums to (repo, 0, 0); the view
+    # contract (and the SQL oracle's GROUP BY over surviving rows) omits
+    # such repos entirely, so drop the zero rows rather than emit phantoms.
     return (
         view1.union(deltas)
         .groupby("repo")
         .aggregate(
             Sum("n_files", alias_name="n_files"),
             Sum("total_chars", alias_name="total_chars"),
+        )
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n_files"], 0)), batch_format="pyarrow"
         )
     )
 
@@ -475,20 +469,13 @@ def q_cdc_merge_into(sf_dir: str):
     vectorized full join + mask per bucket. Since the lake's layout IS
     bucket-partitioned (sink.py), a deployment reads the target
     co-partitioned and only winners move."""
-    from .pipeline import derive_event_log
+    from .pipeline import compiled_log
     from .queries import E, _two_txn_lake
     from .sink import read_lake
 
     lake, cut = _two_txn_lake(sf_dir, "twotxn")
 
-    seg2 = (
-        derive_event_log(sf_dir, E)
-        .map_batches(compile_changes, batch_format="pyarrow")
-        .map_batches(normalize_content, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
-        )
-    )
+    seg2 = compiled_log(sf_dir, E, min_lsn=cut)
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:

@@ -49,6 +49,29 @@ def derive_event_log(
     return docs.map_batches(DeriveEvents(epochs), batch_format="pyarrow")
 
 
+def compiled_log(
+    sf_dir: str, epochs: int = DEFAULT_EPOCHS, min_lsn: int | None = None
+) -> "ray.data.Dataset":
+    """The compiled, content-normalized change log every consumer reads:
+    derive -> compile_changes -> normalize_content, optionally pruned to
+    the tail ``lsn >= min_lsn`` (a change *segment*). One definition so
+    SCD2 / IVM / MERGE INTO / the query registry cannot drift from the
+    flagship's derivation chain."""
+    import pyarrow.compute as pc
+
+    ds = (
+        derive_event_log(sf_dir, epochs)
+        .map_batches(compile_changes, batch_format="pyarrow")
+        .map_batches(normalize_content, batch_format="pyarrow")
+    )
+    if min_lsn is not None:
+        ds = ds.map_batches(
+            lambda t, _m=min_lsn: t.filter(pc.greater_equal(t["lsn"], _m)),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
 def replay_to_lake(
     events: "ray.data.Dataset",
     num_buckets: int = DEFAULT_NUM_BUCKETS,

@@ -356,6 +356,22 @@ def _delta_counts_one_bucket(files, prev_hwm: int, fs) -> tuple[int, int, int]:
     return applied, tombs, mx
 
 
+_DELTA_COUNTS_REMOTE = None
+
+
+def _delta_counts_remote():
+    """Memoized ray.remote wrapper so repeated commits (tail_replay's
+    per-micro-batch txns, bench loops) reuse one exported function
+    instead of re-pickling it per commit. Built lazily to keep module
+    import Ray-free."""
+    global _DELTA_COUNTS_REMOTE
+    if _DELTA_COUNTS_REMOTE is None:
+        import ray
+
+        _DELTA_COUNTS_REMOTE = ray.remote(num_cpus=0.5)(_delta_counts_one_bucket)
+    return _DELTA_COUNTS_REMOTE
+
+
 def _txn_delta_metrics(
     lake_dir: str, txn_id: str, prev_hwm: dict[int, int], store: LakeStore
 ) -> dict:
@@ -367,7 +383,7 @@ def _txn_delta_metrics(
     import ray
 
     final_dir = os.path.join(lake_dir, DATA_DIR, txn_id)
-    fn = ray.remote(num_cpus=0.5)(_delta_counts_one_bucket)
+    fn = _delta_counts_remote()
     refs = []
     for entry in store.listdir(final_dir):
         if not entry.startswith("bucket="):
