@@ -31,6 +31,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+from .similarity import embedding_matrix
 from .sources import read_table
 
 # ---------------------------------------------------------------------------
@@ -471,8 +472,8 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids_all = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(tbl["embedding"])
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids_all, mat_n))
 
@@ -482,8 +483,8 @@ def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
 
     def near_dup(batch: pa.Table) -> pa.Table:
         ids_b, mat_b = get_broadcast(ref)  # once per worker process
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = embedding_matrix(batch["embedding"])
         bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
         cos = bm @ mat_b.T
         ai, bj = np.nonzero(cos >= threshold)
@@ -825,8 +826,8 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = embedding_matrix(batch["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         planes = _hyperplanes(m.shape[1])  # worker-cached by numpy? cheap anyway
         bits = (m @ planes) > 0  # (B, bands*rows)
@@ -954,8 +955,8 @@ def q_dedup_semantic(
 
     def assign(batch: pa.Table) -> pa.Table:
         c = get_broadcast(ref)
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = embedding_matrix(batch["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = m @ c.T
         p = min(probes, sims.shape[1])

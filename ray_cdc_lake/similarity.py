@@ -36,8 +36,8 @@ def _load_embeddings(sf_dir: str, filters=None):
         columns=["vec_id", "embedding"],
         filters=filters,
     )
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = embedding_matrix(t["embedding"])
     return ids, mat
 
 
@@ -61,7 +61,23 @@ def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:
         if rows >= max_rows:
             break
     t = pa.concat_tables(parts)
-    return np.array(t["embedding"].to_pylist()[:max_rows], dtype=np.float64)
+    return embedding_matrix(t["embedding"])[:max_rows]
+
+
+def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` column -> ``(n, dim)`` matrix WITHOUT materializing
+    n×dim Python objects: one flatten of the Arrow child buffer + reshape.
+    Requires uniform list lengths (the embedding-column contract; ragged
+    input fails loudly)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column: lengths are not uniform")
+    return np.ascontiguousarray(flat.reshape(n, -1), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -72,8 +88,8 @@ def _final_topk(group: pa.Table) -> pa.Table:
     """Shared per-query top-K reducer for every knn variant: exact-scored
     (query_id, neighbor_id, cos) partials -> ranked top-K. Deterministic:
     cos desc, neighbor_id asc tiebreak."""
-    c = np.asarray(group["cos"].to_pylist(), dtype=np.float64)
-    n = np.asarray(group["neighbor_id"].to_pylist(), dtype=np.int64)
+    c = group["cos"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = group["neighbor_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     q = group["query_id"][0].as_py()
     order = np.lexsort((n, -c))[:K]
     return pa.Table.from_arrays(
@@ -100,8 +116,8 @@ def q_knn_bruteforce(sf_dir: str):
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = get_broadcast(ref)  # once per worker process
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(embedding_matrix(batch["embedding"]))
         cos = qmat @ bm.T  # (Q, B)
         out_q, out_n, out_c = [], [], []
         for qi, q in enumerate(qids):
@@ -180,8 +196,8 @@ def q_knn_ivf(sf_dir: str, nlist: int = 8, nprobe: int = 3):
 
     def probe_partial(batch: pa.Table) -> pa.Table:
         qids_b, qmat_b, probe_mask_b, cents_b = get_broadcast(ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(embedding_matrix(batch["embedding"]))
         blab = np.argmax(bm @ cents_b.T, axis=1)
         out_q, out_n, out_c = [], [], []
         for qi, q in enumerate(qids_b):
@@ -287,8 +303,8 @@ def q_knn_ivf_pq(sf_dir: str):
 
     def adc_partial(batch: pa.Table) -> pa.Table:
         qids_b, qmat_b, books_b = get_broadcast(ref)
-        bids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = _normalize(np.array(batch["embedding"].to_pylist(), dtype=np.float64))
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(embedding_matrix(batch["embedding"]))
         codes = pq_encode(bm, books_b)
         pool = PQ_RERANK * K
         out_q, out_n, out_c = [], [], []
@@ -390,7 +406,7 @@ def distributed_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 
         def partials(batch: pa.Table, ref=ref) -> pa.Table:
             c = get_broadcast(ref)
-            m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = embedding_matrix(batch["embedding"])
             d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
             dim = m.shape[1]
@@ -454,7 +470,7 @@ def q_kmeans_clusters(sf_dir: str):
 
     def assign_partial(batch: pa.Table) -> pa.Table:
         c = get_broadcast(ref)
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = embedding_matrix(batch["embedding"])
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d2, axis=1)
         dmin = np.sqrt(d2[np.arange(len(a)), a])
