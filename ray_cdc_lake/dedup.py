@@ -184,6 +184,26 @@ def minhash_signature(text: str, _cache: _WordHashCache | None = None) -> np.nda
     return prod.min(axis=1)
 
 
+def _band_keys(sigs: np.ndarray, bands: int, rows: int):
+    """Vectorized band keys for a (n, bands*rows) uint64 signature matrix:
+    FNV-style fold of each band's row values + a band-index salt, then a
+    murmur-like finalizer. Collisions (~2^-64) only ADD candidate pairs,
+    which the group-local verification filters — never lose one. Returns
+    (key int64 (n*bands,), coarse shuffle bucket int64 (n*bands,))."""
+    n = sigs.shape[0]
+    r = sigs.reshape(n, bands, rows)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for k in range(rows):  # `rows` summands, each vectorized
+        h = h * np.uint64(0x100000001B3) + r[:, :, k]
+    h ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(33)
+    h = h * np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    key = h.reshape(-1)
+    bucket = (key % np.uint64(NUM_PAIR_BUCKETS)).astype(np.int64)
+    return key.view(np.int64), bucket
+
+
 class MinHashLSH:
     """Actor-pool stage: signature + band explosion. One row per
     (doc, band): band_key (exact bucket id) + coarse ``bucket`` column so
@@ -196,28 +216,30 @@ class MinHashLSH:
         self.words = _WordHashCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        out_key, out_bucket, out_id, out_sig = [], [], [], []
-        for d, t in zip(ids, texts):
-            sig = minhash_signature(t, self.words)
-            sb = sig.tobytes()
-            for b in range(BANDS):
-                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                dig = hashlib.md5(band.tobytes() + bytes([b])).digest()
-                out_key.append(dig[:8].hex())
-                out_bucket.append(int.from_bytes(dig[8:10], "little") % NUM_PAIR_BUCKETS)
-                out_id.append(d)
-                out_sig.append(sb)
+        n = len(ids)
+        sigs = np.empty((n, NUM_HASHES), dtype=np.uint64)
+        for i, t in enumerate(texts):  # per-doc shingling is inherent
+            sigs[i] = minhash_signature(t, self.words)
+        key, bucket = _band_keys(sigs, BANDS, ROWS_PER_BAND)
+        # the full signature travels with each band row as one fixed-size
+        # list buffer (same bytes as the old binary blob, no per-row objects)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sigs, BANDS, axis=0).reshape(-1)), NUM_HASHES
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(out_key, type=pa.string()),
-                pa.array(out_bucket, type=pa.int64()),
-                pa.array(out_id, type=pa.int64()),
-                pa.array(out_sig, type=pa.binary()),
+                pa.array(key),
+                pa.array(bucket),
+                pa.array(np.repeat(ids, BANDS)),
+                sig_col,
             ],
             names=["band_key", "bucket", "doc_id", "sig"],
         )
+
+
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _runs(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
@@ -249,33 +271,40 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
     ds = corpus_ds(sf_dir).map_batches(minhash_lsh_fn, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        keys = np.asarray(group["band_key"].to_pylist())
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
-        sigs = group["sig"].to_pylist()
+        sc = group["sig"]
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        sig_all = (
+            sc.flatten().to_numpy(zero_copy_only=False).reshape(len(sc), NUM_HASHES)
+        )[order]
         out_a, out_b, out_j = [], [], []
         for s, e in _runs(keys):
             if e - s < 2:
                 continue
-            seen: dict[int, np.ndarray] = {}
-            for i in range(s, e):
-                d = int(ids[i])
-                if d not in seen:
-                    seen[d] = np.frombuffer(sigs[order[i]], dtype=np.uint64)
-            uids = sorted(seen)
-            for i in range(len(uids)):
-                for j in range(i + 1, len(uids)):
-                    est = float(np.mean(seen[uids[i]] == seen[uids[j]]))
-                    if est >= threshold:
-                        out_a.append(uids[i])
-                        out_b.append(uids[j])
-                        out_j.append(est)
+            uids, first = np.unique(ids[s:e], return_index=True)
+            u = len(uids)
+            if u < 2:
+                continue
+            sig = sig_all[s:e][first]
+            # pairwise signature agreement on the upper triangle only
+            iu, ju = np.triu_indices(u, k=1)
+            est = (sig[iu] == sig[ju]).mean(axis=1)
+            hit = est >= threshold
+            out_a.append(uids[iu[hit]])
+            out_b.append(uids[ju[hit]])
+            out_j.append(est[hit])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        j = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
         return pa.Table.from_arrays(
             [
-                pa.array(out_a, type=pa.int64()),
-                pa.array(out_b, type=pa.int64()),
-                pa.array(out_j, type=pa.float64()),
+                pa.array(a.astype(np.int64)),
+                pa.array(b.astype(np.int64)),
+                pa.array(j.astype(np.float64)),
             ],
             names=["id_a", "id_b", "jaccard_est"],
         )
@@ -339,23 +368,26 @@ class SimHashBands:
         self.words = _WordHashCache()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        key, bucket, did, sh = [], [], [], []
-        for d, t in zip(ids, texts):
-            h = _simhash64(self.words, t)
-            for b in range(4):
-                band = (h >> (16 * b)) & 0xFFFF
-                key.append(f"{b}:{band:04x}")
-                bucket.append((b * 65536 + band) % NUM_PAIR_BUCKETS)
-                did.append(d)
-                sh.append(h)
+        n = len(ids)
+        hs = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(texts):  # per-doc word hashing is inherent
+            hs[i] = _simhash64(self.words, t)
+        # vectorized 4x16-bit band explosion: key = band_idx<<16 | band bits
+        b_idx = np.arange(4, dtype=np.uint64)
+        bandv = (hs[:, None] >> (np.uint64(16) * b_idx[None, :])) & np.uint64(0xFFFF)
+        key = ((b_idx[None, :] << np.uint64(16)) | bandv).reshape(-1)
+        bucket = (
+            (b_idx[None, :] * np.uint64(65536) + bandv).reshape(-1)
+            % np.uint64(NUM_PAIR_BUCKETS)
+        ).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pa.array(key, type=pa.string()),
-                pa.array(bucket, type=pa.int64()),
-                pa.array(did, type=pa.int64()),
-                pa.array(sh, type=pa.uint64()),
+                pa.array(key.view(np.int64)),
+                pa.array(bucket),
+                pa.array(np.repeat(ids, 4)),
+                pa.array(np.repeat(hs, 4)),
             ],
             names=["band_key", "bucket", "doc_id", "simhash"],
         )
@@ -377,31 +409,38 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
     ds = corpus_ds(sf_dir).map_batches(simhash_bands_fn, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        keys = np.asarray(group["band_key"].to_pylist())
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
-        hashes = group["simhash"].to_numpy(zero_copy_only=False)[order]
-        a, b, dist = [], [], []
+        hashes = (
+            group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+        )
+        out_a, out_b, out_d = [], [], []
         for s_, e_ in _runs(keys):
             if e_ - s_ < 2:
                 continue
-            seen: dict[int, int] = {}
-            for i in range(s_, e_):
-                seen.setdefault(int(ids[i]), int(hashes[i]))
-            uids = sorted(seen)
-            for i in range(len(uids)):
-                for j in range(i + 1, len(uids)):
-                    hd = bin(seen[uids[i]] ^ seen[uids[j]]).count("1")
-                    if hd <= max_hamming:
-                        a.append(uids[i])
-                        b.append(uids[j])
-                        dist.append(hd)
+            uids, first = np.unique(ids[s_:e_], return_index=True)
+            u = len(uids)
+            if u < 2:
+                continue
+            h = hashes[s_:e_][first]
+            # pairwise hamming on the upper triangle: XOR -> byte popcount
+            iu, ju = np.triu_indices(u, k=1)
+            x = (h[iu] ^ h[ju]).view(np.uint8).reshape(-1, 8)
+            hd = _POPCOUNT[x].sum(axis=1).astype(np.int64)
+            hit = hd <= max_hamming
+            out_a.append(uids[iu[hit]])
+            out_b.append(uids[ju[hit]])
+            out_d.append(hd[hit])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        d = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
         return pa.Table.from_arrays(
             [
-                pa.array(a, type=pa.int64()),
-                pa.array(b, type=pa.int64()),
-                pa.array(dist, type=pa.int64()),
+                pa.array(a.astype(np.int64)),
+                pa.array(b.astype(np.int64)),
+                pa.array(d.astype(np.int64)),
             ],
             names=["id_a", "id_b", "hamming"],
         )
@@ -826,31 +865,36 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        # fully vectorized: band codes via bit-packing (rows <= 62 bits),
+        # band_key = (band_idx << rows) | code — exact, collision-free
+        # (the old md5 key was just a deterministic mapping of the same
+        # (band, bits) identity); bucket via an integer mix of the key.
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         m = embedding_matrix(batch["embedding"])
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        planes = _hyperplanes(m.shape[1])  # worker-cached by numpy? cheap anyway
+        planes = _hyperplanes(m.shape[1])  # re-derived per worker from the seed
+        n = len(ids)
         bits = (m @ planes) > 0  # (B, bands*rows)
-        out_key, out_bucket, out_id, out_vec = [], [], [], []
-        for i, d in enumerate(ids):
-            vb = m[i].tobytes()
-            for b in range(EMB_LSH_BANDS):
-                band_bits = bits[i, b * EMB_LSH_ROWS : (b + 1) * EMB_LSH_ROWS]
-                dig = hashlib.md5(
-                    band_bits.tobytes() + bytes([b])
-                ).digest()
-                out_key.append(dig[:8].hex())
-                out_bucket.append(
-                    int.from_bytes(dig[8:10], "little") % NUM_PAIR_BUCKETS
-                )
-                out_id.append(int(d))
-                out_vec.append(vb)
+        codes = bits.reshape(n, EMB_LSH_BANDS, EMB_LSH_ROWS).astype(np.int64) @ (
+            np.int64(1) << np.arange(EMB_LSH_ROWS, dtype=np.int64)
+        )  # (B, bands)
+        band_idx = np.arange(EMB_LSH_BANDS, dtype=np.int64)
+        key = ((band_idx[None, :] << EMB_LSH_ROWS) | codes).reshape(-1)
+        mixed = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bucket = ((mixed >> np.uint64(40)) % np.uint64(NUM_PAIR_BUCKETS)).astype(
+            np.int64
+        )
+        # the normalized vector travels as one fixed-size-list buffer
+        # repeated per band — no per-row bytes objects
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(m, EMB_LSH_BANDS, axis=0).reshape(-1)), m.shape[1]
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(out_key, type=pa.string()),
-                pa.array(out_bucket, type=pa.int64()),
-                pa.array(out_id, type=pa.int64()),
-                pa.array(out_vec, type=pa.binary()),
+                pa.array(key),
+                pa.array(bucket),
+                pa.array(np.repeat(ids, EMB_LSH_BANDS)),
+                vec_col,
             ],
             names=["band_key", "bucket", "vec_id", "vec"],
         )
@@ -858,34 +902,45 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
     ds = ds.map_batches(explode_bands, batch_format="pyarrow")
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        keys = np.asarray(group["band_key"].to_pylist())
+        keys = group["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
         ids = group["vec_id"].to_numpy(zero_copy_only=False)[order]
-        vecs = group["vec"].to_pylist()
+        vc = group["vec"]
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        dim = vc.type.list_size
+        mat_all = (
+            vc.flatten().to_numpy(zero_copy_only=False).reshape(len(vc), dim)[order]
+        )
         out_a, out_b, out_c = [], [], []
         for s, e in _runs(keys):
             if e - s < 2:
                 continue
-            seen: dict[int, np.ndarray] = {}
-            for i in range(s, e):
-                d = int(ids[i])
-                if d not in seen:
-                    seen[d] = np.frombuffer(vecs[order[i]], dtype=np.float64)
-            uids = sorted(seen)
-            mat = np.stack([seen[u] for u in uids])
+            uids, first = np.unique(ids[s:e], return_index=True)
+            if len(uids) < 2:
+                continue
+            mat = mat_all[s:e][first]
             cos = mat @ mat.T  # run members only — never all-pairs global
-            ai, bj = np.nonzero(cos >= threshold)
-            for i, j in zip(ai, bj):
-                if i < j:
-                    out_a.append(uids[i])
-                    out_b.append(uids[j])
-                    out_c.append(float(cos[i, j]))
+            iu, ju = np.triu_indices(len(uids), k=1)
+            hit = cos[iu, ju] >= threshold
+            out_a.append(uids[iu[hit]])
+            out_b.append(uids[ju[hit]])
+            out_c.append(cos[iu, ju][hit])
+        if not out_a:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "cos"],
+            )
         return pa.Table.from_arrays(
             [
-                pa.array(out_a, type=pa.int64()),
-                pa.array(out_b, type=pa.int64()),
-                pa.array(out_c, type=pa.float64()),
+                pa.array(np.concatenate(out_a).astype(np.int64)),
+                pa.array(np.concatenate(out_b).astype(np.int64)),
+                pa.array(np.concatenate(out_c).astype(np.float64)),
             ],
             names=["id_a", "id_b", "cos"],
         )
