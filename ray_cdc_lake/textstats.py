@@ -140,14 +140,15 @@ def fingerprint(batch: pa.Table, k: int = 8, w: int = 16) -> pa.Table:
     workers and runs — pure integer arithmetic, no dict order."""
     B = np.uint64(1000003)
     MOD_MASK = np.uint64((1 << 61) - 1)
+    powers = np.array(
+        [int(B) ** i % (1 << 61) for i in range(k)][::-1], dtype=np.uint64
+    )  # depends only on k — shared across the batch
     out = []
     for s in batch["text"].to_pylist():
         data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         if len(data) < k:
             out.append(int(np.bitwise_xor.reduce(data) if len(data) else 0))
             continue
-        # rolling polynomial hash over k-grams, vectorized via cumulative trick
-        powers = np.array([int(B) ** i % (1 << 61) for i in range(k)][::-1], dtype=np.uint64)
         m = len(data) - k + 1
         grams = np.lib.stride_tricks.sliding_window_view(data, k)
         h = (grams * powers).sum(axis=1, dtype=np.uint64) & MOD_MASK
@@ -184,24 +185,27 @@ class FakeEmbedder:
         self.words = _WordHashCacheForEmbed()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = []
-        for text in batch["text"].to_pylist():
-            h = self.words.hashes(text.split(" "))
-            v = np.zeros(self.dim, dtype=np.float64)
-            idx = (h % np.uint64(self.dim)).astype(np.int64)
-            sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
-            np.add.at(v, idx, sign)
-            n = np.linalg.norm(v)
-            if n > 0:
-                v /= n
-            vecs.append(v)
-        return pa.Table.from_arrays(
-            [
-                batch["doc_id"],
-                pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
-            ],
-            names=["doc_id", "embedding"],
+        # batched: one cache pass over the concatenated token stream, one
+        # scatter-add into a (n_docs*dim,) accumulator, one reshape+norm —
+        # no per-doc numpy setup, no per-row list objects on output
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        words_per_doc = [t.split(" ") for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+        h = self.words.hashes([w for ws in words_per_doc for w in ws])
+        idx = (h % np.uint64(self.dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(32)) & np.uint64(1), 1.0, -1.0)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = np.zeros(n * self.dim, dtype=np.float64)
+        np.add.at(flat, doc_of * self.dim + idx, sign)
+        mat = flat.reshape(n, self.dim)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.divide(mat, norms, out=mat, where=norms > 0)
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.dim, self.dim, dtype=np.int32)),
+            pa.array(mat.reshape(-1).astype(np.float32)),
         )
+        return pa.Table.from_arrays([batch["doc_id"], emb], names=["doc_id", "embedding"])
 
 
 class _WordHashCacheForEmbed:
