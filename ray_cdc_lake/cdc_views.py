@@ -38,11 +38,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .events import STRIDE, compile_changes
+from .events import STRIDE
 from .merge import lww_winners
 from .schemas import DEFAULT_NUM_BUCKETS
 from .sources import read_table
-from .transforms import add_bucket, normalize_content
+from .transforms import add_bucket
 
 if TYPE_CHECKING:
     import ray.data

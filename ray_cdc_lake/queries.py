@@ -68,7 +68,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .events import DeriveEvents, compile_changes
-from .merge import lww_merge, lww_winners
+from .merge import lww_winners
 from .pipeline import cdc_final_state, derive_event_log, replay_to_lake
 from .schemas import DEFAULT_EPOCHS, DEFAULT_NUM_BUCKETS
 from .transforms import (
@@ -236,7 +236,7 @@ def q_cdc_partition_manifest(sf_dir: str):
     MetsBrowsingBuilder.kt:38-199): event counts, upsert/delete split and
     high-watermark LSN per repo. Partial-aggregated per batch before the
     (tiny) groupby shuffle."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     compiled = q_cdc_compiled_changes(sf_dir)
 
