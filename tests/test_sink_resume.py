@@ -210,6 +210,30 @@ def test_schema_evolution_retype_promotion(tmp_path):
     assert t.loc[("r2", "c.py"), "size_bytes"] == 6.5
 
 
+def test_schema_evolution_incompatible_retype_fails_loudly(tmp_path):
+    """An UNCASTABLE retype (string values like 'abc' re-delivered as int)
+    must fail the apply with an Arrow cast error — never commit silently
+    corrupted data. The committed lake stays at its pre-apply state."""
+    import pytest
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    seg_a = ev_table(SEG_A).append_column(
+        "tag", pa.array(["abc", "def", "ghi", "jkl"], type=pa.large_string())
+    )
+    apply_incremental(lake, "txn-a", rd.from_arrow(seg_a), num_buckets=4)
+    before = lake_state(lake)
+
+    seg_b = ev_table(SEG_B).append_column(
+        "tag", pa.array([1, 2, 3], type=pa.int64())  # new wins -> cast 'abc' to int
+    )
+    with pytest.raises(Exception) as ei:
+        apply_incremental(lake, "txn-b", rd.from_arrow(seg_b), num_buckets=4)
+    assert "convert" in str(ei.value).lower() or "cast" in str(ei.value).lower()
+    # exactly-once: the failed txn published nothing
+    assert lake_state(lake) == before
+
+
 def test_commit_conflict_detected(tmp_path):
     """Optimistic concurrency: a second writer claiming the same manifest
     version with DIFFERENT content must get CommitConflict; its staged
