@@ -484,7 +484,19 @@ def read_lake(
     m = read_manifest(lake_dir, store=store, version=version)
     dirs = m.data_dirs(lake_dir)
     if not dirs:
-        raise FileNotFoundError(f"no committed state in {lake_dir}")
+        if m.version == 0:
+            raise FileNotFoundError(f"no committed state in {lake_dir}")
+        # a committed-but-EMPTY lake (e.g. a tail whose first micro-batch
+        # carried no events still publishes its txn manifest) reads as an
+        # empty dataset with the lake row schema — not an error
+        import pyarrow as pa
+
+        from .schemas import LAKE_SCHEMA
+
+        sch = pa.schema(list(LAKE_SCHEMA) + [pa.field("op", pa.string())])
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
     # ray.data.read_parquet expands a single dir but treats LIST entries as
     # files — enumerate the data files explicitly
     files = []

@@ -210,6 +210,31 @@ def test_schema_evolution_retype_promotion(tmp_path):
     assert t.loc[("r2", "c.py"), "size_bytes"] == 6.5
 
 
+def test_empty_bootstrap_txn_reads_as_empty_lake(tmp_path):
+    """A first micro-batch with ZERO events still publishes its txn (the
+    tail's offset bookkeeping needs the manifest) and the lake then reads
+    as an EMPTY dataset with the lake row schema — not FileNotFoundError.
+    A lake with no manifest at all still raises."""
+    lake = str(tmp_path / "lake")
+    with pytest.raises(FileNotFoundError):
+        read_lake(lake)
+
+    m = apply_incremental(lake, "txn-empty", ev_ds([]), num_buckets=4)
+    assert m.txns == ["txn-empty"]
+    assert m.metrics["txn-empty"]["applied_rows"] == 0
+
+    ds = read_lake(lake)
+    assert ds.count() == 0
+    assert set(read_lake(lake, columns=["repo", "path"]).schema().names) == {
+        "repo",
+        "path",
+    }
+
+    # a later real apply proceeds normally on top of the empty bootstrap
+    apply_incremental(lake, "txn-a", ev_ds(SEG_A), num_buckets=4)
+    assert lake_state(lake) == EXPECT_A
+
+
 def test_schema_evolution_incompatible_retype_fails_loudly(tmp_path):
     """An UNCASTABLE retype (string values like 'abc' re-delivered as int)
     must fail the apply with an Arrow cast error — never commit silently
