@@ -171,6 +171,128 @@ def q_mm_frame_sample(sf_dir: str):
     return bins.map_batches(sample, batch_format="pyarrow", batch_size=256)
 
 
+RESIZE_TARGET = 128  # fake-resize output budget in bytes (shared with oracle)
+
+
+class FakeResizer:
+    """Actor-pool RESIZE stage with a deterministic byte-stride stand-in
+    for the image scaler: keep every ``stride``-th payload byte where
+    stride = ceil(n_bytes / RESIZE_TARGET), so output size is bounded by
+    the target whatever the input size (the thumbnailing contract). The
+    actor signature is the production shape — a real scaler loads its
+    codec in ``__init__`` and maps batches in ``__call__``."""
+
+    def __init__(self, target: int = RESIZE_TARGET):
+        self.target = target  # a real resizer would load its codec here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_n, out_stride, out_len, out_sha = [], [], [], []
+        for d, p in zip(ids, payloads):
+            if not p.isascii():  # oracle extracts by CHAR offsets (substr)
+                raise ValueError(
+                    f"doc {d}: non-ASCII payload — byte-stride resize would "
+                    "silently diverge from the char-based SQL oracle"
+                )
+            if not p:  # oracle's range() join omits empty docs entirely
+                raise ValueError(f"doc {d}: empty payload — fix the oracle first")
+            stride = max(1, -(-len(p) // self.target))  # ceil
+            small = p[::stride]
+            out_n.append(len(p))
+            out_stride.append(stride)
+            out_len.append(len(small))
+            out_sha.append(hashlib.sha256(small).hexdigest())
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(out_n, type=pa.int64()),
+                pa.array(out_stride, type=pa.int64()),
+                pa.array(out_len, type=pa.int64()),
+                pa.array(out_sha, type=pa.string()),
+            ],
+            names=["doc_id", "n_bytes", "stride", "n_bytes_out", "out_sha256"],
+        )
+
+
+def q_mm_resize(sf_dir: str):
+    from .sources import actor_pool_size
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bins = docs.map_batches(encode_payloads, batch_format="pyarrow")
+    return bins.map_batches(
+        FakeResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=actor_pool_size(),
+    )
+
+
+class ByteHistogramExtractor:
+    """Actor-pool FEATURE-EXTRACT stage: per-payload 256-bin byte
+    histogram, computed for the whole batch in ONE scatter-add (rows
+    repeated per byte, no per-row Python). Emits the l1-normalized
+    histogram as ``features: list<float32>`` (the ANN-ready shape that
+    composes with the knn/kmeans ops) plus exact-oracle scalars."""
+
+    BINS = 256
+
+    def __init__(self):
+        self.ready = True  # a real extractor loads its model here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+        allbytes = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        flat = np.zeros(n * self.BINS, dtype=np.int64)
+        np.add.at(flat, row_of * self.BINS + allbytes, 1)
+        hist = flat.reshape(n, self.BINS)
+        denom = np.maximum(lens, 1).astype(np.float64)
+        feat = (hist / denom[:, None]).astype(np.float32)
+        feat_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.BINS, self.BINS, dtype=np.int32)),
+            pa.array(feat.reshape(-1)),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(lens),
+                pa.array((hist > 0).sum(axis=1).astype(np.int64)),
+                feat_col,
+            ],
+            names=["doc_id", "n_bytes", "n_distinct_bytes", "features"],
+        )
+
+
+def mm_features_ds(sf_dir: str):
+    """Full feature-extract pipeline (with the vector column) for
+    composition with the similarity ops; unit-tested against a pure-python
+    reference."""
+    from .sources import actor_pool_size
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bins = docs.map_batches(encode_payloads, batch_format="pyarrow")
+    return bins.map_batches(
+        ByteHistogramExtractor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=actor_pool_size(),
+    )
+
+
+def q_mm_feature_extract(sf_dir: str):
+    """Oracle-facing projection: the scalar columns are DERIVED from the
+    histogram the extractor computed (n_distinct_bytes = nonzero bins), so
+    the exact SQL comparison checks the kernel itself; the vector column
+    is dropped only because list columns don't hash-compare."""
+    return mm_features_ds(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "n_bytes", "n_distinct_bytes"]),
+        batch_format="pyarrow",
+    )
+
+
 SQL = {
     # frames are byte windows; text is ASCII in the corpus, so DuckDB's
     # char-based substr equals the byte window and sha256(substr) hashes
@@ -200,9 +322,38 @@ SQL = {
 }
 
 
+SQL["mm_resize"] = f"""
+    WITH kept AS (
+      SELECT d.doc_id, strlen(d.text) AS n,
+             CAST(CEIL(strlen(d.text) / {RESIZE_TARGET}.0) AS BIGINT) AS stride,
+             CAST(r.range AS BIGINT) AS i,
+             substr(d.text,
+                    CAST(r.range * CAST(CEIL(strlen(d.text) / {RESIZE_TARGET}.0) AS BIGINT) + 1 AS BIGINT),
+                    1) AS ch
+      FROM documents d
+      CROSS JOIN range(0, {RESIZE_TARGET}) r
+      WHERE r.range * CAST(CEIL(strlen(d.text) / {RESIZE_TARGET}.0) AS BIGINT) < strlen(d.text))
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_bytes,
+           max(stride) AS stride,
+           CAST(count(*) AS BIGINT) AS n_bytes_out,
+           sha256(string_agg(ch, '' ORDER BY i)) AS out_sha256
+    FROM kept GROUP BY doc_id"""
+
+SQL["mm_feature_extract"] = """
+    SELECT doc_id,
+           CAST(strlen(any_value(text)) AS BIGINT) AS n_bytes,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_bytes
+    FROM (SELECT doc_id, text, unnest(string_split(text, '')) AS c
+          FROM documents)
+    GROUP BY doc_id"""
+
+
 def registry():
     queries = {
         "mm_decode_meta": q_mm_decode_meta,
         "mm_frame_sample": q_mm_frame_sample,
+        "mm_resize": q_mm_resize,
+        "mm_feature_extract": q_mm_feature_extract,
     }
     return queries, dict(SQL)

@@ -236,6 +236,53 @@ def test_fake_decoder_deterministic():
     assert d1["bin_sha256"][0].as_py() != d1["bin_sha256"][1].as_py()
 
 
+def test_fake_resizer_matches_python_reference():
+    """The stride-resize payload math vs a per-row pure-python reference:
+    output = every stride-th byte, stride = ceil(n / target), bounded by
+    the target."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ray_cdc_lake.multimodal import RESIZE_TARGET, FakeResizer, encode_payloads
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bins = encode_payloads(t)
+    out = FakeResizer()(bins)
+    texts = t["text"].to_pylist()
+    for i in range(t.num_rows):
+        p = texts[i].encode("utf-8")
+        stride = max(1, -(-len(p) // RESIZE_TARGET))
+        small = p[::stride]
+        assert out["stride"][i].as_py() == stride
+        assert out["n_bytes_out"][i].as_py() == len(small) <= RESIZE_TARGET
+        assert out["out_sha256"][i].as_py() == hashlib.sha256(small).hexdigest()
+
+
+def test_byte_histogram_extractor_matches_python_reference():
+    """The batched scatter-add histogram vs a per-row reference, including
+    the l1-normalized feature vector the oracle projection drops."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ray_cdc_lake.multimodal import ByteHistogramExtractor, encode_payloads
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    bins = encode_payloads(t)
+    out = ByteHistogramExtractor()(bins)
+    feats = np.array(out["features"].to_pylist(), dtype=np.float32)
+    texts = t["text"].to_pylist()
+    for i in range(t.num_rows):
+        p = texts[i].encode("utf-8")
+        ref = np.bincount(np.frombuffer(p, dtype=np.uint8), minlength=256)
+        assert out["n_bytes"][i].as_py() == len(p)
+        assert out["n_distinct_bytes"][i].as_py() == int((ref > 0).sum())
+        np.testing.assert_allclose(
+            feats[i], (ref / max(len(p), 1)).astype(np.float32), rtol=1e-6
+        )
+        assert abs(feats[i].sum() - 1.0) < 1e-4
+
+
 def test_misra_gries_error_bound_and_merge():
     """MG invariants on adversarial data: counts undercount by at most
     N/(k+1); every value with true frequency > N/(k+1) survives; the
