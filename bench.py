@@ -67,6 +67,8 @@ SECONDARY = [
     "cdc_incremental_view",
     "cdc_merge_into",
     "text_tfidf",
+    "mm_resize",
+    "mm_feature_extract",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 
