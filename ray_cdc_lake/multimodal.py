@@ -243,6 +243,17 @@ class ByteHistogramExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         n = len(payloads)
+        for d, p in zip(batch["doc_id"].to_pylist(), payloads):
+            # same loud guards as FakeResizer: the oracle counts CHARS
+            # (string_split), equal to bytes only for non-empty ASCII —
+            # DuckDB's string_split('', '') even yields [''] (1 "char")
+            if not p.isascii():
+                raise ValueError(
+                    f"doc {d}: non-ASCII payload — byte histogram would "
+                    "silently diverge from the char-based SQL oracle"
+                )
+            if not p:
+                raise ValueError(f"doc {d}: empty payload — fix the oracle first")
         lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
         allbytes = np.frombuffer(b"".join(payloads), dtype=np.uint8)
         row_of = np.repeat(np.arange(n, dtype=np.int64), lens)

@@ -69,7 +69,7 @@ import pyarrow.compute as pc
 
 from .events import DeriveEvents, compile_changes
 from .merge import lww_winners
-from .pipeline import cdc_final_state, derive_event_log, replay_to_lake
+from .pipeline import cdc_final_state, compiled_log, derive_event_log, replay_to_lake
 from .schemas import DEFAULT_EPOCHS, DEFAULT_NUM_BUCKETS
 from .transforms import (
     add_path_safety,
@@ -276,8 +276,7 @@ def q_cdc_replay_committed(sf_dir: str):
     lake = f"/tmp/ray_cdc_lake_q/{sf_dir.strip('/').replace('/', '_')}"
     shutil.rmtree(lake, ignore_errors=True)
 
-    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
-    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = compiled_log(sf_dir, E)
     # both segments filter from one materialized log: the txn source here
     # is tiny and consumed twice — at scale each txn would READ its own
     # binlog window, not re-derive the whole log per segment
@@ -523,8 +522,7 @@ def q_cdc_schema_evolution(sf_dir: str):
     lake = f"/tmp/ray_cdc_lake_evo/{sf_dir.strip('/').replace('/', '_')}"
     shutil.rmtree(lake, ignore_errors=True)
 
-    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
-    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = compiled_log(sf_dir, E)
     ev = ev.materialize()  # tiny, consumed by both segments
     cut = 2 * STRIDE
     seg1 = ev.map_batches(
@@ -588,8 +586,7 @@ def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
     shutil.rmtree(lake, ignore_errors=True)
     cut = 2 * STRIDE
 
-    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
-    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = compiled_log(sf_dir, E)
     ev = ev.materialize()  # tiny, consumed by both segments
     seg1 = ev.map_batches(
         lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
@@ -665,8 +662,7 @@ def q_cdc_schema_widening(sf_dir: str):
     lake = f"/tmp/ray_cdc_lake_widen/{sf_dir.strip('/').replace('/', '_')}"
     shutil.rmtree(lake, ignore_errors=True)
 
-    ev = derive_event_log(sf_dir, E).map_batches(compile_changes, batch_format="pyarrow")
-    ev = ev.map_batches(normalize_content, batch_format="pyarrow")
+    ev = compiled_log(sf_dir, E)
     ev = ev.materialize()  # tiny, consumed by both segments
     cut = 2 * STRIDE
 

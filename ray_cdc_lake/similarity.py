@@ -67,17 +67,27 @@ def _sample_embeddings(sf_dir: str, max_rows: int) -> np.ndarray:
 def embedding_matrix(col, dtype=np.float64) -> np.ndarray:
     """``list<float>`` column -> ``(n, dim)`` matrix WITHOUT materializing
     n×dim Python objects: one flatten of the Arrow child buffer + reshape.
-    Requires uniform list lengths (the embedding-column contract; ragged
-    input fails loudly)."""
+    Requires uniform non-null list lengths (the embedding-column
+    contract); ragged or null rows fail loudly — a divisible-total ragged
+    batch would otherwise silently scramble values across rows."""
+    import pyarrow.compute as pc
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("embedding column has null rows")
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        if (lens != lens[0]).any():
+            raise ValueError("ragged embedding column: lengths are not uniform")
+        dim = int(lens[0])
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    if flat.size % n:
-        raise ValueError("ragged embedding column: lengths are not uniform")
-    return np.ascontiguousarray(flat.reshape(n, -1), dtype=dtype)
+    return np.ascontiguousarray(flat.reshape(n, dim), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

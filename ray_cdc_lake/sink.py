@@ -493,8 +493,24 @@ def read_lake(
 
         from .schemas import LAKE_SCHEMA
 
-        sch = pa.schema(list(LAKE_SCHEMA) + [pa.field("op", pa.string())])
-        if columns is not None:
+        fields = list(LAKE_SCHEMA) + [
+            pa.field("op", pa.string()),
+            # hive-partition column, selectable like on a non-empty lake
+            pa.field("bucket", pa.int64()),
+        ]
+        sch = pa.schema(fields)
+        if columns is None:
+            sch = pa.schema([f for f in fields if f.name != "bucket"])
+        else:
+            missing = [c for c in columns if sch.get_field_index(c) == -1]
+            if missing:
+                # manifest.schema_fields would carry evolved columns; it is
+                # not populated yet, so unknown selections fail loudly
+                # instead of returning a silently narrower schema
+                raise KeyError(
+                    f"columns {missing} not in the base lake schema — the "
+                    "empty-lake read path cannot reconstruct evolved columns"
+                )
             sch = pa.schema([sch.field(c) for c in columns])
         return rd.from_arrow(sch.empty_table())
     # ray.data.read_parquet expands a single dir but treats LIST entries as
