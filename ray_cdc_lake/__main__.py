@@ -119,6 +119,23 @@ def cmd_metrics(a) -> int:
     return 0
 
 
+def cmd_branch(a) -> int:
+    from .sink import create_branch, delete_branch, list_branches, merge_branch
+
+    if a.create:
+        v = create_branch(a.lake, a.create, from_version=a.version)
+        print(f"branch {a.create!r} -> manifest v{v}")
+    elif a.merge:
+        m = merge_branch(a.lake, a.merge)
+        print(f"fast-forwarded main to manifest v{m.version} ({a.merge!r})")
+    elif a.delete:
+        delete_branch(a.lake, a.delete)
+        print(f"deleted branch {a.delete!r}")
+    else:
+        print(json.dumps(list_branches(a.lake), indent=1, sort_keys=True))
+    return 0
+
+
 def cmd_query(a) -> int:
     from .queries import registry
 
@@ -172,6 +189,14 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, buckets=False)
     sp.add_argument("--version", type=int, default=None)
     sp.set_defaults(fn=cmd_metrics)
+
+    sp = sub.add_parser("branch", help="list/create/merge/delete branches")
+    common(sp, buckets=False)
+    sp.add_argument("--create", metavar="NAME")
+    sp.add_argument("--merge", metavar="NAME", help="fast-forward main to NAME")
+    sp.add_argument("--delete", metavar="NAME")
+    sp.add_argument("--version", type=int, default=None, help="branch point")
+    sp.set_defaults(fn=cmd_branch)
 
     sp = sub.add_parser("query", help="run a registry query by name")
     sp.add_argument("--name", required=True)

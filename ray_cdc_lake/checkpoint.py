@@ -56,6 +56,7 @@ def apply_incremental(
     events_schema: "pa.Schema | None" = None,
     max_attempts: int = 5,
     dedup_below_hwm: bool = True,
+    branch: str | None = None,
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -92,6 +93,7 @@ def apply_incremental(
                 fail_before_publish=fail_before_publish,
                 events_schema=events_schema,
                 dedup_below_hwm=dedup_below_hwm,
+                branch=branch,
             )
         except CommitConflict as exc:
             last = exc
@@ -106,8 +108,9 @@ def _apply_incremental_once(
     fail_before_publish: bool,
     events_schema: "pa.Schema | None",
     dedup_below_hwm: bool = True,
+    branch: str | None = None,
 ) -> Manifest:
-    manifest = read_manifest(lake_dir)
+    manifest = read_manifest(lake_dir, branch=branch)
     ds = compiled_events.map_batches(
         lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
     )
@@ -115,7 +118,7 @@ def _apply_incremental_once(
         ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
 
     if manifest.buckets:
-        prior = read_lake(lake_dir, live_only=False)
+        prior = read_lake(lake_dir, live_only=False, branch=branch)
         prior = prior.map_batches(
             lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
         )
@@ -179,6 +182,7 @@ def _apply_incremental_once(
         fail_before_publish=fail_before_publish,
         expected_version=manifest.version,
         num_buckets=num_buckets,
+        branch=branch,
     )
 
 

@@ -616,6 +616,51 @@ def q_cdc_time_travel(sf_dir: str):
     return read_lake(lake, version=1).map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_branch_isolation(sf_dir: str):
+    """Branch = a writable named pointer over the immutable manifest chain
+    (time travel's primitive, made writable — Nessie/Delta-branch shape):
+    txn-1 commits segment 1 to main, a 'dev' branch is created, txn-2
+    commits segment 2 ONLY to dev. Returned result: MAIN's live state,
+    which must equal the segment-1-only LWW replay — the branch commit
+    must be invisible on main (isolation). The dev side (= full replay)
+    and fast-forward merge semantics are pinned in tests/test_lakestore.py."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import create_branch, read_lake
+
+    key = (sf_dir, "branchiso")
+    lake = _BRANCH_ISO_CACHE.get(key)
+    if lake is None:
+        lake = f"/tmp/ray_cdc_lake_branchiso/{sf_dir.strip('/').replace('/', '_')}"
+        shutil.rmtree(lake, ignore_errors=True)
+        cut = 2 * STRIDE
+        ev = compiled_log(sf_dir, E).materialize()  # tiny, consumed twice
+        seg1 = ev.map_batches(
+            lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+        )
+        seg2 = ev.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+        )
+        apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
+        create_branch(lake, "dev")
+        apply_incremental(
+            lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA, branch="dev"
+        )
+        _BRANCH_ISO_CACHE[key] = lake
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
+_BRANCH_ISO_CACHE: dict = {}
+
+
 def q_cdc_lake_diff(sf_dir: str):
     """Snapshot diff v1 -> v2 (the change feed between two committed
     versions): added / deleted / updated keys with old/new LSNs, computed
@@ -812,6 +857,22 @@ CDC_SQL: dict[str, str] = {
                max(lsn)
         FROM w2""",
     "cdc_time_travel": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
+        normalized AS (
+          SELECT lsn, op, repo, path, "commit", lang,
+                 nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                                       chr(13), chr(10))) AS content
+          FROM compiled WHERE lsn < 2*{STRIDE_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized)
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
+    # main's state after a branch-isolated txn-2 = the segment-1-only
+    # replay — identical CTE chain to cdc_time_travel by construction
+    "cdc_branch_isolation": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
         normalized AS (
           SELECT lsn, op, repo, path, "commit", lang,
@@ -2693,6 +2754,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_table_stats": q_cdc_table_stats,
         "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
+        "cdc_branch_isolation": q_cdc_branch_isolation,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,

@@ -182,26 +182,55 @@ class Manifest:
         return out
 
 
-def _manifest_path(lake_dir: str, version: int) -> str:
-    return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{version:06d}.json")
+def _manifest_path(lake_dir: str, version: int, branch: str | None = None) -> str:
+    if branch is None or branch == "main":
+        return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{version:06d}.json")
+    return os.path.join(lake_dir, MANIFEST_DIR, f"manifest-{branch}-{version:06d}.json")
+
+
+def _pointer_name(branch: str | None) -> str:
+    """Pointer file for a branch head. ``None``/'main' = CURRENT (the
+    default branch every existing lake already has)."""
+    if branch is None or branch == "main":
+        return "CURRENT"
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", branch):
+        raise ValueError(f"invalid branch name {branch!r}")
+    return f"BRANCH-{branch}"
 
 
 def read_manifest(
-    lake_dir: str, store: LakeStore | None = None, version: int | None = None
+    lake_dir: str,
+    store: LakeStore | None = None,
+    version: int | None = None,
+    branch: str | None = None,
 ) -> Manifest:
-    """Read the CURRENT manifest, or a pinned historical ``version`` —
-    manifests are immutable once claimed, so any version still on disk is
-    a consistent snapshot (time travel). Retention caveat: ``vacuum``
-    keeps only txns referenced by the CURRENT manifest's txn list; txns
-    accumulate across incremental applies, so history stays readable
-    until a ``compact`` (which collapses the txn list) plus vacuum."""
+    """Read the CURRENT manifest, a pinned historical ``version``, or a
+    ``branch`` head — manifests are immutable once claimed, so any
+    version still on disk is a consistent snapshot (time travel).
+    Retention caveat: ``vacuum`` keeps only txns referenced by the
+    CURRENT manifest's txn list; txns accumulate across incremental
+    applies, so history stays readable until a ``compact`` (which
+    collapses the txn list) plus vacuum."""
     store = store or _DEFAULT_STORE
+    if version is not None and branch is not None:
+        raise ValueError("pass version OR branch, not both")
     if version is None:
-        cur = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+        cur = os.path.join(lake_dir, MANIFEST_DIR, _pointer_name(branch))
         if not store.exists(cur):
+            if branch is not None and branch != "main":
+                raise FileNotFoundError(f"no branch {branch!r} in {lake_dir}")
             return Manifest()
-        version = int(store.read_text(cur).strip())
-    d = json.loads(store.read_text(_manifest_path(lake_dir, version)))
+        raw = store.read_text(cur).strip()
+        mpath = (
+            _manifest_path(lake_dir, int(raw))
+            if raw.isdigit()
+            else os.path.join(lake_dir, MANIFEST_DIR, raw)
+        )
+    else:
+        mpath = _manifest_path(lake_dir, version)
+    d = json.loads(store.read_text(mpath))
     return Manifest(
         version=d["version"],
         buckets=d["buckets"],
@@ -219,7 +248,12 @@ class CommitConflict(RuntimeError):
     manifest and re-applying — Delta-style optimistic concurrency."""
 
 
-def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None:
+def _publish(
+    lake_dir: str,
+    m: Manifest,
+    store: LakeStore | None = None,
+    branch: str | None = None,
+) -> None:
     """The atomic commit point with optimistic concurrency: the manifest
     content is fully written to a temp file, then claimed to
     manifest-<v>.json via ``store.claim_with_content`` — an atomic
@@ -233,7 +267,7 @@ def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None
     store = store or _DEFAULT_STORE
     mdir = os.path.join(lake_dir, MANIFEST_DIR)
     store.makedirs(mdir)
-    mpath = _manifest_path(lake_dir, m.version)
+    mpath = _manifest_path(lake_dir, m.version, branch)
     payload = {
         "version": m.version,
         "buckets": m.buckets,
@@ -265,9 +299,106 @@ def _publish(lake_dir: str, m: Manifest, store: LakeStore | None = None) -> None
     finally:
         if store.exists(tmp):
             store.delete_file(tmp)
-    cur_tmp = os.path.join(mdir, f"CURRENT.tmp-{os.getpid()}")
-    store.write_text(cur_tmp, str(m.version))
-    store.replace_file(cur_tmp, os.path.join(mdir, "CURRENT"))
+    pointer = _pointer_name(branch)
+    cur_tmp = os.path.join(mdir, f"{pointer}.tmp-{os.getpid()}")
+    content = str(m.version) if pointer == "CURRENT" else os.path.basename(mpath)
+    store.write_text(cur_tmp, content)
+    store.replace_file(cur_tmp, os.path.join(mdir, pointer))
+
+
+def create_branch(
+    lake_dir: str,
+    name: str,
+    from_version: int | None = None,
+    store: LakeStore | None = None,
+) -> int:
+    """Branch = a named pointer into the immutable manifest chain (the
+    same primitive as time travel, made writable). Creating an existing
+    branch raises. Returns the version the branch points at."""
+    store = store or _DEFAULT_STORE
+    pointer = _pointer_name(name)
+    if pointer == "CURRENT":
+        raise ValueError("'main' is the default branch — it always exists")
+    m = read_manifest(lake_dir, store=store, version=from_version)
+    if m.version == 0:
+        raise FileNotFoundError(f"no committed state in {lake_dir}")
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    tmp = os.path.join(mdir, f"{pointer}.tmp-{os.getpid()}")
+    # the pointer stores the manifest FILENAME: branch commits claim in
+    # their own manifest-<branch>-<v> namespace, so an int would be
+    # ambiguous between chains
+    store.write_text(tmp, os.path.basename(_manifest_path(lake_dir, m.version)))
+    try:
+        store.claim_with_content(tmp, os.path.join(mdir, pointer))
+    except FileExistsError:
+        raise CommitConflict(f"branch {name!r} already exists") from None
+    finally:
+        if store.exists(tmp):
+            store.delete_file(tmp)
+    return m.version
+
+
+def list_branches(lake_dir: str, store: LakeStore | None = None) -> dict[str, int]:
+    """All branch heads (incl. 'main') -> manifest version."""
+    store = store or _DEFAULT_STORE
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    out: dict[str, int] = {}
+    if not store.exists(mdir):
+        return out
+    def _ver(raw: str) -> int:
+        raw = raw.strip()
+        return int(raw) if raw.isdigit() else int(raw[-len("000000.json") : -len(".json")])
+
+    for fn in store.listdir(mdir):
+        if fn == "CURRENT":
+            out["main"] = _ver(store.read_text(os.path.join(mdir, fn)))
+        elif fn.startswith("BRANCH-") and ".tmp-" not in fn:
+            out[fn[len("BRANCH-") :]] = _ver(store.read_text(os.path.join(mdir, fn)))
+    return out
+
+
+def delete_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> None:
+    store = store or _DEFAULT_STORE
+    pointer = _pointer_name(name)
+    if pointer == "CURRENT":
+        raise ValueError("cannot delete the default branch")
+    p = os.path.join(lake_dir, MANIFEST_DIR, pointer)
+    if not store.exists(p):
+        raise FileNotFoundError(f"no branch {name!r} in {lake_dir}")
+    store.delete_file(p)
+
+
+def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Manifest:
+    """FAST-FORWARD merge of branch ``name`` into main: allowed only when
+    main has not advanced past the branch point (main's txn list is a
+    prefix-subset of the branch's — every main txn is already part of the
+    branch's state). A diverged main raises CommitConflict; the caller
+    re-applies the branch's txns on top of main (the engine's idempotent
+    applies make that safe). Mirrors git's ff-only merge — no three-way
+    data merge is invented here. The merge REPUBLISHES the branch head as
+    main's next version through the normal claim, so a concurrently
+    advancing main loses the claim and conflicts instead of being
+    silently overwritten."""
+    store = store or _DEFAULT_STORE
+    b = read_manifest(lake_dir, store=store, branch=name)
+    main = read_manifest(lake_dir, store=store)
+    if not set(main.txns) <= set(b.txns):
+        raise CommitConflict(
+            f"main diverged from branch {name!r} "
+            f"(main txns {sorted(set(main.txns) - set(b.txns))} are not on "
+            "the branch) — re-apply the branch txns on top of main instead"
+        )
+    merged = Manifest(
+        version=main.version + 1,
+        buckets=b.buckets,
+        txns=b.txns,
+        schema_version=b.schema_version,
+        schema_fields=b.schema_fields,
+        num_buckets=b.num_buckets,
+        metrics=b.metrics,
+    )
+    _publish(lake_dir, merged, store=store)
+    return merged
 
 
 def commit_txn(
@@ -279,6 +410,7 @@ def commit_txn(
     expected_version: int | None = None,
     num_buckets: int | None = None,
     record_metrics: bool = True,
+    branch: str | None = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -293,7 +425,13 @@ def commit_txn(
     but are invisible).
     """
     store = store or _DEFAULT_STORE
-    manifest = read_manifest(lake_dir, store=store)
+    if branch is not None and not store.exists(
+        os.path.join(lake_dir, MANIFEST_DIR, _pointer_name(branch))
+    ):
+        raise FileNotFoundError(
+            f"no branch {branch!r} in {lake_dir} — create_branch first"
+        )
+    manifest = read_manifest(lake_dir, store=store, branch=branch)
     if txn_id in manifest.txns:
         return manifest
     # optimistic-concurrency pin: a caller that MERGED against manifest
@@ -319,7 +457,9 @@ def commit_txn(
     if fail_before_publish:
         raise RuntimeError(f"injected failure before publish of {txn_id}")
 
-    # commit point
+    # commit point: version+1 in the BRANCH's own manifest-file namespace —
+    # two writers racing on the same head claim the same filename, and
+    # claim_with_content arbitrates exactly one winner (the loser retries)
     new = Manifest(
         version=manifest.version + 1,
         buckets={**manifest.buckets, **bucket_stats},
@@ -329,7 +469,7 @@ def commit_txn(
         num_buckets=num_buckets if num_buckets is not None else manifest.num_buckets,
         metrics=metrics,
     )
-    _publish(lake_dir, new, store=store)
+    _publish(lake_dir, new, store=store, branch=branch)
     return new
 
 
@@ -466,6 +606,7 @@ def read_lake(
     version: int | None = None,
     columns: list[str] | None = None,
     filter=None,
+    branch: str | None = None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible). Pass
@@ -481,7 +622,7 @@ def read_lake(
     import ray.data as rd
 
     store = store or _DEFAULT_STORE
-    m = read_manifest(lake_dir, store=store, version=version)
+    m = read_manifest(lake_dir, store=store, version=version, branch=branch)
     dirs = m.data_dirs(lake_dir)
     if not dirs:
         if m.version == 0:
@@ -613,6 +754,9 @@ def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
     m = read_manifest(lake_dir, store=store)
     removed = []
     live = set(m.txns)
+    for name in list_branches(lake_dir, store=store):
+        if name != "main":
+            live |= set(read_manifest(lake_dir, store=store, branch=name).txns)
     data_root = os.path.join(lake_dir, DATA_DIR)
     if store.isdir(data_root):
         for t in store.listdir(data_root):

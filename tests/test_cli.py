@@ -30,3 +30,21 @@ def test_cli_replay_metrics_roundtrip(tmp_path, capsys):
 
 def test_cli_query_unknown_name(tmp_path, capsys):
     assert main(["query", "--name", "nope", "--sf-dir", SF]) == 2
+
+
+def test_cli_branch_roundtrip(tmp_path, capsys):
+    import json as _json
+
+    from ray_cdc_lake.__main__ import main
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from tests.test_lakestore import SEG1, _seg
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    assert main(["branch", "--lake", lake, "--create", "dev"]) == 0
+    capsys.readouterr()
+    assert main(["branch", "--lake", lake]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["dev"] == out["main"]
+    assert main(["branch", "--lake", lake, "--merge", "dev"]) == 0
+    assert main(["branch", "--lake", lake, "--delete", "dev"]) == 0

@@ -239,3 +239,120 @@ def test_read_lake_column_and_filter_pushdown(tmp_path):
     flt = pds.field("lsn") >= 2
     got2 = read_lake(lake, live_only=False, columns=["path"], filter=flt).to_pandas()
     assert sorted(got2["path"]) == ["b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# branches: named pointers over the immutable manifest chain
+# ---------------------------------------------------------------------------
+
+
+def _seg(rows):
+    import ray.data as rd
+
+    from tests.test_sink_resume import ev_table
+
+    return rd.from_arrow(ev_table(rows))
+
+
+SEG1 = [
+    (1, "insert", "r1", "a.py", "A1"),
+    (2, "insert", "r1", "b.py", "B1"),
+]
+SEG2 = [
+    (3, "update", "r1", "a.py", "A2"),
+    (4, "insert", "r2", "c.py", "C1"),
+]
+
+
+def _live(lake, **kw):
+    from ray_cdc_lake.sink import read_lake
+
+    t = read_lake(lake, columns=["repo", "path", "lsn", "content"], **kw).to_pandas()
+    return {(r.repo, r.path): (r.lsn, r.content) for r in t.itertuples()}
+
+
+def test_branch_isolation_and_fast_forward_merge(tmp_path):
+    """Commits on a branch are invisible on main until a fast-forward
+    merge flips the CURRENT pointer; the branch sees main's history it
+    branched from."""
+    import pytest
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import (
+        CommitConflict,
+        create_branch,
+        delete_branch,
+        list_branches,
+        merge_branch,
+        read_manifest,
+    )
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    v = create_branch(lake, "dev")
+    assert list_branches(lake) == {"main": v, "dev": v}
+
+    apply_incremental(lake, "txn-2", _seg(SEG2), num_buckets=4, branch="dev")
+
+    main_state = _live(lake)
+    dev_state = _live(lake, branch="dev")
+    assert set(main_state) == {("r1", "a.py"), ("r1", "b.py")}
+    assert main_state[("r1", "a.py")][0] == 1  # untouched by the branch txn
+    assert dev_state[("r1", "a.py")] == (3, "A2")
+    assert ("r2", "c.py") in dev_state
+
+    # fast-forward: main did not advance, so merge just flips the pointer
+    m = merge_branch(lake, "dev")
+    assert _live(lake) == dev_state
+    assert read_manifest(lake).version == m.version
+
+    delete_branch(lake, "dev")
+    assert "dev" not in list_branches(lake)
+    with pytest.raises(FileNotFoundError):
+        _live(lake, branch="dev")
+
+
+def test_branch_merge_conflict_on_diverged_main(tmp_path):
+    """main advancing after the branch point makes the merge a conflict
+    (ff-only) — the caller re-applies the branch txns on top of main,
+    which the idempotent applies make safe."""
+    import pytest
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import CommitConflict, create_branch, merge_branch
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    create_branch(lake, "dev")
+    apply_incremental(lake, "txn-dev", _seg(SEG2), num_buckets=4, branch="dev")
+    apply_incremental(
+        lake, "txn-main", _seg([(5, "insert", "r3", "d.py", "D1")]), num_buckets=4
+    )
+    with pytest.raises(CommitConflict):
+        merge_branch(lake, "dev")
+    # resolution: re-apply the branch txn on main; LWW makes it converge
+    apply_incremental(
+        lake, "txn-dev", _seg(SEG2), num_buckets=4, dedup_below_hwm=False
+    )
+    st = _live(lake)
+    assert st[("r1", "a.py")] == (3, "A2")
+    assert ("r3", "d.py") in st and ("r2", "c.py") in st
+
+
+def test_branch_create_guards(tmp_path):
+    import pytest
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import CommitConflict, commit_txn, create_branch
+
+    lake = str(tmp_path / "lake")
+    with pytest.raises(FileNotFoundError):  # nothing committed yet
+        create_branch(lake, "dev")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    create_branch(lake, "dev")
+    with pytest.raises(CommitConflict):  # double create
+        create_branch(lake, "dev")
+    with pytest.raises(ValueError):  # bad name
+        create_branch(lake, "bad/name")
+    with pytest.raises(FileNotFoundError):  # commit to a missing branch
+        apply_incremental(lake, "t", _seg(SEG2), num_buckets=4, branch="nope")
