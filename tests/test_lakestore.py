@@ -356,3 +356,22 @@ def test_branch_create_guards(tmp_path):
         create_branch(lake, "bad/name")
     with pytest.raises(FileNotFoundError):  # commit to a missing branch
         apply_incremental(lake, "t", _seg(SEG2), num_buckets=4, branch="nope")
+
+
+def test_branch_survives_main_compaction(tmp_path):
+    """compact(main) collapses main's txn list and vacuums — data
+    referenced only by a branch head must survive (vacuum is
+    branch-aware), and the branch must read back unchanged."""
+    from ray_cdc_lake.checkpoint import apply_incremental, compact
+    from ray_cdc_lake.sink import create_branch
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    create_branch(lake, "dev")
+    apply_incremental(lake, "txn-dev", _seg(SEG2), num_buckets=4, branch="dev")
+    before = _live(lake, branch="dev")
+
+    compact(lake, num_buckets=4)
+
+    assert _live(lake, branch="dev") == before
+    assert set(_live(lake)) == {("r1", "a.py"), ("r1", "b.py")}
