@@ -154,7 +154,7 @@ def tail_replay(
 
             shutil.rmtree(staging)
         ev_all.map_batches(tag_segment, batch_format="pyarrow").write_parquet(
-            staging, partition_cols=["segment"]
+            staging, partition_cols=["segment"], compression="zstd"
         )
         os.replace(staging, binlog_dir)
 
