@@ -375,3 +375,58 @@ def test_branch_survives_main_compaction(tmp_path):
 
     assert _live(lake, branch="dev") == before
     assert set(_live(lake)) == {("r1", "a.py"), ("r1", "b.py")}
+
+
+def test_branch_workflow_converges_to_all_events_lww(tmp_path):
+    """Randomized branch workflow (seeded, exhaustive over assignment
+    combinations): segments land on main or dev in every combination; after
+    re-applying dev's segments to main, main's live state equals the LWW of
+    ALL events — branching never loses or duplicates an upsert."""
+    import itertools
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import create_branch
+
+    def seg(base):
+        rows = []
+        for j in range(4):
+            lsn = base * 10 + j
+            op = "delete" if (lsn % 7 == 3) else ("insert" if j == 0 else "update")
+            rows.append((lsn, op, "r1", f"p{(lsn * 3) % 5}.py", f"v{lsn}"))
+        return rows
+
+    segments = [seg(b) for b in range(1, 4)]
+
+    def reference(all_rows):
+        st = {}
+        for lsn, op, repo, path, content in sorted(all_rows):
+            if op == "delete":
+                st.pop((repo, path), None)
+            else:
+                st[(repo, path)] = (lsn, content)
+        return st
+
+    for combo in itertools.product(["main", "dev"], repeat=2):
+        lake = str(tmp_path / f"lake_{'_'.join(combo)}")
+        apply_incremental(lake, "txn-0", _seg(segments[0]), num_buckets=4)
+        create_branch(lake, "dev")
+        dev_segs = []
+        for i, target in enumerate(combo, start=1):
+            kw = {"branch": "dev"} if target == "dev" else {}
+            # cross-branch LSN ranges interleave arbitrarily relative to
+            # each branch's own watermark, so hwm dedup is disabled (the
+            # independent-writers contract); txn-id idempotence + LWW rule
+            apply_incremental(
+                lake, f"txn-{i}", _seg(segments[i]), num_buckets=4,
+                dedup_below_hwm=False, **kw,
+            )
+            if target == "dev":
+                dev_segs.append(i)
+        for i in dev_segs:  # converge: re-apply dev's txns on main
+            apply_incremental(
+                lake, f"txn-{i}", _seg(segments[i]), num_buckets=4,
+                dedup_below_hwm=False,
+            )
+        got = {k: v for k, v in _live(lake).items()}
+        want = reference([r for s in [segments[0], *segments[1:]] for r in s])
+        assert got == want, (combo, got, want)
