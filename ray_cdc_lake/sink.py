@@ -432,6 +432,13 @@ def commit_txn(
             f"no branch {branch!r} in {lake_dir} — create_branch first"
         )
     manifest = read_manifest(lake_dir, store=store, branch=branch)
+    # branch commits namespace their PHYSICAL txn dir: the same logical
+    # txn id re-applied on another branch merges against a different base
+    # (different winners), and _write_txn_data discards a pre-existing
+    # final dir — without the prefix, a main re-apply would clobber data
+    # files the branch's manifest still references
+    if branch is not None and branch != "main":
+        txn_id = f"{branch}--{txn_id}"
     if txn_id in manifest.txns:
         return manifest
     # optimistic-concurrency pin: a caller that MERGED against manifest

@@ -422,11 +422,16 @@ def test_branch_workflow_converges_to_all_events_lww(tmp_path):
             )
             if target == "dev":
                 dev_segs.append(i)
+        dev_before = _live(lake, branch="dev")
         for i in dev_segs:  # converge: re-apply dev's txns on main
             apply_incremental(
                 lake, f"txn-{i}", _seg(segments[i]), num_buckets=4,
                 dedup_below_hwm=False,
             )
+        # the branch must be untouched by main's re-apply of the SAME
+        # logical txn ids (physical txn dirs are branch-namespaced; without
+        # that, main's rewrite would clobber files dev still references)
+        assert _live(lake, branch="dev") == dev_before, combo
         got = {k: v for k, v in _live(lake).items()}
         want = reference([r for s in [segments[0], *segments[1:]] for r in s])
         assert got == want, (combo, got, want)
