@@ -702,6 +702,7 @@ def read_key(
     path: str,
     num_buckets: int | None = None,
     store: LakeStore | None = None,
+    branch: str | None = None,
 ):
     """Point lookup: the LIVE row for one (repo, path), or None.
 
@@ -719,7 +720,7 @@ def read_key(
     from .transforms import key_hash_u64
 
     store = store or _DEFAULT_STORE
-    m = read_manifest(lake_dir, store=store)
+    m = read_manifest(lake_dir, store=store, branch=branch)
     if not m.buckets:
         return None
     if num_buckets is None:
