@@ -907,6 +907,80 @@ def chunk_docs(batch: pa.Table) -> pa.Table:
     )
 
 
+NGRAM_K = 13  # GPT-3-style decontamination n-gram size (shared with oracle)
+
+
+def _word_ngrams(texts: "pa.ChunkedArray | pa.Array", k: int):
+    """Vectorized word n-grams for a WHOLE batch: split once, then build
+    every n-gram string with ONE ``binary_join_element_wise`` over k
+    shifted slices of the flat word array — no per-document Python. Grams
+    that would cross a document boundary are masked out via the list
+    offsets. Returns (grams StringArray over valid positions, row index of
+    each valid gram, n_valid_grams per row)."""
+    words = pc.split_pattern(texts, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = len(words)
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.flatten()
+    total = len(flat)
+    n_per_row = np.diff(offs)
+    n_valid = np.maximum(n_per_row - (k - 1), 0)
+    if total < k:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64), n_valid
+    parts = [flat.slice(j, total - k + 1) for j in range(k)]
+    grams_all = pc.binary_join_element_wise(*parts, " ")  # one per start pos
+    starts = np.arange(total - k + 1, dtype=np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_per_row)
+    valid = row_of[starts] == row_of[starts + k - 1]
+    grams = grams_all.filter(pa.array(valid))
+    return grams, row_of[starts][valid], n_valid
+
+
+def q_corpus_contamination_ngram(sf_dir: str):
+    """Exact 13-gram decontamination screen (the GPT-3 recipe): a document
+    is contaminated when any of its word 13-grams appears verbatim in the
+    benchmark docs (doc_id < BENCH_DOC_MAX). The benchmark gram set is
+    built once driver-side from a filter-pushdown read and broadcast; each
+    batch builds ALL its grams with one vectorized join kernel and probes
+    them with one ``pc.is_in`` — exact strings, no hash-collision caveat,
+    so the SQL oracle matches bit-for-bit. Pure map, no shuffle."""
+    import ray
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from .sources import get_broadcast
+
+    bench_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["text"],
+        filters=pads.field("doc_id") < BENCH_DOC_MAX,
+    )
+    bench_grams, _, _ = _word_ngrams(bench_tbl["text"], NGRAM_K)
+    ref = ray.put(pc.unique(bench_grams))
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = get_broadcast(ref)
+        n = batch.num_rows
+        grams, row_of, n_valid = _word_ngrams(batch["text"], NGRAM_K)
+        hit = pc.is_in(grams, value_set=bench).to_numpy(zero_copy_only=False)
+        n_cont = np.zeros(n, dtype=np.int64)
+        np.add.at(n_cont, row_of, hit.astype(np.int64))
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                pa.array(n_valid.astype(np.int64)),
+                pa.array(n_cont),
+                pa.array(n_cont > 0),
+            ],
+            names=["doc_id", "n_grams", "n_contaminated", "is_contaminated"],
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 def q_corpus_chunk(sf_dir: str):
     """Fixed-window training chunking with overlap (W=32 words, stride
     24): each document becomes ceil(n_words/stride) chunks, consecutive
@@ -1183,6 +1257,25 @@ SQL = {
                CAST(count(d.seg) AS BIGINT) AS n_removed
         FROM segs s LEFT JOIN dup d USING (seg)
         GROUP BY s.doc_id""",
+    # word 13-grams via list slices; the 600 bound comfortably exceeds the
+    # corpus's max word count (engine needs no bound — it masks by offsets)
+    "corpus_contamination_ngram": f"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        pos AS (
+          SELECT doc_id,
+                 array_to_string(w[r.range+1:r.range+{NGRAM_K}], ' ') AS g
+          FROM words CROSS JOIN range(0, 600) r
+          WHERE r.range + {NGRAM_K} <= len(w)),
+        bench AS (SELECT DISTINCT g FROM pos WHERE doc_id < {BENCH_DOC_MAX}),
+        scored AS (
+          SELECT p.doc_id, count(*) AS n_grams,
+                 count(*) FILTER (p.g IN (SELECT g FROM bench)) AS n_contaminated
+          FROM pos p GROUP BY p.doc_id)
+        SELECT w.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(s.n_contaminated, 0) > 0 AS is_contaminated
+        FROM words w LEFT JOIN scored s USING(doc_id)""",
     "corpus_contamination": f"""
         WITH bench AS (
           SELECT DISTINCT unnest(string_split(text, ' ')) AS term
@@ -1214,6 +1307,7 @@ def registry():
         "corpus_mixture_weights": q_corpus_mixture_weights,
         "semi_join_bloom": q_semi_join_bloom,
         "corpus_contamination": q_corpus_contamination,
+        "corpus_contamination_ngram": q_corpus_contamination_ngram,
         "corpus_chunk": q_corpus_chunk,
         "text_seg_dedup": q_text_seg_dedup,
         "corpus_recipe": q_corpus_recipe,

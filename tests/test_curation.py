@@ -131,3 +131,25 @@ def test_cms_query_vs_exact_on_events(sf_tiny, duck):
         est = int(df.loc[uid, "est_count"])
         true = int(exact.get(uid, 0))
         assert true <= est <= true + max(bound, 1) + 3, (uid, est, true)
+
+
+def test_word_ngrams_masks_document_boundaries():
+    """The vectorized n-gram kernel must produce exactly the per-document
+    python n-grams: no gram may span two documents, short docs yield
+    none."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray_cdc_lake.curation import _word_ngrams
+
+    texts = ["a b c d", "e f", "g h i j k", ""]
+    k = 3
+    grams, row_of, n_valid = _word_ngrams(pa.array(texts), k)
+    got = list(zip(row_of.tolist(), grams.to_pylist()))
+    want = []
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        for j in range(max(len(w) - k + 1, 0)):
+            want.append((i, " ".join(w[j : j + k])))
+    assert got == want
+    assert n_valid.tolist() == [2, 0, 3, 0]
