@@ -69,6 +69,7 @@ SECONDARY = [
     "text_tfidf",
     "mm_resize",
     "mm_feature_extract",
+    "corpus_contamination_ngram",
     "cdc_replay_committed",  # the exactly-once sink write path
 ]
 
