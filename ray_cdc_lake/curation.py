@@ -1257,15 +1257,16 @@ SQL = {
                CAST(count(d.seg) AS BIGINT) AS n_removed
         FROM segs s LEFT JOIN dup d USING (seg)
         GROUP BY s.doc_id""",
-    # word 13-grams via list slices; the 600 bound comfortably exceeds the
-    # corpus's max word count (engine needs no bound — it masks by offsets)
+    # word 13-grams via list slices; positions come from a per-row
+    # generate_series, so the oracle is unbounded exactly like the engine
     "corpus_contamination_ngram": f"""
         WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         pos AS (
           SELECT doc_id,
-                 array_to_string(w[r.range+1:r.range+{NGRAM_K}], ' ') AS g
-          FROM words CROSS JOIN range(0, 600) r
-          WHERE r.range + {NGRAM_K} <= len(w)),
+                 array_to_string(w[i+1:i+{NGRAM_K}], ' ') AS g
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(0, len(w) - {NGRAM_K})) AS i
+                FROM words WHERE len(w) >= {NGRAM_K})),
         bench AS (SELECT DISTINCT g FROM pos WHERE doc_id < {BENCH_DOC_MAX}),
         scored AS (
           SELECT p.doc_id, count(*) AS n_grams,

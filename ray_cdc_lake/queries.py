@@ -557,7 +557,9 @@ def q_cdc_schema_evolution(sf_dir: str):
 _TWO_TXN_CACHE: dict[tuple[str, str], tuple[str, int]] = {}
 
 
-def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
+def _two_txn_lake(
+    sf_dir: str, name: str, second_txn_branch: str | None = None
+) -> tuple[str, int]:
     """Build (once per process, per (sf_dir, name)) a lake committed in
     TWO txns split at lsn = 2*STRIDE — the fixture for time-travel /
     diff / incremental-view queries. Returns (lake_dir, cut).
@@ -595,7 +597,17 @@ def _two_txn_lake(sf_dir: str, name: str) -> tuple[str, int]:
         lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
     )
     apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
-    apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
+    if second_txn_branch is not None:
+        from .sink import create_branch
+
+        create_branch(lake, second_txn_branch)
+    apply_incremental(
+        lake,
+        "txn-0002",
+        seg2,
+        events_schema=COMPILED_SCHEMA,
+        branch=second_txn_branch,
+    )
     _TWO_TXN_CACHE[(sf_dir, name)] = (lake, cut)
     return lake, cut
 
@@ -620,36 +632,14 @@ def q_cdc_branch_isolation(sf_dir: str):
     """Branch = a writable named pointer over the immutable manifest chain
     (time travel's primitive, made writable — Nessie/Delta-branch shape):
     txn-1 commits segment 1 to main, a 'dev' branch is created, txn-2
-    commits segment 2 ONLY to dev. Returned result: MAIN's live state,
-    which must equal the segment-1-only LWW replay — the branch commit
-    must be invisible on main (isolation). The dev side (= full replay)
-    and fast-forward merge semantics are pinned in tests/test_lakestore.py."""
-    import shutil
+    commits segment 2 ONLY to dev (the shared _two_txn_lake builder with
+    ``second_txn_branch``). Returned result: MAIN's live state, which must
+    equal the segment-1-only LWW replay — the branch commit must be
+    invisible on main (isolation). The dev side (= full replay) and
+    fast-forward merge semantics are pinned in tests/test_lakestore.py."""
+    from .sink import read_lake
 
-    from .checkpoint import apply_incremental
-    from .events import STRIDE
-    from .schemas import COMPILED_SCHEMA
-    from .sink import create_branch, read_lake
-
-    key = (sf_dir, "branchiso")
-    lake = _BRANCH_ISO_CACHE.get(key)
-    if lake is None:
-        lake = f"/tmp/ray_cdc_lake_branchiso/{sf_dir.strip('/').replace('/', '_')}"
-        shutil.rmtree(lake, ignore_errors=True)
-        cut = 2 * STRIDE
-        ev = compiled_log(sf_dir, E).materialize()  # tiny, consumed twice
-        seg1 = ev.map_batches(
-            lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
-        )
-        seg2 = ev.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
-        )
-        apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
-        create_branch(lake, "dev")
-        apply_incremental(
-            lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA, branch="dev"
-        )
-        _BRANCH_ISO_CACHE[key] = lake
+    lake, _ = _two_txn_lake(sf_dir, "branchiso", second_txn_branch="dev")
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
@@ -657,8 +647,6 @@ def q_cdc_branch_isolation(sf_dir: str):
 
     return read_lake(lake).map_batches(finish, batch_format="pyarrow")
 
-
-_BRANCH_ISO_CACHE: dict = {}
 
 
 def q_cdc_lake_diff(sf_dir: str):

@@ -195,7 +195,9 @@ def _pointer_name(branch: str | None) -> str:
         return "CURRENT"
     import re
 
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", branch):
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", branch) or ".tmp-" in branch:
+        # '.tmp-' would collide with crashed pointer temp files, which
+        # list_branches (and therefore vacuum's live set) must skip
         raise ValueError(f"invalid branch name {branch!r}")
     return f"BRANCH-{branch}"
 
@@ -214,7 +216,7 @@ def read_manifest(
     applies, so history stays readable until a ``compact`` (which
     collapses the txn list) plus vacuum."""
     store = store or _DEFAULT_STORE
-    if version is not None and branch is not None:
+    if version is not None and branch not in (None, "main"):
         raise ValueError("pass version OR branch, not both")
     if version is None:
         cur = os.path.join(lake_dir, MANIFEST_DIR, _pointer_name(branch))
@@ -345,9 +347,16 @@ def list_branches(lake_dir: str, store: LakeStore | None = None) -> dict[str, in
     out: dict[str, int] = {}
     if not store.exists(mdir):
         return out
+    import re
+
     def _ver(raw: str) -> int:
         raw = raw.strip()
-        return int(raw) if raw.isdigit() else int(raw[-len("000000.json") : -len(".json")])
+        if raw.isdigit():
+            return int(raw)
+        m = re.search(r"(\d+)\.json$", raw)
+        if m is None:
+            raise ValueError(f"unparseable pointer content {raw!r}")
+        return int(m.group(1))
 
     for fn in store.listdir(mdir):
         if fn == "CURRENT":
@@ -358,14 +367,25 @@ def list_branches(lake_dir: str, store: LakeStore | None = None) -> dict[str, in
 
 
 def delete_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> None:
+    """Remove the pointer AND the branch's claimed manifest files — a
+    stale claimed version would make a recreated branch of the same name
+    permanently unwritable (its first commit loses the claim forever).
+    Data dirs are left for vacuum (they may be shared with main)."""
     store = store or _DEFAULT_STORE
     pointer = _pointer_name(name)
     if pointer == "CURRENT":
         raise ValueError("cannot delete the default branch")
-    p = os.path.join(lake_dir, MANIFEST_DIR, pointer)
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    p = os.path.join(mdir, pointer)
     if not store.exists(p):
         raise FileNotFoundError(f"no branch {name!r} in {lake_dir}")
     store.delete_file(p)
+    import re
+
+    pat = re.compile(rf"^manifest-{re.escape(name)}-\d+\.json$")
+    for fn in store.listdir(mdir):
+        if pat.match(fn):
+            store.delete_file(os.path.join(mdir, fn))
 
 
 def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Manifest:
@@ -648,8 +668,9 @@ def read_lake(
 
         fields = list(LAKE_SCHEMA) + [
             pa.field("op", pa.string()),
-            # hive-partition column, selectable like on a non-empty lake
-            pa.field("bucket", pa.int64()),
+            # hive-partition column, selectable like on a non-empty lake;
+            # Ray's hive inference yields STRING for partition values
+            pa.field("bucket", pa.string()),
         ]
         sch = pa.schema(fields)
         if columns is None:

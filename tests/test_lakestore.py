@@ -435,3 +435,30 @@ def test_branch_workflow_converges_to_all_events_lww(tmp_path):
         got = {k: v for k, v in _live(lake).items()}
         want = reference([r for s in [segments[0], *segments[1:]] for r in s])
         assert got == want, (combo, got, want)
+
+
+def test_branch_delete_then_recreate_is_writable(tmp_path):
+    """delete_branch must free the branch's manifest namespace: a
+    recreated branch of the same name commits cleanly instead of losing
+    the version claim to its dead predecessor forever."""
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import create_branch, delete_branch
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4)
+    create_branch(lake, "dev")
+    apply_incremental(lake, "txn-d1", _seg(SEG2), num_buckets=4, branch="dev")
+    delete_branch(lake, "dev")
+
+    create_branch(lake, "dev")
+    apply_incremental(
+        lake,
+        "txn-d2",
+        _seg([(9, "insert", "r9", "z.py", "Z1")]),
+        num_buckets=4,
+        branch="dev",
+    )
+    st = _live(lake, branch="dev")
+    assert ("r9", "z.py") in st
+    # the dead predecessor's txn is NOT part of the recreated branch
+    assert ("r2", "c.py") not in st
