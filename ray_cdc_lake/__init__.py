@@ -41,6 +41,7 @@ def enable_self_contained_pickling() -> None:
         dedup,
         events,
         jsonpaths,
+        kernels,
         merge,
         multimodal,
         pipeline,

@@ -37,68 +37,13 @@ from typing import TYPE_CHECKING
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .kernels import _winner_per_key
 from .schemas import DEFAULT_NUM_BUCKETS
+from .state import merge_group_spilling
 from .transforms import add_bucket
 
 if TYPE_CHECKING:
     import ray.data
-
-
-def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
-    """Vectorized LWW: order by (lsn, op!='delete', commit) descending
-    within key, keep the first row per key.
-
-    The op rank implements rename-set semantics: a swap/cycle rename
-    (A->B, B->A in one batch, RenameS3Utils.kt:62-66,120-127) compiles to
-    delete+insert pairs AT THE SAME LSN on the same key — the batch is a
-    set, deletes apply before inserts, so the insert wins. Remaining ties
-    on (lsn, op, commit) are exact duplicate deliveries, where any pick is
-    identical — the deterministic tie-break the reference lacks
-    (SURVEY.md §2.9 'Ordering semantics')."""
-    if t.num_rows == 0:
-        return t
-    added_rank = False
-    if "op" in t.column_names:
-        t = t.append_column("_op_rank", pc.cast(pc.not_equal(t["op"], "delete"), pa.int8()))
-        added_rank = True
-    sort_keys = [(k, "ascending") for k in keys] + [("lsn", "descending")]
-    if added_rank:
-        sort_keys.append(("_op_rank", "descending"))
-    # Determinism contract: (lsn, op-rank, commit) totally orders DISTINCT
-    # event versions because the commit id IDENTIFIES the event (md5 of
-    # key@lsn in the derivation; a commit SHA in a real repo log). Rows
-    # tying on all three are exact duplicate deliveries (any pick is the
-    # same row); a log where one commit id carries two different payloads
-    # is malformed and the winner among them is unspecified — the SQL
-    # oracle's row_number() has the identical contract.
-    sort_keys.append(("commit", "descending"))
-    idx = pc.sort_indices(t, sort_keys=sort_keys)
-    # Winners-only gather: materializing the full sorted table would copy
-    # every content byte (the dominant column) just to immediately drop
-    # all but one row per key — in the bandwidth-bound fan-out regime that
-    # take IS the stage cost. Instead, find each key run's first position
-    # using only the (small) key columns in sorted order, then take the
-    # full rows for winners alone.
-    import numpy as np
-
-    n = t.num_rows
-    first = np.ones(n, dtype=bool)
-    for k in keys:
-        col = pc.take(t[k], idx)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
-        neq = np.asarray(neq.to_numpy(zero_copy_only=False), dtype=bool)
-        if k == keys[0]:
-            diff = neq
-        else:
-            diff |= neq
-    first[1:] = diff
-    idx_np = idx.to_numpy(zero_copy_only=False)
-    t = t.take(pa.array(idx_np[first]))
-    if added_rank:
-        t = t.drop_columns(["_op_rank"])
-    return t
 
 
 # Reduce-side memory guard: groups above this row count go through the
@@ -111,8 +56,6 @@ SPILL_THRESHOLD_ROWS = 500_000
 
 def _group_winners(group: pa.Table, keys: list[str]) -> pa.Table:
     if group.num_rows > SPILL_THRESHOLD_ROWS:
-        from .state import merge_group_spilling
-
         return merge_group_spilling(group, keys)
     return _winner_per_key(group, keys)
 

@@ -206,6 +206,34 @@ def q_cdc_final_state_salted(sf_dir: str):
     return cdc_final_state(sf_dir, epochs=E, salt_mod=4)
 
 
+def q_cdc_final_state_spill(sf_dir: str):
+    """Flagship replay FORCED through the sorted-run dedup index with tiny
+    chunk/heap limits (chunk_rows=16, max_rows_in_mem=32): every bucket's
+    reduce runs the full LSM machinery — chunked combine, disk-spilled
+    sorted runs, tiered compaction, k-way finish — and the result must
+    equal the cdc_final_state oracle byte-for-byte. The driver-green proof
+    that the spill path (the 100 TB hot-bucket guard, merge.py
+    SPILL_THRESHOLD_ROWS) is exactly equivalent to the in-memory reduce."""
+    from .merge import partial_lww
+    from .state import merge_group_spilling
+    from .transforms import add_bucket, add_sha256
+
+    ds = compiled_log(sf_dir, E).map_batches(partial_lww, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
+    )
+
+    def reduce_spilling(g: pa.Table) -> pa.Table:
+        t = merge_group_spilling(
+            g, ["repo", "path"], chunk_rows=16, max_rows_in_mem=32
+        )
+        t = t.filter(pc.not_equal(t["op"], "delete"))
+        t = t.drop_columns([c for c in ("op", "bucket") if c in t.column_names])
+        return add_sha256(t)
+
+    return ds.groupby("bucket").map_groups(reduce_spilling, batch_format="pyarrow")
+
+
 def q_cdc_idempotent_replay(sf_dir: str):
     """Replaying the log twice (at-least-once delivery) converges to the
     identical final state — idempotence by design (SURVEY.md §2.9)."""
@@ -933,6 +961,7 @@ CDC_SQL: dict[str, str] = {
         SELECT repo, path, lsn, op, "commit" FROM ranked WHERE rn = 1""",
     "cdc_final_state": FINAL_STATE_SQL,
     "cdc_final_state_salted": FINAL_STATE_SQL,
+    "cdc_final_state_spill": FINAL_STATE_SQL,
     "cdc_idempotent_replay": FINAL_STATE_SQL,
     "cdc_dedup_events": f"""
         WITH {EVENTS_CTE}
@@ -2732,6 +2761,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,
         "cdc_final_state_salted": q_cdc_final_state_salted,
+        "cdc_final_state_spill": q_cdc_final_state_spill,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,

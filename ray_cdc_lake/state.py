@@ -36,10 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _winner_per_key(t: pa.Table, keys: list[str]):  # re-export to avoid cycle
-    from .merge import _winner_per_key as f
-
-    return f(t, keys)
+from .kernels import _winner_per_key  # noqa: E402 — leaf module, no cycle
 
 
 class SortedRunIndex:
