@@ -334,6 +334,31 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_compact_state(sf_dir: str):
+    """Major compaction through the driver gate: build a fresh two-txn
+    lake, ``compact()`` it (single collapsed txn + vacuum of superseded
+    data), and read the COMPACTED lake back — must equal the one-shot
+    final-state oracle byte-for-byte. Own scratch lake (never the shared
+    twotxn fixture: compaction vacuums the historical txn data that
+    fixture's time-travel consumers pin)."""
+    from .checkpoint import compact
+    from .sink import read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "compactq")
+    if not _COMPACTED.get(lake):
+        compact(lake)
+        _COMPACTED[lake] = True
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
+_COMPACTED: dict = {}
+
+
 def q_cdc_change_batch_compile(sf_dir: str):
     """The reference's NATIVE input path (M2, ReorderFiles.kt:304-327):
     change-batch JSON documents -> rename instructions. One batch per
@@ -962,6 +987,7 @@ CDC_SQL: dict[str, str] = {
     "cdc_final_state": FINAL_STATE_SQL,
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_final_state_spill": FINAL_STATE_SQL,
+    "cdc_compact_state": FINAL_STATE_SQL,
     "cdc_idempotent_replay": FINAL_STATE_SQL,
     "cdc_dedup_events": f"""
         WITH {EVENTS_CTE}
@@ -2762,6 +2788,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_final_state_spill": q_cdc_final_state_spill,
+        "cdc_compact_state": q_cdc_compact_state,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,
