@@ -49,8 +49,6 @@ def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
     # take IS the stage cost. Instead, find each key run's first position
     # using only the (small) key columns in sorted order, then take the
     # full rows for winners alone.
-    import numpy as np
-
     n = t.num_rows
     first = np.ones(n, dtype=bool)
     for k in keys:

@@ -54,9 +54,15 @@ if TYPE_CHECKING:
 SPILL_THRESHOLD_ROWS = 500_000
 
 
-def _group_winners(group: pa.Table, keys: list[str]) -> pa.Table:
-    if group.num_rows > SPILL_THRESHOLD_ROWS:
-        return merge_group_spilling(group, keys)
+def _group_winners(
+    group: pa.Table,
+    keys: list[str],
+    spill_threshold: int | None = None,
+    spill_kwargs: dict | None = None,
+) -> pa.Table:
+    thr = SPILL_THRESHOLD_ROWS if spill_threshold is None else spill_threshold
+    if group.num_rows > thr:
+        return merge_group_spilling(group, keys, **(spill_kwargs or {}))
     return _winner_per_key(group, keys)
 
 
@@ -66,10 +72,16 @@ def partial_lww(batch: pa.Table) -> pa.Table:
     return _winner_per_key(batch, ["repo", "path"])
 
 
-def final_lww(group: pa.Table) -> pa.Table:
+def final_lww(
+    group: pa.Table,
+    spill_threshold: int | None = None,
+    spill_kwargs: dict | None = None,
+) -> pa.Table:
     """Per-bucket final reduce: LWW winner per key, then drop tombstones.
-    Input columns: compiled-event columns + 'bucket'."""
-    t = _group_winners(group, ["repo", "path"])
+    Input columns: compiled-event columns + 'bucket'. ``spill_threshold``/
+    ``spill_kwargs`` override the hot-bucket spill gate (tests and the
+    cdc_final_state_spill driver proof force the LSM path with them)."""
+    t = _group_winners(group, ["repo", "path"], spill_threshold, spill_kwargs)
     t = t.filter(pc.not_equal(t["op"], "delete"))
     drop = [c for c in ("op", "bucket") if c in t.column_names]
     return t.drop_columns(drop)

@@ -214,9 +214,8 @@ def q_cdc_final_state_spill(sf_dir: str):
     equal the cdc_final_state oracle byte-for-byte. The driver-green proof
     that the spill path (the 100 TB hot-bucket guard, merge.py
     SPILL_THRESHOLD_ROWS) is exactly equivalent to the in-memory reduce."""
-    from .merge import partial_lww
-    from .state import merge_group_spilling
-    from .transforms import add_bucket, add_sha256
+    from .merge import final_lww, partial_lww
+    from .transforms import add_bucket
 
     ds = compiled_log(sf_dir, E).map_batches(partial_lww, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -224,11 +223,13 @@ def q_cdc_final_state_spill(sf_dir: str):
     )
 
     def reduce_spilling(g: pa.Table) -> pa.Table:
-        t = merge_group_spilling(
-            g, ["repo", "path"], chunk_rows=16, max_rows_in_mem=32
+        # the PRODUCTION reduce with its spill gate forced open — not a
+        # parallel reimplementation that could drift from final_lww
+        t = final_lww(
+            g,
+            spill_threshold=0,
+            spill_kwargs={"chunk_rows": 16, "max_rows_in_mem": 32},
         )
-        t = t.filter(pc.not_equal(t["op"], "delete"))
-        t = t.drop_columns([c for c in ("op", "bucket") if c in t.column_names])
         return add_sha256(t)
 
     return ds.groupby("bucket").map_groups(reduce_spilling, batch_format="pyarrow")

@@ -42,6 +42,8 @@ from typing import TYPE_CHECKING
 
 import pyarrow.parquet as pq
 
+from .kernels import _winner_per_key
+
 if TYPE_CHECKING:
     import ray.data
 
@@ -773,8 +775,6 @@ def read_key(
         return None
     t = pa.concat_tables(rows, promote_options="permissive")
     # LWW among the bucket's (rare) multi-file survivors, tombstone-aware
-    from .merge import _winner_per_key
-
     w = _winner_per_key(t, ["repo", "path"])
     if w.num_rows == 0 or w["op"][0].as_py() == "delete":
         return None
