@@ -111,6 +111,16 @@ def _apply_incremental_once(
     branch: str | None = None,
 ) -> Manifest:
     manifest = read_manifest(lake_dir, branch=branch)
+    if manifest.num_buckets and num_buckets != manifest.num_buckets:
+        # a different modulus re-buckets the same keys into NEW bucket ids
+        # while the manifest keeps the old entries — every key would read
+        # back twice (silent duplication). Re-bucketing is an explicit
+        # whole-lake rewrite: compact(lake, num_buckets=N).
+        raise ValueError(
+            f"lake {lake_dir} is bucketed with num_buckets="
+            f"{manifest.num_buckets}, apply requested {num_buckets} — "
+            "re-bucket with compact(num_buckets=...) instead"
+        )
     ds = compiled_events.map_batches(
         lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
     )
@@ -190,7 +200,8 @@ def delete_by_prefix(
     lake_dir: str,
     prefix: str,
     txn_id: str,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
+    branch: str | None = None,
 ) -> Manifest:
     """Maintenance delete: tombstone every LIVE key whose path starts with
     ``prefix``, as ONE exactly-once transaction (the
@@ -204,9 +215,11 @@ def delete_by_prefix(
 
     from .sink import read_lake
 
-    manifest = read_manifest(lake_dir)
+    manifest = read_manifest(lake_dir, branch=branch)
     if not manifest.buckets:
         return manifest
+    if num_buckets is None:  # follow the lake's committed modulus
+        num_buckets = manifest.num_buckets or DEFAULT_NUM_BUCKETS
     new_lsn = max(manifest.hwm().values()) + 1
     if not prefix.endswith("/"):
         # sibling-prefix guard: delete 'docs/de' must not match
@@ -239,7 +252,9 @@ def delete_by_prefix(
             names=["lsn", "op", "repo", "path", "commit", "lang", "content"],
         )
 
-    tombs = read_lake(lake_dir).map_batches(to_tombstones, batch_format="pyarrow")
+    tombs = read_lake(lake_dir, branch=branch).map_batches(
+        to_tombstones, batch_format="pyarrow"
+    )
     from .schemas import COMPILED_SCHEMA
 
     # dedup_below_hwm=False: this txn is NOT part of the ordered binlog —
@@ -250,7 +265,7 @@ def delete_by_prefix(
     # delete snapshot legitimately win LWW if their lsn is higher.
     return apply_incremental(
         lake_dir, txn_id, tombs, num_buckets=num_buckets,
-        events_schema=COMPILED_SCHEMA, dedup_below_hwm=False,
+        events_schema=COMPILED_SCHEMA, dedup_below_hwm=False, branch=branch,
     )
 
 

@@ -462,3 +462,22 @@ def test_branch_delete_then_recreate_is_writable(tmp_path):
     assert ("r9", "z.py") in st
     # the dead predecessor's txn is NOT part of the recreated branch
     assert ("r2", "c.py") not in st
+
+
+def test_delete_by_prefix_on_branch_leaves_main_intact(tmp_path):
+    """Maintenance deletes take a branch: tombstoning a prefix on dev must
+    not change main's live set."""
+    from ray_cdc_lake.checkpoint import apply_incremental, delete_by_prefix
+    from ray_cdc_lake.sink import create_branch
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(
+        lake,
+        "txn-1",
+        _seg([(1, "insert", "r1", "docs/a.py", "A"), (2, "insert", "r1", "src/b.py", "B")]),
+        num_buckets=4,
+    )
+    create_branch(lake, "dev")
+    delete_by_prefix(lake, "docs", "txn-del", branch="dev")
+    assert set(_live(lake)) == {("r1", "docs/a.py"), ("r1", "src/b.py")}
+    assert set(_live(lake, branch="dev")) == {("r1", "src/b.py")}

@@ -457,3 +457,17 @@ def test_read_key_with_sparse_top_bucket(tmp_path):
     for (repo, path), (lsn, content) in lake_state(lake).items():
         row = read_key(lake, repo, path)  # NO explicit num_buckets
         assert row is not None and row["lsn"] == lsn
+
+
+def test_apply_rejects_mismatched_bucket_modulus(tmp_path):
+    """Applying with a different num_buckets than the lake was committed
+    with would re-bucket keys into new ids while the manifest keeps the
+    old entries — every key would read back twice. The apply must refuse
+    loudly and point at compact() for re-bucketing."""
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", ev_ds(SEG_A), num_buckets=4)
+    with pytest.raises(ValueError, match="num_buckets"):
+        apply_incremental(lake, "txn-2", ev_ds(SEG_B), num_buckets=8)
+    # same modulus still applies fine
+    apply_incremental(lake, "txn-2", ev_ds(SEG_B), num_buckets=4)
+    assert lake_state(lake) == EXPECT_AB
