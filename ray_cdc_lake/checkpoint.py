@@ -354,8 +354,11 @@ def maybe_compact(
     return compact(lake_dir, num_buckets=num_buckets)
 
 
-def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
+def compact(lake_dir: str, num_buckets: int | None = None) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
+    ``num_buckets`` defaults to the lake's committed modulus; passing a
+    different value is the ONE sanctioned way to re-bucket (the whole
+    state is rewritten, so no stale bucket ids survive).
 
     After many incremental applies each bucket's state is spread over one
     file per touching txn; compaction (the LSM major-compaction analog —
@@ -370,6 +373,8 @@ def compact(lake_dir: str, num_buckets: int = DEFAULT_NUM_BUCKETS) -> Manifest:
     from .sink import _publish, _write_txn_data, read_manifest, vacuum
 
     m = read_manifest(lake_dir)
+    if num_buckets is None:
+        num_buckets = m.num_buckets or DEFAULT_NUM_BUCKETS
     txn = f"compact-{m.version + 1:06d}"
     ds = read_lake(lake_dir, live_only=False)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
