@@ -42,6 +42,14 @@ def _ray_up() -> None:
     tune_data_context()
 
 
+def _resolve_buckets(lake: str, requested: int | None) -> int:
+    if requested is not None:
+        return requested
+    from .sink import read_manifest
+
+    return read_manifest(lake).num_buckets or 64
+
+
 def cmd_replay(a) -> int:
     from .checkpoint import apply_incremental
     from .pipeline import derive_event_log
@@ -56,7 +64,11 @@ def cmd_replay(a) -> int:
         .map_batches(normalize_content, batch_format="pyarrow")
     )
     m = apply_incremental(
-        a.lake, a.txn_id, ev, num_buckets=a.buckets, events_schema=COMPILED_SCHEMA
+        a.lake,
+        a.txn_id,
+        ev,
+        num_buckets=_resolve_buckets(a.lake, a.buckets),
+        events_schema=COMPILED_SCHEMA,
     )
     print(
         json.dumps(
@@ -77,7 +89,7 @@ def cmd_tail(a) -> int:
     _ray_up()
     txns = tail_replay(
         a.lake, a.sf_dir, epochs=a.epochs, micro_batches=a.micro_batches,
-        num_buckets=a.buckets,
+        num_buckets=_resolve_buckets(a.lake, a.buckets),
     )
     print(json.dumps({"lake": a.lake, "committed": txns}))
     return 0
@@ -163,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
         if sf:
             sp.add_argument("--sf-dir", required=True, help="input tables dir")
         if buckets:
-            sp.add_argument("--buckets", type=int, default=64)
+            # None -> follow the lake's committed modulus (64 for new lakes)
+            sp.add_argument("--buckets", type=int, default=None)
 
     sp = sub.add_parser("replay", help="full replay as one exactly-once txn")
     common(sp, sf=True)
