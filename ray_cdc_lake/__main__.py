@@ -42,14 +42,6 @@ def _ray_up() -> None:
     tune_data_context()
 
 
-def _resolve_buckets(lake: str, requested: int | None) -> int:
-    if requested is not None:
-        return requested
-    from .sink import read_manifest
-
-    return read_manifest(lake).num_buckets or 64
-
-
 def cmd_replay(a) -> int:
     from .checkpoint import apply_incremental
     from .pipeline import derive_event_log
@@ -67,7 +59,7 @@ def cmd_replay(a) -> int:
         a.lake,
         a.txn_id,
         ev,
-        num_buckets=_resolve_buckets(a.lake, a.buckets),
+        num_buckets=a.buckets,
         events_schema=COMPILED_SCHEMA,
     )
     print(
@@ -89,7 +81,7 @@ def cmd_tail(a) -> int:
     _ray_up()
     txns = tail_replay(
         a.lake, a.sf_dir, epochs=a.epochs, micro_batches=a.micro_batches,
-        num_buckets=_resolve_buckets(a.lake, a.buckets),
+        num_buckets=a.buckets,
     )
     print(json.dumps({"lake": a.lake, "committed": txns}))
     return 0

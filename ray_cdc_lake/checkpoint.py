@@ -51,7 +51,7 @@ def apply_incremental(
     lake_dir: str,
     txn_id: str,
     compiled_events: "ray.data.Dataset",
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
     fail_before_publish: bool = False,
     events_schema: "pa.Schema | None" = None,
     max_attempts: int = 5,
@@ -104,14 +104,16 @@ def _apply_incremental_once(
     lake_dir: str,
     txn_id: str,
     compiled_events: "ray.data.Dataset",
-    num_buckets: int,
+    num_buckets: int | None,
     fail_before_publish: bool,
     events_schema: "pa.Schema | None",
     dedup_below_hwm: bool = True,
     branch: str | None = None,
 ) -> Manifest:
     manifest = read_manifest(lake_dir, branch=branch)
-    if manifest.num_buckets and num_buckets != manifest.num_buckets:
+    if num_buckets is None:  # follow the lake's committed modulus
+        num_buckets = manifest.num_buckets or DEFAULT_NUM_BUCKETS
+    elif manifest.num_buckets and num_buckets != manifest.num_buckets:
         # a different modulus re-buckets the same keys into NEW bucket ids
         # while the manifest keeps the old entries — every key would read
         # back twice (silent duplication). Re-bucketing is an explicit
@@ -120,6 +122,17 @@ def _apply_incremental_once(
             f"lake {lake_dir} is bucketed with num_buckets="
             f"{manifest.num_buckets}, apply requested {num_buckets} — "
             "re-bucket with compact(num_buckets=...) instead"
+        )
+    elif manifest.buckets and not manifest.num_buckets and (
+        max(int(b) for b in manifest.buckets) >= num_buckets
+    ):
+        # legacy manifest (modulus unrecorded): a committed bucket id >=
+        # the requested modulus is impossible under that modulus — refuse
+        # rather than silently duplicate (same heuristic as read_key)
+        raise ValueError(
+            f"lake {lake_dir} has committed bucket ids beyond the requested "
+            f"num_buckets={num_buckets} — the lake was bucketed with a "
+            "larger modulus; re-bucket with compact(num_buckets=...)"
         )
     ds = compiled_events.map_batches(
         lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
@@ -339,7 +352,7 @@ def lake_diff(
 def maybe_compact(
     lake_dir: str,
     max_txns: int = 16,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
 ) -> "Manifest | None":
     """Auto-compaction trigger for a long-running tail: once the
     committed txn list exceeds ``max_txns`` (each incremental apply adds

@@ -99,7 +99,7 @@ def tail_replay(
     sf_dir: str,
     epochs: int = DEFAULT_EPOCHS,
     micro_batches: int = 4,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
 ) -> list[str]:
     """Binlog-tail simulation: consume the event log as ``micro_batches``
     consecutive LSN windows, each applied as one exactly-once transaction
