@@ -501,17 +501,34 @@ def _trigram_set(text: str) -> set:
 # ---------------------------------------------------------------------------
 
 
+# Hard cap on the brute-force near-dup baseline: above this the broadcast
+# matrix + all-pairs matmul (O(N) driver memory, O(N^2) compute) is a
+# scale-killer, and the caller must use the banded-LSH path instead.
+DEDUP_EMBEDDING_MAX_ROWS = 200_000
+
+
 def q_dedup_embedding(sf_dir: str, threshold: float = 0.45):
     """Embedding near-dup pairs (cosine >= threshold), brute-force within
     blocks against a broadcast matrix (the small-side-broadcast join shape;
     the at-scale path is the LSH/IVF variant in similarity.py). Cosine in
-    float64 to match DuckDB's list_cosine_similarity."""
+    float64 to match DuckDB's list_cosine_similarity.
+
+    GUARDED recall baseline: refuses inputs above DEDUP_EMBEDDING_MAX_ROWS
+    rows with a pointer at ``dedup_embedding_lsh`` — never ship this as the
+    production dedup."""
     import ray
     import ray.data as rd
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids_all = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids_all) > DEDUP_EMBEDDING_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding is the O(N^2) brute-force recall baseline and "
+            f"refuses {len(ids_all):,} rows (cap {DEDUP_EMBEDDING_MAX_ROWS:,}). "
+            "Use dedup_embedding_lsh (banded hyperplane LSH) or knn_ivf_pq "
+            "for at-scale near-duplicate detection."
+        )
     mat = embedding_matrix(tbl["embedding"])
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     ref = ray.put((ids_all, mat_n))
@@ -1102,29 +1119,35 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
        corpus; within each bucket the min-doc_id row per md5 survives
        (the corpus moves across the wire exactly once);
     2. NEAR-dup removal: verified n-gram-Jaccard pairs (>= threshold)
-       name the dropped member; the pair set is the small derived side,
-       collected once and broadcast (ray.put) into a vectorized is_in
-       filter — at petabyte pair counts this becomes an anti-join by id;
+       name the dropped member; applied as a CO-PARTITIONED ANTI-JOIN by
+       doc_id (tagged union -> hash-bucket groupby -> per-group filter) —
+       the drop list never touches the driver, so at petabyte pair counts
+       it stays a dataset, not a broadcast;
     3. quality gating: vectorized token/stopword metrics, keep rows with
        n_tokens >= 3 and stopword_ratio < 0.5.
 
     Emits (doc_id, n_tokens, stopword_ratio) for every surviving doc."""
     import pyarrow.compute as pc
-    import ray
 
-    from .sources import get_broadcast
     from .textstats import quality_score
 
-    # small side: dropped near-dup member ids
+    # drop side of the anti-join: near-dup members, tagged _drop=True and
+    # schema-aligned with the corpus for the union (text carries nulls)
     pairs = q_dedup_ngram_jaccard(sf_dir)
-    dropped = pairs.map_batches(
-        lambda b: b.filter(
-            pc.greater_equal(b["jaccard"], jaccard_threshold)
-        ).select(["id_b"]),
-        batch_format="pyarrow",
-    )
-    drop_ids = pa.array(dropped.to_pandas()["id_b"], type=pa.int64())
-    drop_ref = ray.put(drop_ids)
+
+    def drop_rows(b: pa.Table) -> pa.Table:
+        sel = b.filter(pc.greater_equal(b["jaccard"], jaccard_threshold))
+        return pa.table(
+            {
+                "doc_id": sel["id_b"],
+                # large_string matches the polars-produced dedup side, so the
+                # union has one schema end-to-end
+                "text": pa.nulls(sel.num_rows, type=pa.large_string()),
+                "_drop": pa.array(np.ones(sel.num_rows, dtype=bool)),
+            }
+        )
+
+    drop_side = pairs.map_batches(drop_rows, batch_format="pyarrow")
 
     corpus = corpus_ds(sf_dir)
 
@@ -1157,9 +1180,27 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         .map_groups(keep_min_per_hash, batch_format="pyarrow")
     )
 
-    def near_filter_and_quality(b: pa.Table) -> pa.Table:
-        drop = get_broadcast(drop_ref)
-        b = b.filter(pc.invert(pc.is_in(b["doc_id"], value_set=drop)))
+    # anti-join by doc_id: union the tagged sides, co-partition on a doc_id
+    # hash bucket, filter corpus rows whose id appears on the drop side.
+    # One extra all-to-all pass of the deduped corpus — the scale-safe trade
+    # for never collecting the drop list to the driver.
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_drop", pa.array(np.zeros(b.num_rows, dtype=bool))
+        )
+
+    def add_anti_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % NUM_PAIR_BUCKETS
+        return b.append_column("_ab", pa.array(bucket.astype(np.int64)))
+
+    def anti(g: pa.Table) -> pa.Table:
+        drop_mask = g["_drop"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~drop_mask & ~np.isin(ids, ids[drop_mask])
+        return g.filter(pa.array(keep)).drop_columns(["_drop", "_ab"])
+
+    def quality_gate(b: pa.Table) -> pa.Table:
         q = quality_score(b)
         keep = pc.and_(
             pc.greater_equal(q["n_tokens"], CURATION_MIN_TOKENS),
@@ -1167,7 +1208,14 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         )
         return q.filter(keep).select(["doc_id", "n_tokens", "stopword_ratio"])
 
-    return deduped.map_batches(near_filter_and_quality, batch_format="pyarrow")
+    return (
+        deduped.map_batches(tag_corpus, batch_format="pyarrow")
+        .union(drop_side)
+        .map_batches(add_anti_bucket, batch_format="pyarrow")
+        .groupby("_ab")
+        .map_groups(anti, batch_format="pyarrow")
+        .map_batches(quality_gate, batch_format="pyarrow")
+    )
 
 
 SQL = {

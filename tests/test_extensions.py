@@ -490,3 +490,13 @@ def test_quantiles_ignore_nan():
     n = len(clean)
     for q, val in zip(got.q, got.value):
         assert val == clean[int(np.floor(q * (n - 1)))]
+
+
+def test_dedup_embedding_refuses_at_scale(monkeypatch):
+    """The brute-force baseline is guarded: above the row cap it must fail
+    loudly and point at the LSH scale path, never broadcast the matrix."""
+    from ray_cdc_lake import dedup
+
+    monkeypatch.setattr(dedup, "DEDUP_EMBEDDING_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        dedup.q_dedup_embedding(SF)
