@@ -125,3 +125,50 @@ def test_spill_path_through_ray_merge(monkeypatch):
 
 def _canon_ds(ds) -> list:
     return sorted(map(tuple, ds.to_pandas().astype(str).values.tolist()))
+
+
+def test_finish_iter_streams_bounded_working_set(tmp_path):
+    """The k-way finish must hold O(runs x chunk) Arrow memory between
+    yielded chunks, never O(live keys): with mostly-distinct keys and a
+    tiny budget, the retained pool delta while iterating stays far below
+    the full winner set's footprint. (Transient merge allocations are
+    bounded by the same chunk math; this asserts the RETAINED state.)"""
+    rng = np.random.default_rng(42)
+    n = 100_000
+    pad = "x" * 200
+    ev = pa.table(
+        {
+            "repo": pa.array([f"r{i % 13}" for i in range(n)]),
+            "path": pa.array([f"p{i}" for i in rng.permutation(n)]),
+            "lsn": pa.array(rng.integers(0, 10 * n, n), type=pa.int64()),
+            "commit": pa.array([f"c{i:08d}" for i in range(n)]),
+            "op": pa.array(["update"] * n),
+            "content": pa.array([f"{pad}{i}" for i in range(n)], type=pa.large_string()),
+        }
+    )
+    want = _winner_per_key(ev, ["repo", "path"])
+    full_bytes = want.nbytes
+    idx = SortedRunIndex(max_rows_in_mem=2_000, spill_dir=str(tmp_path))
+    for off in range(0, n, 1_000):
+        idx.add(ev.slice(off, 1_000))
+
+    base = pa.total_allocated_bytes()
+    rows = 0
+    chunks = 0
+    peak_retained = 0
+    prev_last = None
+    for chunk in idx.finish_iter(chunk_rows=1_000):
+        rows += chunk.num_rows
+        chunks += 1
+        # chunks arrive in disjoint ascending key ranges
+        first = (chunk["repo"][0].as_py(), chunk["path"][0].as_py())
+        m = chunk.num_rows - 1
+        last = (chunk["repo"][m].as_py(), chunk["path"][m].as_py())
+        if prev_last is not None:
+            assert first > prev_last
+        prev_last = last
+        del chunk
+        peak_retained = max(peak_retained, pa.total_allocated_bytes() - base)
+    assert chunks > 5
+    assert rows == want.num_rows
+    assert peak_retained < full_bytes / 3, (peak_retained, full_bytes)
