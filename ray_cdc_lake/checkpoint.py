@@ -26,6 +26,8 @@ from .transforms import add_bucket
 if TYPE_CHECKING:
     import ray.data
 
+    from .sink import LakeStore
+
 
 def filter_after_hwm(hwm: dict[int, int]):
     """Vectorized event filter: keep rows with lsn > hwm[bucket] (bucket
@@ -57,6 +59,7 @@ def apply_incremental(
     max_attempts: int = 5,
     dedup_below_hwm: bool = True,
     branch: str | None = None,
+    store: "LakeStore | None" = None,
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -94,6 +97,7 @@ def apply_incremental(
                 events_schema=events_schema,
                 dedup_below_hwm=dedup_below_hwm,
                 branch=branch,
+                store=store,
             )
         except CommitConflict as exc:
             last = exc
@@ -109,8 +113,9 @@ def _apply_incremental_once(
     events_schema: "pa.Schema | None",
     dedup_below_hwm: bool = True,
     branch: str | None = None,
+    store: "LakeStore | None" = None,
 ) -> Manifest:
-    manifest = read_manifest(lake_dir, branch=branch)
+    manifest = read_manifest(lake_dir, branch=branch, store=store)
     if num_buckets is None:  # follow the lake's committed modulus
         num_buckets = manifest.num_buckets or DEFAULT_NUM_BUCKETS
     elif manifest.num_buckets and num_buckets != manifest.num_buckets:
@@ -141,7 +146,7 @@ def _apply_incremental_once(
         ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
 
     if manifest.buckets:
-        prior = read_lake(lake_dir, live_only=False, branch=branch)
+        prior = read_lake(lake_dir, live_only=False, branch=branch, store=store)
         prior = prior.map_batches(
             lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
         )
@@ -206,6 +211,7 @@ def _apply_incremental_once(
         expected_version=manifest.version,
         num_buckets=num_buckets,
         branch=branch,
+        store=store,
     )
 
 
@@ -215,6 +221,7 @@ def delete_by_prefix(
     txn_id: str,
     num_buckets: int | None = None,
     branch: str | None = None,
+    store: "LakeStore | None" = None,
 ) -> Manifest:
     """Maintenance delete: tombstone every LIVE key whose path starts with
     ``prefix``, as ONE exactly-once transaction (the
@@ -228,7 +235,7 @@ def delete_by_prefix(
 
     from .sink import read_lake
 
-    manifest = read_manifest(lake_dir, branch=branch)
+    manifest = read_manifest(lake_dir, branch=branch, store=store)
     if not manifest.buckets:
         return manifest
     if num_buckets is None:  # follow the lake's committed modulus
@@ -265,7 +272,7 @@ def delete_by_prefix(
             names=["lsn", "op", "repo", "path", "commit", "lang", "content"],
         )
 
-    tombs = read_lake(lake_dir, branch=branch).map_batches(
+    tombs = read_lake(lake_dir, branch=branch, store=store).map_batches(
         to_tombstones, batch_format="pyarrow"
     )
     from .schemas import COMPILED_SCHEMA
@@ -279,6 +286,7 @@ def delete_by_prefix(
     return apply_incremental(
         lake_dir, txn_id, tombs, num_buckets=num_buckets,
         events_schema=COMPILED_SCHEMA, dedup_below_hwm=False, branch=branch,
+        store=store,
     )
 
 
@@ -353,6 +361,7 @@ def maybe_compact(
     lake_dir: str,
     max_txns: int = 16,
     num_buckets: int | None = None,
+    store: "LakeStore | None" = None,
 ) -> "Manifest | None":
     """Auto-compaction trigger for a long-running tail: once the
     committed txn list exceeds ``max_txns`` (each incremental apply adds
@@ -361,13 +370,17 @@ def maybe_compact(
     None. The threshold bounds read fan-in (files per bucket) without
     rewriting the lake on every apply — the LSM minor/major split at the
     lake level, mirroring state.SortedRunIndex at the partition level."""
-    m = read_manifest(lake_dir)
+    m = read_manifest(lake_dir, store=store)
     if len(m.txns) <= max_txns:
         return None
-    return compact(lake_dir, num_buckets=num_buckets)
+    return compact(lake_dir, num_buckets=num_buckets, store=store)
 
 
-def compact(lake_dir: str, num_buckets: int | None = None) -> Manifest:
+def compact(
+    lake_dir: str,
+    num_buckets: int | None = None,
+    store: "LakeStore | None" = None,
+) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
     ``num_buckets`` defaults to the lake's committed modulus; passing a
     different value is the ONE sanctioned way to re-bucket (the whole
@@ -383,20 +396,20 @@ def compact(lake_dir: str, num_buckets: int | None = None) -> Manifest:
     preserved because each bucket's max-LSN winner survives LWW.
     """
     from .sink import Manifest as _Manifest
-    from .sink import _publish, _write_txn_data, read_manifest, vacuum
+    from .sink import _publish, _retain_metrics, _write_txn_data, read_manifest, vacuum
 
-    m = read_manifest(lake_dir)
+    m = read_manifest(lake_dir, store=store)
     if num_buckets is None:
         num_buckets = m.num_buckets or DEFAULT_NUM_BUCKETS
     txn = f"compact-{m.version + 1:06d}"
-    ds = read_lake(lake_dir, live_only=False)  # tombstones kept
+    ds = read_lake(lake_dir, live_only=False, store=store)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
     # write the compact txn's data files WITHOUT publishing, then publish
     # exactly ONE manifest referencing only the compact txn — no
     # intermediate state mixing old bucket dirs with re-bucketed data is
     # ever visible (crash before the publish leaves the old manifest
     # intact and the compact files unreferenced/vacuumable)
-    bucket_stats = _write_txn_data(lake_dir, txn, ds)
+    bucket_stats = _write_txn_data(lake_dir, txn, ds, store=store)
     final = _Manifest(
         version=m.version + 1,
         buckets=bucket_stats,
@@ -406,8 +419,8 @@ def compact(lake_dir: str, num_buckets: int | None = None) -> Manifest:
         num_buckets=num_buckets,
         # lineage metrics survive compaction even though the txns they
         # describe are vacuumed — they are history, not file references
-        metrics=m.metrics,
+        metrics=_retain_metrics(m.metrics),
     )
-    _publish(lake_dir, final)
-    vacuum(lake_dir)
+    _publish(lake_dir, final, store=store)
+    vacuum(lake_dir, store=store)
     return final

@@ -151,6 +151,103 @@ class LakeStore:
                 os.close(fd)
 
 
+class ObjectStoreLakeStore(LakeStore):
+    """LakeStore with OBJECT-STORE semantics: a flat key space with no
+    rename and no hard links — every primitive is expressed in verbs an
+    S3-class store actually has (the reference's MinIO surface,
+    S3TestBase.kt:22-47, RenameS3Utils.kt:35-135):
+
+    * ``replace_file``: single-key PUT (atomic per key on S3/GCS/ABS) —
+      copy bytes to the destination key, delete the source key.
+    * ``claim_with_content``: conditional PUT (``If-None-Match: *``) —
+      exactly one creator wins. pyarrow's S3FileSystem exposes no
+      conditional header, so a real S3 deployment passes ``conditional_put``
+      (e.g. a boto3 put_object closure); the built-in emulation uses an
+      O_CREAT|O_EXCL create against a LocalFileSystem-backed bucket dir,
+      which has the identical win/lose contract.
+    * ``replace_dir``: PREFIX COPY + DELETE — deliberately NON-ATOMIC,
+      exactly like S3. Safe because the manifest publish is the commit
+      point: keys under ``data/<txn>/`` are invisible until a manifest
+      references them; a crash mid-copy leaves both prefixes unreferenced
+      and commit_txn's retry discards and redoes them
+      (RenameS3Utils.kt:88-135 rollback analog). ``fail_after_copies``
+      injects that crash for tests.
+
+    Works over any ``pyarrow.fs.FileSystem``; the default
+    (LocalFileSystem + a directory as the bucket) drives the full commit
+    protocol through object-store-legal operations only — no ``os.replace``
+    / ``os.link`` on any lake path — so CI exercises the exact override
+    surface a live S3 backend needs.
+    """
+
+    COPY_CHUNK = 8 << 20  # 8 MiB streamed copies
+
+    def __init__(self, fs=None, conditional_put=None):
+        super().__init__(fs)
+        self._conditional_put = conditional_put
+        self.fail_after_copies: int | None = None  # test fault injection
+
+    def _copy_file(self, src: str, dst: str) -> None:
+        with self.fs.open_input_stream(src) as r, self.fs.open_output_stream(
+            dst
+        ) as w:
+            while True:
+                chunk = r.read(self.COPY_CHUNK)
+                if not chunk:
+                    break
+                w.write(chunk)
+
+    def replace_file(self, src: str, dst: str) -> None:
+        # single-key PUT then DELETE of the temp key (PUT visibility is
+        # atomic on every major object store)
+        self._copy_file(src, dst)
+        self.fs.delete_file(src)
+
+    def claim_with_content(self, tmp: str, dst: str) -> None:
+        if self._conditional_put is not None:
+            with self.fs.open_input_stream(tmp) as r:
+                data = r.read()
+            self._conditional_put(dst, data)  # raises FileExistsError on 412
+            return
+        from pyarrow.fs import LocalFileSystem
+
+        if not isinstance(self.fs, LocalFileSystem):
+            raise NotImplementedError(
+                "pass conditional_put= (an If-None-Match:* PUT) for "
+                "non-local object stores"
+            )
+        # local emulation of the conditional PUT: O_EXCL create is the
+        # same exactly-one-creator contract
+        fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with self.fs.open_input_stream(tmp) as r:
+                os.write(fd, r.read())
+        finally:
+            os.close(fd)
+
+    def replace_dir(self, src: str, dst: str) -> None:
+        from pyarrow.fs import FileSelector, FileType
+
+        infos = self.fs.get_file_info(FileSelector(src, recursive=True))
+        files = sorted(i.path for i in infos if i.type == FileType.File)
+        self.rmtree(dst)
+        copied = 0
+        for p in files:
+            rel = p[len(src) :].lstrip("/")
+            target = f"{dst}/{rel}"
+            if self.fail_after_copies is not None and copied >= self.fail_after_copies:
+                raise ConnectionError(
+                    f"injected object-store failure after {copied} copies "
+                    f"in replace_dir({src!r})"
+                )
+            parent = os.path.dirname(target)
+            if parent:
+                self.fs.create_dir(parent, recursive=True)
+            self._copy_file(p, target)
+            copied += 1
+        self.fs.delete_dir(src)
+
+
 _DEFAULT_STORE = LakeStore()
 
 
@@ -447,6 +544,14 @@ def commit_txn(
     but are invisible).
     """
     store = store or _DEFAULT_STORE
+    if "--" in txn_id:
+        # '--' is reserved as the branch-namespace separator: a main apply
+        # whose literal id is e.g. 'dev--txn-0002' would alias the merged
+        # branch txn and be silently idempotency-skipped as a different
+        # logical txn
+        raise ValueError(
+            f"txn id {txn_id!r} contains the reserved branch separator '--'"
+        )
     if branch is not None and not store.exists(
         os.path.join(lake_dir, MANIFEST_DIR, _pointer_name(branch))
     ):
@@ -482,6 +587,7 @@ def commit_txn(
         metrics[txn_id] = _txn_delta_metrics(
             lake_dir, txn_id, manifest.hwm(), store
         )
+    metrics = _retain_metrics(metrics)
 
     if fail_before_publish:
         raise RuntimeError(f"injected failure before publish of {txn_id}")
@@ -500,6 +606,21 @@ def commit_txn(
     )
     _publish(lake_dir, new, store=store, branch=branch)
     return new
+
+
+# Per-txn lineage metrics kept IN the manifest. Without a bound every
+# manifest write/read on a long-running micro-batch tail is O(all txns
+# ever) — compaction collapses the txn list but deliberately keeps
+# metrics, so they are the one unbounded component. Oldest entries age
+# out in manifest insertion order (== commit order).
+METRICS_RETAIN_TXNS = 512
+
+
+def _retain_metrics(metrics: dict[str, dict]) -> dict[str, dict]:
+    if len(metrics) <= METRICS_RETAIN_TXNS:
+        return metrics
+    drop = len(metrics) - METRICS_RETAIN_TXNS
+    return {k: v for i, (k, v) in enumerate(metrics.items()) if i >= drop}
 
 
 def _delta_counts_one_bucket(files, prev_hwm: int, fs) -> tuple[int, int, int]:
