@@ -200,7 +200,12 @@ def q_cdc_patch_upserts(sf_dir: str):
 
 LATENESS_US = 3_600 * 1_000_000  # allowed lateness: 1 hour
 JITTER_MOD_S = 7_200  # synthetic network delay: hash(event_id) % 2h
-_JITTER_MUL = 2654435761  # Knuth multiplicative hash (fits int64 here)
+# Knuth multiplicative hash. The product is computed in uint64 with
+# EXPLICIT mod-2^64 wrap on BOTH the engine (numpy uint64) and the oracle
+# (HUGEINT % 2^64) — int64 would silently wrap in numpy but not in DuckDB
+# once event_id exceeds ~3.5e9, i.e. exactly at the 10^10-event target.
+_JITTER_MUL = 2654435761
+_U64_MOD = 1 << 64
 WM_RANGES = 64  # arrival-range granularity of the prefix scan
 
 
@@ -211,7 +216,12 @@ def _event_time(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     exist and both sides compute them identically."""
     eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
-    delay_us = (eid * _JITTER_MUL) % JITTER_MOD_S * 1_000_000
+    # uint64 multiply wraps mod 2^64 by definition — the oracle SQL
+    # applies the same wrap via HUGEINT % 2^64
+    delay_s = (eid.astype(np.uint64) * np.uint64(_JITTER_MUL)) % np.uint64(
+        JITTER_MOD_S
+    )
+    delay_us = delay_s.astype(np.int64) * 1_000_000
     return eid, ts - delay_us
 
 
@@ -646,7 +656,9 @@ def registry():
             WITH delayed AS (
               SELECT event_id,
                      ts - to_microseconds(
-                         ((event_id * {_JITTER_MUL}) % {JITTER_MOD_S}) * 1000000
+                         CAST(((CAST(event_id AS HUGEINT) * {_JITTER_MUL})
+                               % {_U64_MOD}) % {JITTER_MOD_S} AS BIGINT)
+                         * 1000000
                      ) AS event_ts
               FROM events),
             w AS (

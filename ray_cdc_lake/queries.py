@@ -1229,6 +1229,9 @@ def q_steps_pipeline(sf_dir: str):
             pa.array(ext.tolist(), type=pa.string()),
             "",
         )
+        # per-record step parameter: zero-pad width read from this column
+        # row-by-row (the evaluateAttributeExpressions analog)
+        pad_width = np.where(ids % 2 == 0, 5, 6).astype(np.int64)
         bad = ids % 13 == 5
         prefix = np.where(bad, "../", "")
         path = pc.binary_join_element_wise(
@@ -1247,9 +1250,10 @@ def q_steps_pipeline(sf_dir: str):
                 fname,
                 path,
                 pa.array(route.tolist(), type=pa.string()),
+                pa.array(pad_width),
                 batch["text"],
             ],
-            names=["doc_id", "filename", "path", "route", "text"],
+            names=["doc_id", "filename", "path", "route", "pad_width", "text"],
         )
 
     spec = PipelineSpec(
@@ -1258,13 +1262,15 @@ def q_steps_pipeline(sf_dir: str):
             ("extract_item_id", {"column": "filename", "out": "item_id"}),
             ("canonical_ext", {"column": "filename", "out": "canonical_name"}),
             ("path_safety", {"column": "path", "out": "is_safe"}),
+            # '${pad_width}' resolves PER RECORD from the pad_width column
+            ("zero_pad", {"column": "doc_id", "width": "${pad_width}", "out": "padded_id"}),
             ("normalize_content", {"column": "text"}),
             ("sha256", {"column": "text", "out": "text_sha256"}),
         ]
     )
     out = spec.apply(ds.map_batches(prep, batch_format="pyarrow"))
     return out.select_columns(
-        ["doc_id", "item_id", "canonical_name", "is_safe", "text_sha256"]
+        ["doc_id", "item_id", "canonical_name", "is_safe", "padded_id", "text_sha256"]
     )
 
 
@@ -1767,6 +1773,8 @@ DOC_SQL: dict[str, str] = {
                regexp_extract(filename, '^(.+)_\\d+\\.(jp2|tif|tiff)$', 1) AS item_id,
                regexp_replace(filename, '\\.(jp2|tiff)$', '.tif') AS canonical_name,
                TRUE AS is_safe,
+               lpad(CAST(doc_id AS VARCHAR),
+                    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 6 END, '0') AS padded_id,
                sha256(nfc_normalize(replace(replace(text, chr(13)||chr(10), chr(10)),
                                             chr(13), chr(10)))) AS text_sha256
         FROM prepped""",
