@@ -1583,12 +1583,16 @@ def q_doc_xml_extract(sf_dir: str):
 
 
 def q_doc_xml_validate(sf_dir: str):
-    """Structural XML-schema validation (A2 reborn, XsdValidator.kt:17-319
-    + embedded-MIX extraction :225-273): synthesize per-document JHOVE XML,
-    deliberately corrupt a deterministic subset (truncation, missing
-    required element, non-integer field, invalid embedded MIX), then
-    validate in an actor pool. Broken rows are ROUTED ('malformed' /
-    'schema_invalid'), never raised — the poison-row quarantine rule."""
+    """XML-schema validation with value facets (A2 reborn,
+    XsdValidator.kt:17-319 + embedded-MIX extraction :225-273): synthesize
+    per-document JHOVE XML, deliberately corrupt a deterministic subset
+    (truncation, missing required element, non-integer field, OUT-OF-RANGE
+    integer facet, pattern-facet violation on the uri attribute, invalid
+    embedded MIX), then validate in an actor pool. The facet rows are
+    structurally perfect — only value-level type/range/pattern checking
+    (the real-XSD behavior) rejects them. Broken rows are ROUTED
+    ('malformed' / 'schema_invalid'), never raised — the poison-row
+    quarantine rule."""
     from .sources import actor_pool_size
     from .validate import XmlSchemaValidator, build_jhove_xml
 
@@ -1610,6 +1614,16 @@ def q_doc_xml_validate(sf_dir: str):
                 i = x.index("<width>") + len("<width>")
                 j = x.index("</width>")
                 out.append(x[:i] + "NaN" + x[j:])
+            elif d % 17 == 2:  # VALUE facet violation: a perfectly-parseable
+                # integer width outside the xs:maxInclusive facet — caught
+                # only by value-level facet checking, never by a pure
+                # structure check (the XsdValidator.kt real-XSD analog)
+                i = x.index("<width>") + len("<width>")
+                j = x.index("</width>")
+                out.append(x[:i] + "999999" + x[j:])
+            elif d % 19 == 4:  # PATTERN facet violation on the uri attribute:
+                # structurally present, value fails the anchored regex facet
+                out.append(x.replace('uri="docs/', 'uri="DOCS/', 1))
             elif d % 5 == 0:  # embedded MIX missing ImageHeight
                 out.append(x.replace(
                     "</properties>",
@@ -1644,12 +1658,16 @@ DOC_SQL: dict[str, str] = {
                CASE WHEN doc_id % 7 = 3 THEN 'malformed'
                     WHEN doc_id % 11 = 5 THEN 'schema_invalid'
                     WHEN doc_id % 13 = 7 THEN 'schema_invalid'
+                    WHEN doc_id % 17 = 2 THEN 'schema_invalid'
+                    WHEN doc_id % 19 = 4 THEN 'schema_invalid'
                     WHEN doc_id % 5 = 0 THEN 'schema_invalid'
                     ELSE 'ok' END AS xsd_route,
                NOT (doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 7
+                    OR doc_id % 17 = 2 OR doc_id % 19 = 4
                     OR doc_id % 5 = 0) AS xsd_valid,
                CAST(CASE WHEN doc_id % 7 = 3 OR doc_id % 11 = 5
-                         OR doc_id % 13 = 7 OR doc_id % 5 = 0
+                         OR doc_id % 13 = 7 OR doc_id % 17 = 2
+                         OR doc_id % 19 = 4 OR doc_id % 5 = 0
                     THEN 1 ELSE 0 END AS BIGINT) AS xsd_n_errors
         FROM documents""",
     "doc_validate_actor": """

@@ -23,6 +23,7 @@ batch_size=B, batch_format='pyarrow')``.
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 
 import numpy as np
@@ -136,8 +137,17 @@ def build_jhove_xml(batch: pa.Table) -> pa.Table:
 JHOVE_STRUCT_SCHEMA = {
     "root": "jhove",
     "elements": {
-        "repInfo": {"required": True, "attrs": ("uri",)},
-        "repInfo/size": {"required": True, "type": "int"},
+        # value facets mirror what a real XSD carries (the reference's
+        # schemas are genuine XSDs with type/enumeration/pattern facets —
+        # XsdValidator.kt compiles them via SchemaFactory): 'pattern' is
+        # an anchored regex facet, 'min'/'max' are xs:minInclusive /
+        # xs:maxInclusive analogs on integer fields.
+        "repInfo": {
+            "required": True,
+            "attrs": ("uri",),
+            "attr_patterns": {"uri": r"docs/[a-z]{2}/doc_\d{6}\.txt"},
+        },
+        "repInfo/size": {"required": True, "type": "int", "min": 0},
         "repInfo/format": {"required": True, "enum": ("TXT", "XML", "JP2", "TIF")},
         "repInfo/status": {
             "required": True,
@@ -147,8 +157,12 @@ JHOVE_STRUCT_SCHEMA = {
                 "Not well-formed",
             ),
         },
-        "repInfo/properties/width": {"required": True, "type": "int"},
-        "repInfo/properties/height": {"required": True, "type": "int"},
+        "repInfo/properties/width": {
+            "required": True, "type": "int", "min": 1, "max": 9999,
+        },
+        "repInfo/properties/height": {
+            "required": True, "type": "int", "min": 1, "max": 9999,
+        },
     },
     # embedded-document extraction: MIX blocks inside a METS/JHOVE doc are
     # pulled out and validated against their OWN schema, separately
@@ -159,12 +173,30 @@ JHOVE_STRUCT_SCHEMA = {
 MIX_STRUCT_SCHEMA = {
     "root": "mix",
     "elements": {
-        "ImageWidth": {"required": True, "type": "int"},
-        "ImageHeight": {"required": True, "type": "int"},
+        "ImageWidth": {"required": True, "type": "int", "min": 1},
+        "ImageHeight": {"required": True, "type": "int", "min": 1},
     },
 }
 
 DEFAULT_SCHEMA_REGISTRY = {"jhove": JHOVE_STRUCT_SCHEMA, "mix": MIX_STRUCT_SCHEMA}
+
+
+def _compile_schema(schema: dict) -> dict:
+    """Compile a structural schema's regex facets ONCE (the XSD-compile
+    analog — XsdValidator compiles SchemaFactory schemas up front, never
+    per document). Returns a copy with '_pattern_re' / '_attr_pattern_re'
+    entries holding fullmatch-anchored compiled patterns."""
+    out = {**schema, "elements": {}}
+    for path, spec in schema["elements"].items():
+        spec = dict(spec)
+        if "pattern" in spec:
+            spec["_pattern_re"] = re.compile(spec["pattern"])
+        if "attr_patterns" in spec:
+            spec["_attr_pattern_re"] = {
+                a: re.compile(p) for a, p in spec["attr_patterns"].items()
+            }
+        out["elements"][path] = spec
+    return out
 
 
 def _check_element(root, schema: dict, errors: list[str], prefix: str = "") -> None:
@@ -175,17 +207,39 @@ def _check_element(root, schema: dict, errors: list[str], prefix: str = "") -> N
                 errors.append(f"{prefix}missing required element <{path}>")
             continue
         for attr in spec.get("attrs", ()):
-            if el.get(attr) is None:
+            val = el.get(attr)
+            if val is None:
                 errors.append(f"{prefix}<{path}> missing attribute '{attr}'")
+                continue
+            attr_re = spec.get("_attr_pattern_re", {}).get(attr)
+            if attr_re is not None and attr_re.fullmatch(val) is None:
+                errors.append(
+                    f"{prefix}<{path}> attribute '{attr}' value {val!r} "
+                    f"violates pattern facet {attr_re.pattern!r}"
+                )
         text = (el.text or "").strip()
         if spec.get("type") == "int":
             try:
-                int(text)
+                value = int(text)
             except ValueError:
                 errors.append(f"{prefix}<{path}> not an integer: {text!r}")
+            else:
+                # xs:minInclusive / xs:maxInclusive value facets — catch
+                # documents a pure structure check would wrongly accept
+                lo, hi = spec.get("min"), spec.get("max")
+                if lo is not None and value < lo:
+                    errors.append(f"{prefix}<{path}> value {value} < min {lo}")
+                if hi is not None and value > hi:
+                    errors.append(f"{prefix}<{path}> value {value} > max {hi}")
         enum = spec.get("enum")
         if enum is not None and text not in enum:
             errors.append(f"{prefix}<{path}> value {text!r} not in {enum}")
+        pat = spec.get("_pattern_re")
+        if pat is not None and pat.fullmatch(text) is None:
+            errors.append(
+                f"{prefix}<{path}> value {text!r} violates pattern facet "
+                f"{pat.pattern!r}"
+            )
 
 
 class XmlSchemaValidator:
@@ -201,6 +255,10 @@ class XmlSchemaValidator:
     * wrong root element      -> route 'schema_invalid'
     * declared-structure miss -> route 'schema_invalid' (all errors listed,
       the ValidationResult(isValid, errors[]) shape, XsdValidator.kt:324-343)
+    * VALUE facet violations (int range min/max, anchored regex pattern on
+      element text or attributes, enumerations) -> route 'schema_invalid';
+      these documents are structurally perfect and pass a pure structure
+      check — the facet layer is what makes this the real-XSD analog
     * embedded <mix> blocks validated separately against the MIX schema
       (XsdValidator.kt:225-273)
     * everything green        -> route 'ok'
@@ -211,7 +269,13 @@ class XmlSchemaValidator:
 
     def __init__(self, doctype: str = "jhove", xml_col: str = "jhove_xml",
                  registry: dict | None = None):
-        self.registry = registry or DEFAULT_SCHEMA_REGISTRY
+        # compile every schema's regex facets once per ACTOR (the analog
+        # of XsdValidator's one-time SchemaFactory compilation with the
+        # offline resolver)
+        self.registry = {
+            k: _compile_schema(v)
+            for k, v in (registry or DEFAULT_SCHEMA_REGISTRY).items()
+        }
         self.schema = self.registry[doctype]
         self.xml_col = xml_col
 

@@ -73,6 +73,51 @@ def test_enum_violation():
     assert any("repInfo/status" in e for e in errors)
 
 
+def test_range_facet_violation():
+    """A structurally-perfect document whose width is a valid integer but
+    exceeds the xs:maxInclusive facet — only value-level facet checking
+    catches it (the reference's real-XSD behavior, XsdValidator.kt:225-273)."""
+    broken = VALID.replace("<width>800</width>", "<width>999999</width>")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("> max 9999" in e for e in errors)
+
+
+def test_min_facet_violation():
+    broken = VALID.replace("<height>600</height>", "<height>0</height>")
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("< min 1" in e for e in errors)
+
+
+def test_attr_pattern_facet_violation():
+    broken = VALID.replace('uri="docs/', 'uri="DOCS/')
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("violates pattern facet" in e for e in errors)
+
+
+def test_pattern_facet_is_anchored():
+    # a uri that CONTAINS a match but has trailing junk must still fail
+    broken = VALID.replace(
+        'uri="docs/en/doc_000001.txt"', 'uri="docs/en/doc_000001.txt.bak"'
+    )
+    route, errors = _v().validate_one(broken)
+    assert route == "schema_invalid"
+    assert any("pattern facet" in e for e in errors)
+
+
+def test_embedded_mix_range_facet():
+    bad = VALID.replace(
+        "</properties>",
+        "<mix><ImageWidth>0</ImageWidth><ImageHeight>2</ImageHeight></mix>"
+        "</properties>",
+    )
+    route, errors = _v().validate_one(bad)
+    assert route == "schema_invalid"
+    assert any("embedded[0]" in e and "< min 1" in e for e in errors)
+
+
 def test_embedded_mix_validated_separately():
     # the XsdValidator.kt:225-273 analog: MIX blocks get their own schema
     ok = VALID.replace(
