@@ -518,9 +518,30 @@ def q_cdc_repo_manifest_v2(sf_dir: str):
     return _repo_manifest(sf_dir, version=2)
 
 
-def _repo_manifest(sf_dir: str, version: int):
-    from .manifests import build_manifest_model, serialize_manifest
+def q_cdc_repo_manifest_xml(sf_dir: str):
+    """The manifest model serialized to deterministic XML: fixed per-element
+    attribute order, 2-space indent, self-closing empties, single-quoted
+    declaration (the custom writer in MetsBrowsingSerializer.kt:280-412 that
+    makes the byte layout part of the contract). Byte-exact against a SQL
+    oracle that rebuilds the same XML with string_agg."""
+    return _repo_manifest(sf_dir, version=1, fmt="xml")
 
+
+def q_cdc_repo_manifest_xml_v2(sf_dir: str):
+    """Schema-v2 XML from the SAME model (Mets2BrowsingSerializer.kt:8-19
+    analog: new namespace, LOCREF replaces xlink:href, structMap nests in
+    structSec) — one build, two pinned byte-exact XML layouts."""
+    return _repo_manifest(sf_dir, version=2, fmt="xml")
+
+
+def _repo_manifest(sf_dir: str, version: int, fmt: str = "json"):
+    from .manifests import (
+        build_manifest_model,
+        serialize_manifest,
+        serialize_manifest_xml,
+    )
+
+    ser = serialize_manifest if fmt == "json" else serialize_manifest_xml
     final = cdc_final_state(sf_dir, epochs=E)
 
     def per_repo(g: pa.Table) -> pa.Table:
@@ -528,7 +549,7 @@ def _repo_manifest(sf_dir: str, version: int):
         model = build_manifest_model(
             repo, g["path"].to_pylist(), g["content_sha256"].to_pylist()
         )
-        doc = serialize_manifest(model, version=version)
+        doc = ser(model, version=version)
         return pa.Table.from_arrays(
             [
                 pa.array([repo], type=pa.string()),
@@ -971,6 +992,86 @@ CDC_SQL: dict[str, str] = {
                           || content_sha256 || '"}}', ',' ORDER BY path)
                || ']}}' AS manifest
         FROM final GROUP BY repo""",
+    # byte-exact XML rebuild: same escape chain ('&' first), same 2-space
+    # indent, same single-quoted declaration as manifests.serialize_xml_document
+    "cdc_repo_manifest_xml": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        final AS (
+          SELECT repo, path, sha256(content) AS content_sha256
+          FROM ranked WHERE rn = 1 AND op <> 'delete'),
+        seq AS (
+          SELECT repo, path, content_sha256,
+                 row_number() OVER (PARTITION BY repo ORDER BY path) AS seq
+          FROM final),
+        esc AS (
+          SELECT repo, seq, content_sha256,
+                 replace(replace(replace(replace(repo,'&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;') AS erepo,
+                 replace(replace(replace(replace(path,'&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;') AS epath,
+                 'f_' || lpad(CAST(seq AS VARCHAR), 6, '0') AS fid
+          FROM seq)
+        SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+          '<?xml version=''1.0'' encoding=''UTF-8''?>' || chr(10) ||
+          '<mf:manifest xmlns:mf="urn:ray-cdc-lake:manifest:v1" xmlns:xlink="http://www.w3.org/1999/xlink" OBJID="'
+            || max(erepo) || '" N-FILES="' || CAST(count(*) AS VARCHAR) || '">' || chr(10) ||
+          '  <mf:fileSec>' || chr(10) ||
+          '    <mf:fileGrp ID="files">' || chr(10) ||
+          string_agg(
+            '      <mf:file ID="' || fid || '" SEQ="' || CAST(seq AS VARCHAR)
+              || '" CHECKSUM="' || content_sha256 || '" CHECKSUMTYPE="SHA-256">' || chr(10) ||
+            '        <mf:FLocat LOCTYPE="URL" xlink:type="simple" xlink:href="' || epath || '"/>' || chr(10) ||
+            '      </mf:file>', chr(10) ORDER BY seq) || chr(10) ||
+          '    </mf:fileGrp>' || chr(10) ||
+          '  </mf:fileSec>' || chr(10) ||
+          '  <mf:structMap TYPE="physical">' || chr(10) ||
+          '    <mf:div ID="d_' || max(erepo) || '" TYPE="repo">' || chr(10) ||
+          string_agg(
+            '      <mf:div ORDER="' || CAST(seq AS VARCHAR) || '" TYPE="file">' || chr(10) ||
+            '        <mf:fptr FILEID="' || fid || '"/>' || chr(10) ||
+            '      </mf:div>', chr(10) ORDER BY seq) || chr(10) ||
+          '    </mf:div>' || chr(10) ||
+          '  </mf:structMap>' || chr(10) ||
+          '</mf:manifest>' AS manifest
+        FROM esc GROUP BY repo""",
+    "cdc_repo_manifest_xml_v2": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        final AS (
+          SELECT repo, path, sha256(content) AS content_sha256
+          FROM ranked WHERE rn = 1 AND op <> 'delete'),
+        seq AS (
+          SELECT repo, path, content_sha256,
+                 row_number() OVER (PARTITION BY repo ORDER BY path) AS seq
+          FROM final),
+        esc AS (
+          SELECT repo, seq, content_sha256,
+                 replace(replace(replace(replace(repo,'&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;') AS erepo,
+                 replace(replace(replace(replace(path,'&','&amp;'),'<','&lt;'),'>','&gt;'),'"','&quot;') AS epath,
+                 'f_' || lpad(CAST(seq AS VARCHAR), 6, '0') AS fid
+          FROM seq)
+        SELECT repo, CAST(count(*) AS BIGINT) AS n_files,
+          '<?xml version=''1.0'' encoding=''UTF-8''?>' || chr(10) ||
+          '<mf:manifest xmlns:mf="urn:ray-cdc-lake:manifest:v2" OBJID="'
+            || max(erepo) || '" N-FILES="' || CAST(count(*) AS VARCHAR) || '">' || chr(10) ||
+          '  <mf:fileSec>' || chr(10) ||
+          '    <mf:fileGrp ID="files" FILE-COUNT="' || CAST(count(*) AS VARCHAR) || '">' || chr(10) ||
+          string_agg(
+            '      <mf:file ID="' || fid || '" SEQ="' || CAST(seq AS VARCHAR)
+              || '" CHECKSUM="sha256:' || content_sha256 || '">' || chr(10) ||
+            '        <mf:FLocat LOCTYPE="URL" LOCREF="' || epath || '"/>' || chr(10) ||
+            '      </mf:file>', chr(10) ORDER BY seq) || chr(10) ||
+          '    </mf:fileGrp>' || chr(10) ||
+          '  </mf:fileSec>' || chr(10) ||
+          '  <mf:structSec>' || chr(10) ||
+          '    <mf:structMap TYPE="physical">' || chr(10) ||
+          '      <mf:div ID="d_' || max(erepo) || '" TYPE="repo">' || chr(10) ||
+          string_agg(
+            '        <mf:div ORDER="' || CAST(seq AS VARCHAR) || '" TYPE="file">' || chr(10) ||
+            '          <mf:fptr FILEID="' || fid || '"/>' || chr(10) ||
+            '        </mf:div>', chr(10) ORDER BY seq) || chr(10) ||
+          '      </mf:div>' || chr(10) ||
+          '    </mf:structMap>' || chr(10) ||
+          '  </mf:structSec>' || chr(10) ||
+          '</mf:manifest>' AS manifest
+        FROM esc GROUP BY repo""",
     "cdc_schema_evolution": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE}
         SELECT repo, path, "commit", lang, content,
@@ -2831,6 +2932,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_tail_replay": q_cdc_tail_replay,
         "cdc_repo_manifest": q_cdc_repo_manifest,
         "cdc_repo_manifest_v2": q_cdc_repo_manifest_v2,
+        "cdc_repo_manifest_xml": q_cdc_repo_manifest_xml,
+        "cdc_repo_manifest_xml_v2": q_cdc_repo_manifest_xml_v2,
         "cdc_change_batch_compile": q_cdc_change_batch_compile,
         "cdc_extension_discovery": q_cdc_extension_discovery,
         "doc_json_merge": q_doc_json_merge,
