@@ -146,14 +146,22 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         _q._two_txn_lake(sf_dir, "twotxn")
 
         reg, _ = _q.registry()
+        # min-of-N per secondary, like the flagship: single-shot timings on
+        # this shared box swing 2x with co-tenant load (the r2 snapshot
+        # stamped q1_lineitem/dedup_simhash at 2.1x their quiet-box values);
+        # min-of-N rejects the noise without needing a quiet window.
+        qruns = max(1, int(os.environ.get("BENCH_QUERY_RUNS", "2")))
         for name in SECONDARY:
             fn = reg.get(name)
             if fn is None:
                 continue
-            t0 = time.perf_counter()
             try:
-                _consume(fn(sf_dir))
-                queries[name] = round(time.perf_counter() - t0, 3)
+                best = float("inf")
+                for _ in range(qruns):
+                    t0 = time.perf_counter()
+                    _consume(fn(sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                queries[name] = round(best, 3)
             except Exception as ex:  # keep the bench alive; record the failure
                 queries[name] = f"ERROR:{type(ex).__name__}"
 
@@ -246,6 +254,59 @@ def run_scaling() -> dict:
         "all_round_efficiencies": [round(e, 3) for e in effs],
         "criterion": "eff >= 0.8 stands in for N->4N node scaling (BASELINE.md)",
     }
+
+
+def run_only(names: list[str]) -> dict:
+    """Targeted re-measurement: warmup, then ONLY the named registry
+    queries, min-of-BENCH_QUERY_RUNS each, interleaved round-robin so all
+    targets see the same load environment (the paired-A/B method from
+    BASELINE.md applied within one process)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake import queries as _q
+    from ray_cdc_lake.pipeline import derive_event_log
+
+    enable_self_contained_pickling()
+    tune_data_context()
+    _consume(derive_event_log(SF_DIR, epochs=1))  # warmup
+
+    fixture_consumers = {
+        "cdc_time_travel", "cdc_lake_diff", "cdc_delete_prefix",
+        "cdc_incremental_view", "cdc_merge_into", "cdc_ingest_metrics",
+        "cdc_table_stats",
+    }
+    if fixture_consumers & set(names):
+        _q._two_txn_lake(SF_DIR, "twotxn")
+
+    reg, _ = _q.registry()
+    qruns = max(1, int(os.environ.get("BENCH_QUERY_RUNS", "3")))
+    times: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(qruns):
+        for name in names:  # interleaved: same co-tenant load per round
+            t0 = time.perf_counter()
+            _consume(reg[name](SF_DIR))
+            times[name].append(round(time.perf_counter() - t0, 3))
+    out = {
+        "metric": "targeted_requery_min_sec",
+        "value": min(times[names[0]]),
+        "unit": "sec",
+        "queries": {n: min(ts) for n, ts in times.items()},
+        "all_runs": times,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
 
 
 def run_stress(replicate: int = 20, epochs: int = 8) -> dict:
@@ -471,6 +532,9 @@ if __name__ == "__main__":
         print(json.dumps(run_stress()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        print(json.dumps(run_only(names)))
     elif "--one" in sys.argv:
         # single fresh-process run at $RAY_GRAFT_CPUS, flagship only
         print(json.dumps(run_suite(SF_DIR, NUM_CPUS, flagship_only=True)))
