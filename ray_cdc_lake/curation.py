@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .kernels import md5_hex
 from .sources import read_table
 
 LEHMER_A = 48271
@@ -655,7 +656,6 @@ def q_corpus_recipe(sf_dir: str):
     the packed string IS min by doc_id — so no second join is needed to
     recover the keeper's attributes."""
     from ray.data.aggregate import Min
-    import hashlib
 
     def redact_keep(batch: pa.Table) -> pa.Table:
         t2, _ = redact_text(batch["text"])
@@ -665,10 +665,7 @@ def q_corpus_recipe(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         # md5 has no Arrow kernel — the one per-row loop in this pipeline
-        md5s = pa.array(
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch["redacted"].to_pylist()
-        )
+        md5s = md5_hex(batch["redacted"])
         # zero-padded doc_id prefix -> lexicographic min == numeric min;
         # built with Arrow kernels (lpad + elementwise join), no row loop
         packed = pc.binary_join_element_wise(
@@ -717,16 +714,12 @@ def q_corpus_funnel(sf_dir: str):
     reduced in ONE ``Dataset.sum`` over indicator columns (a scalar
     result, no driver-side data). The ``input`` count is parquet
     metadata only."""
-    import hashlib
-
     from ray.data.aggregate import Min, Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         kept = mixture_filter(batch)
         t2, _ = redact_text(kept["text"])
-        md5s = pa.array(
-            hashlib.md5(t.encode("utf-8")).hexdigest() for t in t2.to_pylist()
-        )
+        md5s = md5_hex(t2)
         w = pc.utf8_lpad(pc.cast(kept["doc_id"], pa.string()), 20, "0")
         t = pa.table({"h": md5s, "w": w})
         g = t.group_by("h").aggregate([("w", "count"), ("w", "min")])

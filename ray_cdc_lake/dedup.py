@@ -31,6 +31,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+from .kernels import md5_hex, md5_hex_prefix
 from .similarity import embedding_matrix
 from .sources import read_table
 
@@ -85,9 +86,8 @@ def q_dedup_exact(sf_dir: str):
     def hash_and_partial(batch: pa.Table) -> pa.Table:
         import polars as pl
 
-        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
         t = pa.Table.from_arrays(
-            [pa.array(md5s, type=pa.string()), batch["doc_id"]],
+            [md5_hex(batch["text"]), batch["doc_id"]],
             names=["text_md5", "doc_id"],
         )
         # per-batch combiner: one row per hash leaves the batch
@@ -1152,16 +1152,12 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
     corpus = corpus_ds(sf_dir)
 
     def add_md5_bucket(b: pa.Table) -> pa.Table:
-        md5s = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in b["text"].to_pylist()
-        ]
-        bucket = np.array(
-            [int(m[:8], 16) % NUM_PAIR_BUCKETS for m in md5s], dtype=np.int64
+        # nbytes=4/'big' == int(hex[:8], 16): the SQL-oracle-visible bucket
+        md5s, pref = md5_hex_prefix(b["text"], nbytes=4, byteorder="big")
+        bucket = (pref % NUM_PAIR_BUCKETS).astype(np.int64)
+        return b.append_column("text_md5", md5s).append_column(
+            "_hb", pa.array(bucket)
         )
-        return b.append_column(
-            "text_md5", pa.array(md5s, type=pa.string())
-        ).append_column("_hb", pa.array(bucket))
 
     def keep_min_per_hash(g: pa.Table) -> pa.Table:
         import polars as pl
@@ -1362,17 +1358,11 @@ def q_dedup_incremental(sf_dir: str):
         """The ONE md5 pass: texts leave the pipeline here; everything
         downstream works on (doc_id, h, u64, even) metadata."""
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        hexes = []
-        u64 = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            d = hashlib.md5(t.encode("utf-8")).digest()
-            hexes.append(d.hex())
-            u64[i] = int.from_bytes(d[:8], "little")
+        hexes, u64 = md5_hex_prefix(batch["text"], nbytes=8, byteorder="little")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "h": pa.array(hexes, type=pa.string()),
+                "h": hexes,
                 "u64": pa.array(u64),
                 "even": pa.array(ids % 2 == 0),
             }

@@ -35,21 +35,15 @@ Python is the md5 of a short key string.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .kernels import md5_hex
 from .schemas import COMPILED_SCHEMA, DEFAULT_EPOCHS, EVENT_SCHEMA
 
 STRIDE = 10_000_000  # lsn stride per epoch (epoch-major global LSN order)
 TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch microseconds
-
-
-def _md5_hex(keys: list[bytes]) -> list[str]:
-    md5 = hashlib.md5
-    return [md5(k).hexdigest() for k in keys]
 
 
 class DeriveEvents:
@@ -193,9 +187,7 @@ def _events_table(lsn, op, repo, path, new_path, lang, content) -> pa.Table:
     )
     # bytes straight out of Arrow (keys are ASCII): skips a per-row
     # str.encode in the md5 loop — the only per-row Python here
-    commit = pa.array(
-        _md5_hex(pc.cast(key, pa.binary()).to_pylist()), type=pa.string()
-    )
+    commit = md5_hex(pc.cast(key, pa.binary()))
     ts = pa.array(
         (TS_BASE_US + np.asarray(lsn, dtype=np.int64)).astype("datetime64[us]")
     )

@@ -67,3 +67,54 @@ def _winner_per_key(t: pa.Table, keys: list[str]) -> pa.Table:
     if added_rank:
         t = t.drop_columns(["_op_rank"])
     return t
+
+
+# ---------------------------------------------------------------------------
+# Content hashing — THE md5 code path
+# ---------------------------------------------------------------------------
+# Arrow has no md5 kernel and the SQL oracles use DuckDB's md5(), so content
+# hashing is necessarily a per-row Python loop.  It lives HERE, once, so every
+# stage (exact dedup, curation partials, incremental-ingest projection, event
+# commit ids) shares one loop whose behavior and cost are audited in one
+# place.  Nulls fail loudly (AttributeError) — a null content column is a
+# data bug upstream, not something to hash around.
+
+
+def _iter_utf8(values):
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    for v in values:
+        yield v if isinstance(v, (bytes, bytearray)) else v.encode("utf-8")
+
+
+def md5_hex(values) -> pa.Array:
+    """Hex digests as ``pa.string()``; matches DuckDB ``md5(col)`` exactly.
+
+    ``values``: a pyarrow string/binary Array/ChunkedArray, or any iterable
+    of ``str``/``bytes``.
+    """
+    import hashlib
+
+    md5 = hashlib.md5
+    return pa.array([md5(b).hexdigest() for b in _iter_utf8(values)], type=pa.string())
+
+
+def md5_hex_prefix(values, nbytes: int = 8, byteorder: str = "little"):
+    """One digest pass -> ``(hex pa.Array, uint64 prefix ndarray)``.
+
+    The prefix is ``int.from_bytes(digest[:nbytes], byteorder)`` — with
+    ``nbytes=4, byteorder='big'`` it equals ``int(hex[:8], 16)`` (the
+    SQL-oracle-visible bucket derivation); with ``nbytes=8, 'little'`` it is
+    the u64 used by bloom filters and co-partitioning.  Sites that need both
+    hex and a numeric key call this instead of hashing twice.
+    """
+    import hashlib
+
+    md5 = hashlib.md5
+    hexes: list[str] = []
+    out = []
+    for b in _iter_utf8(values):
+        d = md5(b).digest()
+        hexes.append(d.hex())
+        out.append(int.from_bytes(d[:nbytes], byteorder))
+    return pa.array(hexes, type=pa.string()), np.array(out, dtype=np.uint64)
