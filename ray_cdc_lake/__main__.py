@@ -104,6 +104,22 @@ def cmd_vacuum(a) -> int:
     return 0
 
 
+def cmd_delete_where(a) -> int:
+    from .sink import delete_where
+
+    m = delete_where(a.lake, a.txn, a.column, a.op, a.value)
+    print(
+        json.dumps(
+            {
+                "lake": a.lake,
+                "version": m.version,
+                "active_deletes": len(m.deletes),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_metrics(a) -> int:
     from .sink import read_manifest
 
@@ -189,6 +205,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
     common(sp, buckets=False)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "delete-where", help="metadata-only predicate delete (merge-on-read)"
+    )
+    sp.add_argument("lake")
+    sp.add_argument("txn", help="delete txn id (idempotence key)")
+    sp.add_argument("column")
+    sp.add_argument("op", choices=["==", "prefix"])
+    sp.add_argument("value")
+    sp.set_defaults(fn=cmd_delete_where)
 
     sp = sub.add_parser("metrics", help="print lineage + ingest metrics")
     common(sp, buckets=False)

@@ -42,7 +42,10 @@ SURVEY.md §2 coverage map (operator id -> query name):
   §7 step 8 schema   -> cdc_schema_evolution (column add through the sink),
                         cdc_schema_widening (int32 -> float64 retype)
   time travel/diff   -> cdc_time_travel (pinned manifest version),
-                        cdc_lake_diff (change feed between versions)
+                        cdc_lake_diff (key-level diff between versions),
+                        cdc_change_feed (CDF with pre/post images, per
+                        _commit_version), cdc_predicate_delete
+                        (metadata-only merge-on-read delete files)
   §2.10 extension    -> steps_pipeline (declared step-registry flow)
   G1 summary agg     -> validation_summary
   G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest +
@@ -734,6 +737,34 @@ def q_cdc_lake_diff(sf_dir: str):
     return lake_diff(lake, 1, 2)
 
 
+def q_cdc_change_feed(sf_dir: str):
+    """Change-data-feed read with pre/post images (checkpoint.change_feed):
+    the consumable per-version change stream between committed snapshots —
+    inserts/deletes carry the row image, updates emit BOTH the pre- and
+    post-image, every row stamped with the producing _commit_version.
+    Content bytes are proven by sha256 (the per-row invariant)."""
+    from .checkpoint import change_feed
+
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
+    feed = change_feed(lake, 1, 2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            [
+                "repo",
+                "path",
+                "_change_type",
+                "_commit_version",
+                "commit",
+                "lsn",
+                "content_sha256",
+            ]
+        )
+
+    return feed.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_delete_prefix(sf_dir: str):
     """Delete-by-prefix as a maintenance txn (S2,
     DeleteAllS3ObjectsByPrefix.kt:25-129 incl. the sibling-prefix guard):
@@ -744,6 +775,26 @@ def q_cdc_delete_prefix(sf_dir: str):
 
     lake, _ = _two_txn_lake(sf_dir, "twotxn")
     delete_by_prefix(lake, "docs/de", "txn-del-de")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
+def q_cdc_predicate_delete(sf_dir: str):
+    """Metadata-only predicate deletes (sink.delete_where, merge-on-read):
+    two delete FILES — repo == 'src3' and path prefix 'docs/de/' — are
+    committed against the final-state lake without rewriting a single data
+    file; the surviving live state is read back with both predicates
+    applied at read time. The O(manifest) GDPR-eraser path, vs
+    cdc_delete_prefix's per-key tombstone txn."""
+    from .sink import delete_where, read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "predel")
+    delete_where(lake, "txn-del-src3", "repo", "==", "src3")
+    delete_where(lake, "txn-del-docs-de", "path", "prefix", "docs/de/")
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
@@ -968,6 +1019,46 @@ CDC_SQL: dict[str, str] = {
         FROM s_old o FULL OUTER JOIN s_new n
           ON o.repo = n.repo AND o.path = n.path
         WHERE o.repo IS NULL OR n.repo IS NULL OR o.lsn <> n.lsn""",
+    "cdc_change_feed": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        old_ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn2
+          FROM normalized WHERE lsn < 2*{STRIDE_SQL}),
+        s_old AS (SELECT repo, path, "commit", lsn, content FROM old_ranked
+                  WHERE rn2 = 1 AND op <> 'delete'),
+        s_new AS (SELECT repo, path, "commit", lsn, content FROM ranked
+                  WHERE rn = 1 AND op <> 'delete'),
+        j AS (
+          SELECT o.repo AS orepo, o.path AS opath, o."commit" AS ocommit,
+                 o.lsn AS olsn, o.content AS ocontent,
+                 n.repo AS nrepo, n.path AS npath, n."commit" AS ncommit,
+                 n.lsn AS nlsn, n.content AS ncontent
+          FROM s_old o FULL OUTER JOIN s_new n
+            ON o.repo = n.repo AND o.path = n.path)
+        SELECT nrepo AS repo, npath AS path, 'insert' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version, ncommit AS "commit",
+               nlsn AS lsn, sha256(ncontent) AS content_sha256
+        FROM j WHERE olsn IS NULL
+        UNION ALL
+        SELECT orepo, opath, 'delete', CAST(2 AS BIGINT), ocommit, olsn,
+               sha256(ocontent)
+        FROM j WHERE nlsn IS NULL
+        UNION ALL
+        SELECT orepo, opath, 'update_preimage', CAST(2 AS BIGINT), ocommit,
+               olsn, sha256(ocontent)
+        FROM j WHERE olsn IS NOT NULL AND nlsn IS NOT NULL AND olsn <> nlsn
+        UNION ALL
+        SELECT nrepo, npath, 'update_postimage', CAST(2 AS BIGINT), ncommit,
+               nlsn, sha256(ncontent)
+        FROM j WHERE olsn IS NOT NULL AND nlsn IS NOT NULL AND olsn <> nlsn""",
+    "cdc_predicate_delete": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND repo <> 'src3' AND path NOT LIKE 'docs/de/%'""",
     "cdc_repo_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         final AS (
@@ -2927,6 +3018,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_table_stats": q_cdc_table_stats,
         "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
+        "cdc_change_feed": q_cdc_change_feed,
+        "cdc_predicate_delete": q_cdc_predicate_delete,
         "cdc_branch_isolation": q_cdc_branch_isolation,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,

@@ -40,6 +40,7 @@ import time
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .kernels import _winner_per_key
@@ -269,6 +270,16 @@ class Manifest:
     # the bucket's previous watermark), NOT the copy-on-write rewrite
     # size. Old manifests without the key read back as {}.
     metrics: dict[str, dict] = field(default_factory=dict)
+    # predicate-delete files (merge-on-read, Iceberg-v2-equality-delete
+    # shape): each entry {"txn_id", "column", "op", "value", "owners"}
+    # filters matching rows AT READ TIME from every bucket whose owning
+    # txn still equals owners[bucket] (the snapshot taken when the delete
+    # committed). A later apply rewrites its buckets with deletes applied
+    # (read_lake is the merge input), so the entry deactivates there and
+    # freshly upserted matching rows correctly SURVIVE. Entries with no
+    # active bucket left are pruned at the next commit; compact()
+    # materializes and clears all of them. Old manifests read back as [].
+    deletes: list[dict] = field(default_factory=list)
 
     def hwm(self) -> dict[int, int]:
         return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
@@ -340,6 +351,7 @@ def read_manifest(
         schema_fields=d.get("schema_fields", []),
         num_buckets=d.get("num_buckets", 0),
         metrics=d.get("metrics", {}),
+        deletes=d.get("deletes", []),
     )
 
 
@@ -377,6 +389,7 @@ def _publish(
         "schema_fields": m.schema_fields,
         "num_buckets": m.num_buckets,
         "metrics": m.metrics,
+        "deletes": m.deletes,
         "committed_at": time.time(),
     }
     tmp = mpath + f".tmp-{os.getpid()}"
@@ -515,6 +528,7 @@ def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Ma
         schema_fields=b.schema_fields,
         num_buckets=b.num_buckets,
         metrics=b.metrics,
+        deletes=b.deletes,
     )
     _publish(lake_dir, merged, store=store)
     return merged
@@ -595,17 +609,133 @@ def commit_txn(
     # commit point: version+1 in the BRANCH's own manifest-file namespace —
     # two writers racing on the same head claim the same filename, and
     # claim_with_content arbitrates exactly one winner (the loser retries)
+    new_buckets = {**manifest.buckets, **bucket_stats}
     new = Manifest(
         version=manifest.version + 1,
-        buckets={**manifest.buckets, **bucket_stats},
+        buckets=new_buckets,
         txns=[*manifest.txns, txn_id],
         schema_version=manifest.schema_version,
         schema_fields=manifest.schema_fields,
         num_buckets=num_buckets if num_buckets is not None else manifest.num_buckets,
         metrics=metrics,
+        # a rewritten bucket was merged from a read WITH deletes applied,
+        # so its entry deactivates there; fully-inactive entries drop out
+        deletes=[
+            e for e in manifest.deletes if _active_delete_buckets(e, new_buckets)
+        ],
     )
     _publish(lake_dir, new, store=store, branch=branch)
     return new
+
+
+#: predicate operators delete_where supports ('==' exact match, 'prefix'
+#: string prefix). Small on purpose: every op must be evaluable both as an
+#: Arrow kernel at read time and by downstream SQL oracles.
+DELETE_OPS = ("==", "prefix")
+
+
+def _active_delete_buckets(entry: dict, buckets: dict[str, dict]) -> list[str]:
+    """Buckets a predicate-delete entry still applies to: those whose
+    owning txn is unchanged since the delete committed (a rewritten
+    bucket was merged with the delete already applied)."""
+    return [
+        b
+        for b, owner in entry.get("owners", {}).items()
+        if buckets.get(b, {}).get("txn_id") == owner
+    ]
+
+
+def _delete_predicate_mask(t, entry: dict):
+    """Boolean mask (Arrow) of rows MATCHING the delete predicate —
+    nulls in the predicate column never match (they survive)."""
+    col = t[entry["column"]]
+    if entry["op"] == "==":
+        mask = pc.equal(col, entry["value"])
+    elif entry["op"] == "prefix":
+        mask = pc.starts_with(col, entry["value"])
+    else:  # manifest written by a newer engine version — fail loudly
+        raise ValueError(f"unknown delete predicate op {entry['op']!r}")
+    return pc.fill_null(mask, False)
+
+
+def delete_where(
+    lake_dir: str,
+    txn_id: str,
+    column: str,
+    op: str,
+    value: str,
+    store: LakeStore | None = None,
+    branch: str | None = None,
+    max_attempts: int = 5,
+) -> Manifest:
+    """METADATA-ONLY predicate delete (merge-on-read): commit a delete
+    file ``column op value`` into the manifest without touching any data
+    file — O(manifest), not O(data). Matching rows disappear from every
+    read (read_lake, read_key, and therefore every later merge input)
+    immediately; each bucket physically materializes the delete the next
+    time an apply or compact() rewrites it, at which point the entry
+    deactivates for that bucket — so a LATER upsert of a matching key
+    correctly survives (Iceberg-v2 equality-delete sequencing).
+
+    Exactly-once by txn id like commit_txn; optimistic-concurrency
+    retries internally (metadata-only, so a retry is cheap).
+
+    The instant-wipe half of the reference's delete-by-prefix processor
+    (DeleteAllS3ObjectsByPrefix.kt:25-129): where checkpoint.delete_by_prefix
+    tombstones each key through the merge (per-key feed, audit trail in
+    the event log), this removes an arbitrary predicate's rows in one
+    manifest write — the GDPR-eraser shape that must not rewrite 100 TB."""
+    store = store or _DEFAULT_STORE
+    if "--" in txn_id:
+        raise ValueError(
+            f"txn id {txn_id!r} contains the reserved branch separator '--'"
+        )
+    if op not in DELETE_OPS:
+        raise ValueError(f"op must be one of {DELETE_OPS}, got {op!r}")
+    if branch is not None and branch != "main":
+        if not store.exists(
+            os.path.join(lake_dir, MANIFEST_DIR, _pointer_name(branch))
+        ):
+            raise FileNotFoundError(
+                f"no branch {branch!r} in {lake_dir} — create_branch first"
+            )
+        txn_id = f"{branch}--{txn_id}"
+
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        manifest = read_manifest(lake_dir, store=store, branch=branch)
+        if txn_id in manifest.txns:
+            return manifest  # re-delivered delete = no-op
+        entry = {
+            "txn_id": txn_id,
+            "column": column,
+            "op": op,
+            "value": value,
+            "owners": {
+                b: info["txn_id"] for b, info in manifest.buckets.items()
+            },
+        }
+        new = Manifest(
+            version=manifest.version + 1,
+            buckets=manifest.buckets,
+            txns=[*manifest.txns, txn_id],
+            schema_version=manifest.schema_version,
+            schema_fields=manifest.schema_fields,
+            num_buckets=manifest.num_buckets,
+            metrics=manifest.metrics,
+            deletes=[
+                e
+                for e in manifest.deletes
+                if _active_delete_buckets(e, manifest.buckets)
+            ]
+            + [entry],
+        )
+        try:
+            _publish(lake_dir, new, store=store, branch=branch)
+            return new
+        except CommitConflict as exc:  # another writer won this version
+            last = exc
+    raise last
 
 
 # Per-txn lineage metrics kept IN the manifest. Without a bound every
@@ -778,6 +908,13 @@ def read_lake(
 
     store = store or _DEFAULT_STORE
     m = read_manifest(lake_dir, store=store, version=version, branch=branch)
+    # predicate-delete files still active under THIS manifest (version
+    # pinning gives each snapshot its own consistent delete set)
+    active_deletes = []
+    for e in m.deletes:
+        ab = _active_delete_buckets(e, m.buckets)
+        if ab:
+            active_deletes.append((e, sorted(ab)))
     dirs = m.data_dirs(lake_dir)
     if not dirs:
         if m.version == 0:
@@ -820,13 +957,44 @@ def read_lake(
     read_cols = None
     if columns is not None:
         # the live filter needs 'op' even when the caller didn't ask for
-        # it — read it, drop it again in strip()
+        # it — read it, drop it again in strip(). Active predicate
+        # deletes likewise need their predicate column plus the key
+        # columns (bucket scoping recomputes the stable key hash when
+        # hive inference doesn't surface the partition column).
         read_cols = list(columns)
         if live_only and "op" not in read_cols:
             read_cols.append("op")
+        if active_deletes:
+            need = {"repo", "path"} | {e["column"] for e, _ in active_deletes}
+            for extra in sorted(need):
+                if extra not in read_cols:
+                    read_cols.append(extra)
     ds = rd.read_parquet(files, filesystem=store.fs, columns=read_cols, filter=filter)
+    num_buckets_hint = m.num_buckets or (
+        max((int(b) for b in m.buckets), default=0) + 1
+    )
 
     def strip(t):
+        import pyarrow as pa
+
+        if active_deletes:
+            # scope each delete to the buckets it is still active for
+            if "bucket" in t.column_names:
+                bvals = pc.cast(t["bucket"], pa.string())
+            else:
+                from .transforms import add_bucket
+
+                bvals = pc.cast(
+                    add_bucket(t, num_buckets_hint)["bucket"], pa.string()
+                )
+            drop = None
+            for e, ab in active_deletes:
+                d = pc.and_(
+                    pc.is_in(bvals, value_set=pa.array(ab, type=pa.string())),
+                    _delete_predicate_mask(t, e),
+                )
+                drop = d if drop is None else pc.or_(drop, d)
+            t = t.filter(pc.invert(drop))
         # hive-partition inference re-adds 'bucket' from the dir name;
         # drop it (merge stages recompute it from the stable key hash)
         if "bucket" in t.column_names and (columns is None or "bucket" not in columns):
@@ -899,7 +1067,17 @@ def read_key(
     w = _winner_per_key(t, ["repo", "path"])
     if w.num_rows == 0 or w["op"][0].as_py() == "delete":
         return None
-    return {c: w[c][0].as_py() for c in w.column_names}
+    out = {c: w[c][0].as_py() for c in w.column_names}
+    # predicate-delete files (merge-on-read) hide the row from point
+    # lookups exactly like from scans — same bucket-owner scoping
+    for e in m.deletes:
+        if (
+            e.get("owners", {}).get(str(bucket)) == info["txn_id"]
+            and e["column"] in out
+            and _delete_predicate_mask(w, e)[0].as_py()
+        ):
+            return None
+    return out
 
 
 def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:

@@ -48,3 +48,16 @@ def test_cli_branch_roundtrip(tmp_path, capsys):
     assert out["dev"] == out["main"]
     assert main(["branch", "--lake", lake, "--merge", "dev"]) == 0
     assert main(["branch", "--lake", lake, "--delete", "dev"]) == 0
+
+
+def test_cli_delete_where(tmp_path, capsys):
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import read_lake
+    from tests.test_sink_resume import SEG_A, ev_ds
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))
+    assert main(["delete-where", lake, "del-r1", "repo", "==", "r1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["version"] == 2 and out["active_deletes"] == 1
+    assert set(read_lake(lake).to_pandas()["repo"]) == {"r2"}

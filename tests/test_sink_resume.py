@@ -471,3 +471,115 @@ def test_apply_rejects_mismatched_bucket_modulus(tmp_path):
     # same modulus still applies fine
     apply_incremental(lake, "txn-2", ev_ds(SEG_B), num_buckets=4)
     assert lake_state(lake) == EXPECT_AB
+
+
+def test_change_feed_images_and_versions(tmp_path):
+    """change_feed emits the Delta-CDF row set: insert/delete rows carry
+    the row image, updates emit pre+post images, and every row is stamped
+    with the manifest version whose commit produced it. Keys untouched by
+    a version step never appear in that step's slice."""
+    from ray_cdc_lake.checkpoint import change_feed
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))  # -> version 1
+    apply_incremental(lake, "t2", ev_ds(SEG_B))  # -> version 2
+    seg_c = [(8, "update", "r1", "d.py", "D2")]
+    apply_incremental(lake, "t3", ev_ds(seg_c))  # -> version 3
+
+    feed = change_feed(lake, 1, 3).to_pandas().to_dict("records")
+    rows = {
+        (r["repo"], r["path"], r["_change_type"], r["_commit_version"]): r
+        for r in feed
+    }
+    assert len(rows) == len(feed)  # no duplicate change rows
+
+    # v1 -> v2: delete carries the LAST LIVE image
+    d = rows[("r1", "b.py", "delete", 2)]
+    assert d["content"] == "B1" and d["lsn"] == 2
+    # update: pre-image = old winner, post-image = new winner
+    assert rows[("r2", "c.py", "update_preimage", 2)]["content"] == "C1"
+    assert rows[("r2", "c.py", "update_postimage", 2)]["content"] == "C2"
+    assert rows[("r1", "d.py", "insert", 2)]["content"] == "D1"
+    # v2 -> v3: only d.py changed
+    assert rows[("r1", "d.py", "update_preimage", 3)]["content"] == "D1"
+    assert rows[("r1", "d.py", "update_postimage", 3)]["content"] == "D2"
+    assert sum(1 for k in rows if k[3] == 2) == 4
+    assert sum(1 for k in rows if k[3] == 3) == 2
+    # a.py never changed after v1 -> absent from the feed entirely
+    assert not any(k[1] == "a.py" for k in rows)
+
+    with pytest.raises(ValueError, match="from_version"):
+        change_feed(lake, 2, 2)
+
+
+def test_delete_where_metadata_only_and_point_lookup(tmp_path):
+    """delete_where commits a predicate-delete FILE: no data rewrite (all
+    bucket owners unchanged), matching rows gone from scans and point
+    lookups immediately, idempotent under the same txn id, and pinned
+    pre-delete snapshots unaffected."""
+    from ray_cdc_lake.sink import delete_where, read_key
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))
+    m1 = read_manifest(lake)
+
+    m2 = delete_where(lake, "del-r1", "repo", "==", "r1")
+    owners = lambda m: {b: i["txn_id"] for b, i in m.buckets.items()}  # noqa: E731
+    assert owners(m2) == owners(m1)  # metadata-only: zero data files touched
+    st = lake_state(lake)
+    assert all(repo != "r1" for repo, _ in st) and ("r2", "c.py") in st
+    assert read_key(lake, "r1", "a.py") is None
+    assert read_key(lake, "r2", "c.py") is not None
+    # column-pruned reads still apply the delete
+    repos = set(
+        read_lake(lake, columns=["content"]).to_pandas()["content"]
+    )
+    assert repos == {"C1"}
+    # idempotent re-delivery
+    assert delete_where(lake, "del-r1", "repo", "==", "r1").version == m2.version
+    # the pinned pre-delete snapshot still shows r1 (immutable manifests)
+    v1 = read_lake(lake, version=1).to_pandas()
+    assert "r1" in set(v1["repo"])
+    with pytest.raises(ValueError, match="op"):
+        delete_where(lake, "del-x", "repo", "<", "r1")
+    with pytest.raises(ValueError, match="separator"):
+        delete_where(lake, "a--b", "repo", "==", "r1")
+
+
+def test_delete_where_later_upsert_survives(tmp_path):
+    """Iceberg-v2 sequencing: a delete file applies only to data older
+    than itself. A later apply rewrites its buckets with the delete
+    materialized, deactivating the entry there — so a fresh upsert of a
+    matching key survives while untouched matching rows stay deleted."""
+    from ray_cdc_lake.sink import delete_where
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A), num_buckets=1)
+    delete_where(lake, "del-r1", "repo", "==", "r1")
+    apply_incremental(
+        lake, "t2", ev_ds([(10, "insert", "r1", "a.py", "A3")]), num_buckets=1
+    )
+    st = lake_state(lake)
+    assert st[("r1", "a.py")] == (10, "A3")  # re-insert wins over old delete
+    assert ("r1", "b.py") not in st  # deleted before the rewrite, stays gone
+    assert st[("r2", "c.py")] == (3, "C1")
+    # the single bucket was rewritten -> the entry is fully inactive & pruned
+    assert read_manifest(lake).deletes == []
+
+
+def test_delete_where_prefix_and_compact_materializes(tmp_path):
+    """prefix predicates; compact() rewrites every bucket with deletes
+    applied and clears the manifest's delete list; state is preserved."""
+    from ray_cdc_lake.checkpoint import compact
+    from ray_cdc_lake.sink import delete_where
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))
+    apply_incremental(lake, "t2", ev_ds(SEG_B))
+    delete_where(lake, "del-a-prefix", "path", "prefix", "a.")
+    before = lake_state(lake)
+    assert ("r1", "a.py") not in before and ("r1", "d.py") in before
+    assert read_manifest(lake).deletes  # still merge-on-read
+    compact(lake)
+    assert read_manifest(lake).deletes == []  # materialized
+    assert lake_state(lake) == before
