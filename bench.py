@@ -71,6 +71,8 @@ SECONDARY = [
     "mm_feature_extract",
     "corpus_contamination_ngram",
     "cdc_replay_committed",  # the exactly-once sink write path
+    "cdc_change_feed",  # CDF read with pre/post images
+    "cdc_predicate_delete",  # metadata-only merge-on-read delete
 ]
 
 
@@ -283,7 +285,7 @@ def run_only(names: list[str]) -> dict:
     fixture_consumers = {
         "cdc_time_travel", "cdc_lake_diff", "cdc_delete_prefix",
         "cdc_incremental_view", "cdc_merge_into", "cdc_ingest_metrics",
-        "cdc_table_stats",
+        "cdc_table_stats", "cdc_change_feed",
     }
     if fixture_consumers & set(names):
         _q._two_txn_lake(SF_DIR, "twotxn")

@@ -36,6 +36,8 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pyarrow as pa
+
+from .kernels import import_polars as _pl
 import pyarrow.compute as pc
 
 from .events import STRIDE
@@ -75,7 +77,7 @@ def q_cdc_scd2_history(sf_dir: str):
     )
 
     def scd2_bucket(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(g.drop_columns(["bucket"])).unique(
             subset=["repo", "path", "lsn", "op", "commit"]
@@ -141,7 +143,7 @@ def patch_reduce(t: pa.Table) -> pa.Table:
     """Per-column LWW fold: for each key keep each column's value at its
     max carrying LSN. Associative/commutative — the same kernel is the
     map-side combiner AND the per-bucket reduce."""
-    import polars as pl
+    pl = _pl()
 
     cols = [c for c in t.column_names if c != "bucket"]
     out = (
@@ -259,7 +261,7 @@ def q_events_watermark(sf_dir: str):
         )
 
     def range_max(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch.select(["rng", "event_ts"]))
@@ -335,7 +337,7 @@ def q_cdc_incremental_view(sf_dir: str):
 
     def live_partial():
         def fn(batch: pa.Table) -> pa.Table:
-            import polars as pl
+            pl = _pl()
 
             df = pl.from_arrow(batch.select(["repo", "content"]))
             return (
@@ -390,7 +392,7 @@ def q_cdc_incremental_view(sf_dir: str):
     )
 
     def bucket_delta(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(g.drop_columns(["bucket"]))
         k = df.group_by(["repo", "path"]).agg(
@@ -517,7 +519,7 @@ def merge_rules(g: pa.Table) -> pa.Table:
     """The vectorized MERGE rule table over one co-located bucket of
     tagged rows (_side: tgt|src). Module-level so the property tests can
     drive it on arbitrary inputs (tests/test_cdc_views.py)."""
-    import polars as pl
+    pl = _pl()
 
     df = pl.from_arrow(g.drop_columns(["bucket"]) if "bucket" in g.column_names else g)
     t = df.filter(pl.col("_side") == "tgt").drop("_side", "op")

@@ -18,6 +18,8 @@ from typing import TYPE_CHECKING
 import numpy as np
 import pyarrow as pa
 
+from .kernels import import_polars as _pl
+
 from .merge import lww_winners_keep_bucket, partial_lww
 from .schemas import DEFAULT_NUM_BUCKETS
 from .sink import Manifest, commit_txn, read_lake, read_manifest
@@ -330,7 +332,7 @@ def lake_diff(
     )
 
     def diff_bucket(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(g.drop_columns(["bucket"]))
         p = df.group_by(["repo", "path"]).agg(
@@ -414,7 +416,7 @@ def change_feed(
 
     def feed_bucket_for(version: int):
         def feed_bucket(g: pa.Table) -> pa.Table:
-            import polars as pl
+            pl = _pl()
 
             df = pl.from_arrow(g.drop_columns(["bucket"]))
             old = df.filter(pl.col("_src") == "old").drop("_src")

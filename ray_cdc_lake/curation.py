@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .kernels import md5_hex
+from .kernels import import_polars as _pl
 from .sources import read_table
 
 LEHMER_A = 48271
@@ -447,7 +448,7 @@ def q_semi_join_bloom(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
     def prefilter(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         bits = get_broadcast(bits_ref)
         keys = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -525,7 +526,7 @@ def q_corpus_contamination(sf_dir: str):
     ref = ray.put(bench_terms.to_pylist())
 
     def score(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         bench = get_broadcast(ref)  # list[str] of benchmark tokens
         df = (
@@ -791,7 +792,7 @@ def q_corpus_mixture_weights(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -1037,7 +1038,7 @@ def q_text_seg_dedup(sf_dir: str):
         )
 
     def bucket_dups(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g)

@@ -32,6 +32,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 from .kernels import md5_hex, md5_hex_prefix
+from .kernels import import_polars as _pl
 from .similarity import embedding_matrix
 from .sources import read_table
 
@@ -84,7 +85,7 @@ def q_dedup_exact(sf_dir: str):
     ds = corpus_ds(sf_dir)
 
     def hash_and_partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         t = pa.Table.from_arrays(
             [md5_hex(batch["text"]), batch["doc_id"]],
@@ -324,7 +325,7 @@ def _dedup_pairs(pairs, num_buckets: int = 64):
         )
 
     def uniq(group: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(group.drop_columns(["pair_bucket"]))
@@ -634,7 +635,7 @@ def _canonical_distinct(edges):
     signature; bucketed unique (no one-group-per-edge)."""
 
     def uniq(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g.drop_columns(["_cb"]))
@@ -760,7 +761,7 @@ def connected_components(pairs, max_rounds: int = 12,
     root_rows = members.map_batches(roots, batch_format="pyarrow")
 
     def uniq(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g.drop_columns(["_cb"]))
@@ -1085,7 +1086,7 @@ def q_dedup_semantic(
     )
 
     def survivors(group: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         g = (
             pl.from_arrow(group.select(["vec_id", "won"]))
@@ -1160,7 +1161,7 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         )
 
     def keep_min_per_hash(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g.drop_columns(["_hb"]))

@@ -118,3 +118,26 @@ def md5_hex_prefix(values, nbytes: int = 8, byteorder: str = "little"):
         hexes.append(d.hex())
         out.append(int.from_bytes(d[:nbytes], byteorder))
     return pa.array(hexes, type=pa.string()), np.array(out, dtype=np.uint64)
+
+
+def import_polars():
+    """Import polars capped to ONE internal thread per process (must be
+    set before the first import anywhere in the process; a no-op if
+    something already imported it).
+
+    Why: every per-group UDF here runs inside a Ray worker PROCESS, and
+    32 workers each spawning a full-width rayon pool thrash the same 32
+    cores — measured 19.7 ms -> 0.94 ms for one 50-row ``group_by.agg``
+    call once capped. Parallelism belongs to Ray's process pool; the
+    per-group data is deliberately small (bucketed, pre-combined), so
+    intra-call threading has nothing to win. Every UDF that needs polars
+    calls this instead of ``import polars``.
+    """
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+
+    return pl

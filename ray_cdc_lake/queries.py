@@ -68,6 +68,8 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+from .kernels import import_polars as _pl
 import pyarrow.compute as pc
 
 from .events import DeriveEvents, compile_changes
@@ -255,7 +257,7 @@ def q_cdc_dedup_events(sf_dir: str):
     )
 
     def distinct(group: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         out = pl.from_arrow(group.drop_columns(["bucket"])).unique(maintain_order=False)
         return out.sort(["lsn", "op", "path"]).to_arrow()
@@ -273,7 +275,7 @@ def q_cdc_partition_manifest(sf_dir: str):
     compiled = q_cdc_compiled_changes(sf_dir)
 
     def partials(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch.select(["repo", "op", "lsn"]))
         agg = df.group_by("repo").agg(
@@ -1329,7 +1331,7 @@ def q_props_json_extract(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_id", "props"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch)
         df = df.with_columns(
@@ -1474,7 +1476,7 @@ def q_validation_summary(sf_dir: str):
     ds = q_doc_validate_route(sf_dir)
 
     def partials(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch.select(["source", "is_valid"]))
         return (
@@ -2053,7 +2055,7 @@ def q_join_events_customers(sf_dir: str):
         t = pa.Table.from_arrays(
             [pa.array(names[pos_c[hit]], type=pa.string())], names=["n_name"]
         )
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(t)
@@ -2086,7 +2088,7 @@ def q_anti_join_users(sf_dir: str):
         keys = get_broadcast(ref)  # pa.Array, zero-copy from object store
         mask = pc.invert(pc.is_in(batch["user_id"], value_set=keys))
         t = batch.filter(mask)
-        import polars as pl
+        pl = _pl()
 
         return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
@@ -2106,7 +2108,7 @@ def _distinct_by_bucket(ds, col: str, num_buckets: int = 64):
         )
 
     def uniq(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g.drop_columns(["_b"]))
@@ -2141,7 +2143,7 @@ def q_semi_join_users(sf_dir: str):
         keys = get_broadcast(ref)  # pa.Array, zero-copy from object store
         mask = pc.is_in(batch["user_id"], value_set=keys)
         t = batch.filter(mask)
-        import polars as pl
+        pl = _pl()
 
         return pl.from_arrow(t).unique(maintain_order=False).to_arrow()
 
@@ -2192,7 +2194,7 @@ def q_events_lag_delta(sf_dir: str):
         )
 
     def lag_bucket(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = (
             pl.from_arrow(g.drop_columns(["bucket"]))
@@ -2260,7 +2262,7 @@ def q_suppliers_by_region(sf_dir: str):
     def partials(batch: pa.Table) -> pa.Table:
         lk = get_broadcast(ref)
         names = [lk.get(n) for n in batch["s_nationkey"].to_pylist()]
-        import polars as pl
+        pl = _pl()
 
         t = pa.Table.from_arrays(
             [
@@ -2301,7 +2303,7 @@ def q_parts_by_brand(sf_dir: str):
     ds = read_table(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
 
     def partials(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch)
         return (
@@ -2344,7 +2346,7 @@ def q_shuffle_join_revenue(sf_dir: str):
     od = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
     def li_partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch)
         agg = (
@@ -2383,7 +2385,7 @@ def q_shuffle_join_revenue(sf_dir: str):
     )
 
     def join_in_bucket(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(g)
         left = df.filter(pl.col("cents").is_not_null()).select(["orderkey", "cents"])
@@ -2471,7 +2473,7 @@ def q_range_join_quantity(sf_dir: str):
         q = batch["l_quantity"].to_numpy(zero_copy_only=False)
         bi = np.searchsorted(edges, q, side="right") - 1
         bi = np.clip(bi, 0, len(names) - 1)
-        import polars as pl
+        pl = _pl()
 
         t = pa.Table.from_arrays(
             [
@@ -2550,7 +2552,7 @@ def q_q1_lineitem(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch)
         return (
@@ -2599,7 +2601,7 @@ def q_top_customers(sf_dir: str):
     )
 
     def partials(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(batch)
         return (
@@ -2618,7 +2620,7 @@ def q_top_customers(sf_dir: str):
         )
 
     def bucket_topk(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g)
@@ -2637,7 +2639,7 @@ def q_top_customers(sf_dir: str):
     # top-k without a global sort: local top-10 per block, single tiny
     # final reduce (the all-to-all sort would move every group row)
     def topk(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -2694,7 +2696,7 @@ def q_distinct_users_exact(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
     def local_unique(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return pl.from_arrow(batch).unique(maintain_order=False).to_arrow()
 
@@ -2830,7 +2832,7 @@ def q_events_daily(sf_dir: str):
 
     def partials(batch: pa.Table) -> pa.Table:
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
-        import polars as pl
+        pl = _pl()
 
         df = pl.from_arrow(
             pa.Table.from_arrays(

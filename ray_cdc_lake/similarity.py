@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from .kernels import import_polars as _pl
 from .sources import read_table
 
 K = 5
@@ -484,7 +486,7 @@ def q_kmeans_clusters(sf_dir: str):
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         a = np.argmin(d2, axis=1)
         dmin = np.sqrt(d2[np.arange(len(a)), a])
-        import polars as pl
+        pl = _pl()
 
         t = pa.Table.from_arrays(
             [pa.array(a.astype(np.int64)), pa.array(dmin)],

@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .kernels import import_polars as _pl
+
 P = 14
 M = 1 << P  # 16384 registers
 _ALPHA = 0.7213 / (1 + 1.079 / M)
@@ -185,7 +187,7 @@ def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
     from .sources import get_broadcast
 
     def count_candidates(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
         import pyarrow.compute as pc
 
         cand = get_broadcast(ref)
@@ -204,7 +206,7 @@ def heavy_hitters(ds, column: str, top: int = 10, k: int = MG_K):
     )
 
     def topn(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -250,7 +252,7 @@ def _exact_topn(ds, column: str, top: int):
     from ray.data.aggregate import Sum
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch.select([column]))
@@ -266,7 +268,7 @@ def _exact_topn(ds, column: str, top: int):
     )
 
     def topn(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from .kernels import import_polars as _pl
 import pyarrow.compute as pc
 from .sources import read_table
 
@@ -345,7 +347,7 @@ def q_text_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -365,7 +367,7 @@ def q_text_top_terms(sf_dir: str, k: int = TOP_TERMS_K):
     )
 
     def topk(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(g)
@@ -485,7 +487,7 @@ def q_text_inverted_index(sf_dir: str):
     so the per-group fold is the cost and stays vectorized."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -497,7 +499,7 @@ def q_text_inverted_index(sf_dir: str):
         )
 
     def fold(g: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         df = (
             pl.from_arrow(g)
@@ -557,7 +559,7 @@ def q_text_tfidf(sf_dir: str):
     n_docs = docs.count()  # parquet metadata, not a scan
 
     def pairs(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         return (
             pl.from_arrow(batch)
@@ -581,7 +583,7 @@ def q_text_tfidf(sf_dir: str):
     ref = ray.put(df_map)
 
     def score(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        pl = _pl()
 
         dfm = get_broadcast(ref)
         counts = (
