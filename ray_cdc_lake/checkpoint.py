@@ -473,6 +473,85 @@ def change_feed(
     return feeds[0] if len(feeds) == 1 else feeds[0].union(*feeds[1:])
 
 
+class AuditFailed(RuntimeError):
+    """write_audit_publish's audit rejected the staged transaction; main
+    was never touched and the staging branch has been dropped."""
+
+
+def write_audit_publish(
+    lake_dir: str,
+    txn_id: str,
+    compiled_events: "ray.data.Dataset",
+    audit,
+    branch: str = "wap-audit",
+    events_schema: "pa.Schema | None" = None,
+    num_buckets: int | None = None,
+    store: "LakeStore | None" = None,
+) -> Manifest:
+    """Write-audit-publish: stage a transaction on an isolated branch,
+    run ``audit`` against the branch's COMMITTED state, and fast-forward
+    it into main only if the audit passes. A failing audit (return False
+    or raise) leaves main byte-identical, drops the staging branch, and
+    raises AuditFailed — the staged data files become unreferenced and
+    vacuumable. The Iceberg/Nessie WAP pattern composed from this
+    engine's own primitives (branch pointer + exactly-once apply +
+    ff-merge), so the audit sees exactly what production readers would.
+
+    ``audit`` is ``Callable[[ray.data.Dataset], bool | None]`` over the
+    branch's live state; None counts as pass (assert-style audits).
+
+    Exactly-once: if ``txn_id`` is already on main, returns immediately
+    (a crashed-after-merge retry must not re-stage); a leftover staging
+    branch from a crashed earlier attempt is discarded and re-staged
+    (its txn is not on main, so nothing published is lost).
+
+    Reference analog: the two-phase staged commit + rollback of
+    ``RenameDiskUtils.kt:32-105`` (phase-1 temp dir, validate, phase-2
+    atomic promote; failure = delete the temp dir), lifted from one
+    batch's file set to a whole transaction against the lake."""
+    from .sink import create_branch, delete_branch, merge_branch
+
+    m = read_manifest(lake_dir, store=store)
+    if txn_id in m.txns or f"{branch}--{txn_id}" in m.txns:
+        return m  # already published (crash after merge, before cleanup)
+
+    from .sink import CommitConflict
+
+    try:
+        create_branch(lake_dir, branch, store=store)
+    except CommitConflict:
+        # leftover from a crashed attempt whose txn never reached main —
+        # discard and re-stage from the current main head
+        delete_branch(lake_dir, branch, store=store)
+        create_branch(lake_dir, branch, store=store)
+
+    try:
+        apply_incremental(
+            lake_dir,
+            txn_id,
+            compiled_events,
+            num_buckets=num_buckets,
+            events_schema=events_schema,
+            branch=branch,
+            store=store,
+        )
+        try:
+            verdict = audit(read_lake(lake_dir, branch=branch, store=store))
+        except Exception as exc:
+            raise AuditFailed(f"audit raised for {txn_id!r}: {exc}") from exc
+        if verdict is False:
+            raise AuditFailed(f"audit returned False for {txn_id!r}")
+        merged = merge_branch(lake_dir, branch, store=store)
+    finally:
+        # cleanup on every path: published state lives on main now (or
+        # never existed); the branch pointer must not outlive the WAP
+        try:
+            delete_branch(lake_dir, branch, store=store)
+        except FileNotFoundError:
+            pass
+    return merged
+
+
 def maybe_compact(
     lake_dir: str,
     max_txns: int = 16,

@@ -45,7 +45,8 @@ SURVEY.md §2 coverage map (operator id -> query name):
                         cdc_lake_diff (key-level diff between versions),
                         cdc_change_feed (CDF with pre/post images, per
                         _commit_version), cdc_predicate_delete
-                        (metadata-only merge-on-read delete files)
+                        (metadata-only merge-on-read delete files),
+                        cdc_write_audit_publish (branch-staged WAP gate)
   §2.10 extension    -> steps_pipeline (declared step-registry flow)
   G1 summary agg     -> validation_summary
   G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest +
@@ -805,6 +806,58 @@ def q_cdc_predicate_delete(sf_dir: str):
     return read_lake(lake).map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_write_audit_publish(sf_dir: str):
+    """Write-audit-publish (checkpoint.write_audit_publish): segment 2 is
+    staged on an isolated branch, audited against its COMMITTED branch
+    state (no null shas among live rows, no row regression), and only
+    then fast-forwarded into main — the final main state must equal the
+    one-shot replay oracle, proving the audited path publishes exactly
+    what a direct apply would."""
+    import shutil
+
+    from .checkpoint import apply_incremental, write_audit_publish
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake
+
+    lake = f"/tmp/ray_cdc_lake_wap/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = compiled_log(sf_dir, E)
+    ev = ev.materialize()  # tiny, consumed by both segments
+    cut = 2 * STRIDE
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
+
+    def audit(ds) -> bool:
+        import pyarrow.compute as _pc
+
+        bad = live = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            live += b.num_rows
+            bad += int(_pc.sum(_pc.is_null(b["content"]).cast(pa.int64())).as_py() or 0)
+        return bad == 0 and live > 0
+
+    write_audit_publish(
+        lake, "txn-0002", seg2, audit, events_schema=COMPILED_SCHEMA
+    )
+    out = read_lake(lake)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_schema_widening(sf_dir: str):
     """Type WIDENING through the committed sink (the retype half of
     SURVEY.md §7 step 8, complementing q_cdc_schema_evolution's
@@ -1061,6 +1114,8 @@ CDC_SQL: dict[str, str] = {
         FROM ranked
         WHERE rn = 1 AND op <> 'delete'
           AND repo <> 'src3' AND path NOT LIKE 'docs/de/%'""",
+    # WAP publishes exactly what a direct apply would -> final-state oracle
+    "cdc_write_audit_publish": FINAL_STATE_SQL,
     "cdc_repo_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         final AS (
@@ -3022,6 +3077,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_predicate_delete": q_cdc_predicate_delete,
+        "cdc_write_audit_publish": q_cdc_write_audit_publish,
         "cdc_branch_isolation": q_cdc_branch_isolation,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,

@@ -413,6 +413,17 @@ def _publish(
     finally:
         if store.exists(tmp):
             store.delete_file(tmp)
+    _finish_pointer(lake_dir, m, store, branch)
+
+
+def _finish_pointer(
+    lake_dir: str, m: Manifest, store: LakeStore, branch: str | None
+) -> None:
+    """Atomically move the branch head pointer to manifest ``m`` (the
+    last step of a publish; also the recovery step when a crashed
+    publish claimed the manifest but never moved the pointer)."""
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    mpath = _manifest_path(lake_dir, m.version, branch)
     pointer = _pointer_name(branch)
     cur_tmp = os.path.join(mdir, f"{pointer}.tmp-{os.getpid()}")
     content = str(m.version) if pointer == "CURRENT" else os.path.basename(mpath)
@@ -582,6 +593,28 @@ def commit_txn(
         txn_id = f"{branch}--{txn_id}"
     if txn_id in manifest.txns:
         return manifest
+    # crash-after-claim recovery: if the NEXT version's manifest is
+    # already claimed by THIS txn (the publish crashed between the claim
+    # and the pointer move), the data files that manifest references are
+    # in place — finish the pointer update instead of rewriting the data
+    # dir (a rewrite would mint new file names and orphan the claimed
+    # manifest's per-file stats)
+    nxt_path = _manifest_path(lake_dir, manifest.version + 1, branch)
+    if store.exists(nxt_path):
+        d = json.loads(store.read_text(nxt_path))
+        if d.get("txns") == [*manifest.txns, txn_id]:
+            nxt = Manifest(
+                version=d["version"],
+                buckets=d["buckets"],
+                txns=d["txns"],
+                schema_version=d.get("schema_version", 0),
+                schema_fields=d.get("schema_fields", []),
+                num_buckets=d.get("num_buckets", 0),
+                metrics=d.get("metrics", {}),
+                deletes=d.get("deletes", []),
+            )
+            _finish_pointer(lake_dir, nxt, store, branch)
+            return nxt
     # optimistic-concurrency pin: a caller that MERGED against manifest
     # version V must not publish over a newer version — its winners were
     # computed from stale prior state and would silently drop the other
@@ -856,7 +889,11 @@ def _write_txn_data(
         staging, partition_cols=["bucket"], filesystem=store.fs, compression="zstd"
     )
 
-    # gather per-bucket stats from parquet footers (no data scan)
+    # gather per-bucket AND per-file stats from parquet footers (no data
+    # scan). The per-file key/lsn ranges go into the manifest so point
+    # lookups and range scans can prune files from METADATA alone — at
+    # 100 TB the footer-open round trips are the point-lookup cost, and
+    # the manifest is already in hand.
     bucket_stats: dict[str, dict] = {}
     for entry in store.listdir(staging):
         if not entry.startswith("bucket="):
@@ -864,19 +901,41 @@ def _write_txn_data(
         b = entry.split("=", 1)[1]
         hwm = -1
         rows = 0
+        file_stats: list[dict] = []
         bdir = os.path.join(staging, entry)
         for fn in store.listdir(bdir):
             if not fn.endswith(".parquet"):
                 continue
             md = store.parquet_metadata(os.path.join(bdir, fn))
             rows += md.num_rows
+            fstat: dict = {"name": fn, "rows": int(md.num_rows)}
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
             for rg in range(md.num_row_groups):
                 col_md = md.row_group(rg)
                 for ci in range(col_md.num_columns):
                     c = col_md.column(ci)
                     if c.path_in_schema == "lsn" and c.statistics is not None:
                         hwm = max(hwm, c.statistics.max)
-        bucket_stats[b] = {"txn_id": txn_id, "hwm_lsn": int(hwm), "rows": int(rows)}
+                    if (
+                        c.path_in_schema in ("repo", "path", "lsn")
+                        and c.statistics is not None
+                        and c.statistics.has_min_max
+                    ):
+                        n, st = c.path_in_schema, c.statistics
+                        mins[n] = st.min if n not in mins else min(mins[n], st.min)
+                        maxs[n] = st.max if n not in maxs else max(maxs[n], st.max)
+            for n in ("repo", "path", "lsn"):
+                if n in mins:  # column-wise bounds (conservative prune)
+                    fstat[f"{n}_min"] = mins[n]
+                    fstat[f"{n}_max"] = maxs[n]
+            file_stats.append(fstat)
+        bucket_stats[b] = {
+            "txn_id": txn_id,
+            "hwm_lsn": int(hwm),
+            "rows": int(rows),
+            "files": sorted(file_stats, key=lambda f: f["name"]),
+        }
 
     # phase 2: atomic move staging -> data
     store.makedirs(os.path.dirname(final_dir))
@@ -948,12 +1007,22 @@ def read_lake(
             sch = pa.schema([sch.field(c) for c in columns])
         return rd.from_arrow(sch.empty_table())
     # ray.data.read_parquet expands a single dir but treats LIST entries as
-    # files — enumerate the data files explicitly
+    # files — enumerate the data files explicitly, from the MANIFEST's
+    # per-file stats when recorded (zero LIST requests against storage; at
+    # object-store scale the listing round trips are the scan-planning
+    # cost), falling back to a dir listing for legacy manifests
     files = []
-    for d in dirs:
-        for fn in store.listdir(d):
-            if fn.endswith(".parquet"):
-                files.append(os.path.join(d, fn))
+    for b, info in sorted(m.buckets.items(), key=lambda kv: int(kv[0])):
+        d = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}")
+        fstats = info.get("files")
+        if fstats is not None:
+            files += [os.path.join(d, f["name"]) for f in fstats]
+        else:
+            files += [
+                os.path.join(d, fn)
+                for fn in store.listdir(d)
+                if fn.endswith(".parquet")
+            ]
     read_cols = None
     if columns is not None:
         # the live filter needs 'op' even when the caller didn't ask for
@@ -1049,13 +1118,24 @@ def read_key(
     if info is None:
         return None
     bdir = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={bucket}")
-    if not store.isdir(bdir):
-        return None
+    fstats = info.get("files")
+    if fstats is not None:
+        # manifest-recorded per-file key ranges: name the candidate files
+        # and prune by column-wise (repo, path) bounds WITHOUT touching
+        # storage — no dir listing, no footer opens for pruned files
+        names = [
+            f["name"]
+            for f in fstats
+            if ("repo_min" not in f or f["repo_min"] <= repo <= f["repo_max"])
+            and ("path_min" not in f or f["path_min"] <= path <= f["path_max"])
+        ]
+    else:  # legacy manifest without file stats: list the bucket dir
+        if not store.isdir(bdir):
+            return None
+        names = [fn for fn in store.listdir(bdir) if fn.endswith(".parquet")]
     flt = [("repo", "==", repo), ("path", "==", path)]
     rows = []
-    for fn in store.listdir(bdir):
-        if not fn.endswith(".parquet"):
-            continue
+    for fn in names:
         with store.fs.open_input_file(os.path.join(bdir, fn)) as f:
             t = pq.read_table(f, filters=flt)
         if t.num_rows:

@@ -583,3 +583,105 @@ def test_delete_where_prefix_and_compact_materializes(tmp_path):
     compact(lake)
     assert read_manifest(lake).deletes == []  # materialized
     assert lake_state(lake) == before
+
+
+def test_write_audit_publish_pass_and_fail(tmp_path):
+    """WAP: a passing audit publishes exactly the direct-apply state and
+    leaves no branch behind; a failing audit leaves main byte-identical,
+    drops the staging branch, and the staged files are vacuumable."""
+    from ray_cdc_lake.checkpoint import AuditFailed, write_audit_publish
+    from ray_cdc_lake.sink import list_branches, vacuum
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))
+
+    # audit pass -> published, equals the direct-apply expectation
+    write_audit_publish(lake, "t2", ev_ds(SEG_B), audit=lambda ds: True)
+    assert lake_state(lake) == EXPECT_AB
+    assert list(list_branches(lake)) == ["main"]
+    published = read_manifest(lake)
+
+    # idempotent re-run of a published txn: no-op
+    write_audit_publish(lake, "t2", ev_ds(SEG_B), audit=lambda ds: False)
+    assert read_manifest(lake).version == published.version
+
+    # audit fail -> main untouched, branch gone, staged data unreferenced
+    bad = [(20, "update", "r1", "a.py", "BAD")]
+    with pytest.raises(AuditFailed):
+        write_audit_publish(lake, "t3", ev_ds(bad), audit=lambda ds: False)
+    assert lake_state(lake) == EXPECT_AB
+    assert read_manifest(lake).version == published.version
+    assert list(list_branches(lake)) == ["main"]
+    assert any("t3" in d for d in vacuum(lake))  # staged files dropped
+
+    # audit that RAISES is a fail too, with the same guarantees
+    def exploding(ds):
+        raise RuntimeError("bad batch")
+
+    with pytest.raises(AuditFailed, match="bad batch"):
+        write_audit_publish(lake, "t4", ev_ds(bad), audit=exploding)
+    assert lake_state(lake) == EXPECT_AB
+
+    # a leftover staging branch from a crashed attempt is discarded
+    from ray_cdc_lake.sink import create_branch
+
+    create_branch(lake, "wap-audit")
+    write_audit_publish(
+        lake, "t5", ev_ds([(21, "update", "r1", "a.py", "A9")]), audit=lambda ds: True
+    )
+    st = lake_state(lake)
+    assert st[("r1", "a.py")] == (21, "A9")
+    assert list(list_branches(lake)) == ["main"]
+
+
+def test_manifest_file_stats_prune_point_lookup(tmp_path):
+    """Commits record per-file (repo, path, lsn) ranges in the manifest;
+    read_key plans from the manifest alone (no dir listing) and prunes
+    files whose recorded key range cannot contain the key; read_lake
+    enumerates files without LIST calls. Legacy manifests (stats stripped)
+    still work via the listdir fallback."""
+    import json as _json
+
+    from ray_cdc_lake.sink import LakeStore, read_key
+
+    class CountingStore(LakeStore):
+        def __init__(self):
+            super().__init__()
+            self.listdir_calls = 0
+
+        def listdir(self, path):
+            self.listdir_calls += 1
+            return super().listdir(path)
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A))
+    m = read_manifest(lake)
+    for info in m.buckets.values():
+        assert info["files"], "per-file stats missing from manifest"
+        f = info["files"][0]
+        assert f["repo_min"] <= f["repo_max"] and f["lsn_min"] >= 0
+
+    store = CountingStore()
+    row = read_key(lake, "r1", "a.py", store=store)
+    assert row is not None and row["lsn"] == 4
+    assert store.listdir_calls == 0  # planned purely from the manifest
+    assert read_key(lake, "zz", "nope.py", store=store) is None
+
+    # strip the stats (legacy manifest) -> fallback still answers
+    mpath = None
+    for fn in sorted((tmp_path / "lake" / "_manifests").iterdir()):
+        if fn.name.startswith("manifest-"):
+            mpath = fn
+    d = _json.loads(mpath.read_text())
+    for info in d["buckets"].values():
+        info.pop("files")
+    mpath.write_text(_json.dumps(d))
+    store2 = CountingStore()
+    row = read_key(lake, "r1", "a.py", store=store2)
+    assert row is not None and row["lsn"] == 4
+    assert store2.listdir_calls > 0
+    assert lake_state(lake) == {
+        ("r1", "a.py"): (4, "A2"),
+        ("r1", "b.py"): (2, "B1"),
+        ("r2", "c.py"): (3, "C1"),
+    }
