@@ -43,6 +43,7 @@ def enable_self_contained_pickling() -> None:
         jsonpaths,
         kernels,
         merge,
+        multi,
         multimodal,
         pipeline,
         queries,

@@ -46,7 +46,8 @@ SURVEY.md §2 coverage map (operator id -> query name):
                         cdc_change_feed (CDF with pre/post images, per
                         _commit_version), cdc_predicate_delete
                         (metadata-only merge-on-read delete files),
-                        cdc_write_audit_publish (branch-staged WAP gate)
+                        cdc_write_audit_publish (branch-staged WAP gate),
+                        cdc_multi_lake_txn (2PC group commit across lakes)
   §2.10 extension    -> steps_pipeline (declared step-registry flow)
   G1 summary agg     -> validation_summary
   G2/G3 manifest agg -> cdc_partition_manifest, cdc_repo_manifest +
@@ -858,6 +859,78 @@ def q_cdc_write_audit_publish(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_multi_lake_txn(sf_dir: str):
+    """Multi-lake atomic transaction (multi.commit_group): the corpus is
+    split across TWO independent lakes by repo, bootstrapped separately,
+    then segment 2 is committed to both in ONE coordinated 2PC group —
+    staged on txg branches, decided by the coordinator-record claim,
+    published by idempotent ff-merges. The union of both lakes' live
+    states must equal the one-shot replay oracle, proving the split +
+    group-commit path loses and duplicates nothing."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .multi import commit_group, read_group
+    from .schemas import COMPILED_SCHEMA
+
+    base = f"/tmp/ray_cdc_lake_multi/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    lake_a, lake_b, coord = f"{base}/a", f"{base}/b", f"{base}/coord"
+
+    a_repos = pa.array([f"src{i}" for i in range(10)], type=pa.string())
+
+    def side(t: pa.Table, want_a: bool) -> pa.Table:
+        m = pc.is_in(t["repo"], value_set=a_repos)
+        return t.filter(m if want_a else pc.invert(m))
+
+    ev = compiled_log(sf_dir, E)
+    ev = ev.materialize()  # tiny, consumed by all four segment filters
+    cut = 2 * STRIDE
+
+    def seg(lo: bool, want_a: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.less(t["lsn"], cut) if lo else pc.greater_equal(t["lsn"], cut)
+            return side(t.filter(keep), want_a)
+
+        return fn
+
+    apply_incremental(
+        lake_a,
+        "txn-0001",
+        ev.map_batches(seg(True, True), batch_format="pyarrow"),
+        events_schema=COMPILED_SCHEMA,
+    )
+    apply_incremental(
+        lake_b,
+        "txn-0001",
+        ev.map_batches(seg(True, False), batch_format="pyarrow"),
+        events_schema=COMPILED_SCHEMA,
+    )
+    commit_group(
+        coord,
+        "seg2",
+        [
+            ("{}".format(lake_a), "txn-0002",
+             ev.map_batches(seg(False, True), batch_format="pyarrow")),
+            ("{}".format(lake_b), "txn-0002",
+             ev.map_batches(seg(False, False), batch_format="pyarrow")),
+        ],
+        events_schema=COMPILED_SCHEMA,
+    )
+    lakes = read_group(coord, [lake_a, lake_b])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    out = lakes[lake_a].union(lakes[lake_b])
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_schema_widening(sf_dir: str):
     """Type WIDENING through the committed sink (the retype half of
     SURVEY.md §7 step 8, complementing q_cdc_schema_evolution's
@@ -1116,6 +1189,9 @@ CDC_SQL: dict[str, str] = {
           AND repo <> 'src3' AND path NOT LIKE 'docs/de/%'""",
     # WAP publishes exactly what a direct apply would -> final-state oracle
     "cdc_write_audit_publish": FINAL_STATE_SQL,
+    # repo-split across two lakes + 2PC group commit must reassemble the
+    # exact one-shot replay state
+    "cdc_multi_lake_txn": FINAL_STATE_SQL,
     "cdc_repo_manifest": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         final AS (
@@ -3078,6 +3154,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_predicate_delete": q_cdc_predicate_delete,
         "cdc_write_audit_publish": q_cdc_write_audit_publish,
+        "cdc_multi_lake_txn": q_cdc_multi_lake_txn,
         "cdc_branch_isolation": q_cdc_branch_isolation,
         "cdc_lake_lineage": q_cdc_lake_lineage,
         "cdc_tail_replay": q_cdc_tail_replay,
