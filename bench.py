@@ -86,7 +86,41 @@ def _consume(ds) -> int:
     return len(ds)
 
 
+class _HostMeter:
+    """Record host conditions around a bench run, so every artifact
+    carries its own noise context (this box is shared; co-tenant load
+    swings single-shot timings 2-6x — documented A/Bs in BASELINE.md).
+    steal_pct is the fraction of total CPU jiffies stolen by the
+    hypervisor during the run; loadavg is sampled at start and end."""
+
+    def _stat(self):
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except OSError:
+            return None, None
+
+    def __init__(self):
+        self.load0 = os.getloadavg()
+        self.total0, self.steal0 = self._stat()
+
+    def snapshot(self) -> dict:
+        out = {
+            "loadavg_start": [round(x, 2) for x in self.load0],
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        }
+        total1, steal1 = self._stat()
+        if self.total0 is not None and total1 and total1 > self.total0:
+            out["steal_pct"] = round(
+                100.0 * (steal1 - self.steal0) / (total1 - self.total0), 2
+            )
+        return out
+
+
 def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+    meter = _HostMeter()
     import ray
 
     if not ray.is_initialized():
@@ -177,6 +211,7 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         "events": n_events,
         "final_rows": n_final,
         "events_per_sec": round(n_events / replay_sec, 1),
+        "host": meter.snapshot(),
     }
     ray.shutdown()
     return out
@@ -255,6 +290,10 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "all_round_efficiencies": [round(e, 3) for e in effs],
         "criterion": "eff >= 0.8 stands in for N->4N node scaling (BASELINE.md)",
+        # per-round host conditions from the child runs (noise context)
+        "round_hosts": [
+            [p_lo.get("host"), p_hi.get("host")] for p_lo, p_hi in pairs
+        ],
     }
 
 
@@ -263,6 +302,7 @@ def run_only(names: list[str]) -> dict:
     queries, min-of-BENCH_QUERY_RUNS each, interleaved round-robin so all
     targets see the same load environment (the paired-A/B method from
     BASELINE.md applied within one process)."""
+    meter = _HostMeter()
     import ray
 
     ray.init(
@@ -306,6 +346,7 @@ def run_only(names: list[str]) -> dict:
         "all_runs": times,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "host": meter.snapshot(),
     }
     ray.shutdown()
     return out
