@@ -3217,7 +3217,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         queries.update(q)
         sql.update(s)
 
-    queries = _windowed(queries)
+    queries = _windowed(queries, sql)
     return queries, sql
 
 
@@ -3329,18 +3329,26 @@ def _stamp_history() -> dict[str, int] | None:
     return last if seen_any else None
 
 
-def _windowed(queries: dict[str, Callable[[str], Any]]) -> dict[str, Callable[[str], Any]]:
+def _windowed(
+    queries: dict[str, Callable[[str], Any]],
+    sql: dict[str, str] | None = None,
+) -> dict[str, Callable[[str], Any]]:
     """Order the registry so the driver's first-50 correctness window lands
     on the least-recently-stamped entries (anchors first, then never-stamped
     in natural order, then oldest-stamp-first; ties broken by natural order
-    — fully deterministic given the committed artifacts)."""
+    — fully deterministic given the committed artifacts).  Within the same
+    stamp age, entries WITH a DuckDB oracle go first: a hash-checked driver
+    row is strictly stronger evidence than the rows-only check a no-oracle
+    entry gets, so when the window can't fit everyone the strong checks win
+    and the rows-only entries rotate in next round."""
     last = _stamp_history()
     if last is None:
         front: list[str] = [k for k in _DRIVER_WINDOW if k in queries]
     else:
         natural = {k: i for i, k in enumerate(queries)}
+        has_oracle = sql or {}
         rest = [k for k in queries if k not in _WINDOW_ANCHORS]
-        rest.sort(key=lambda k: (last.get(k, -1), natural[k]))
+        rest.sort(key=lambda k: (last.get(k, -1), 0 if k in has_oracle else 1, natural[k]))
         front = [k for k in _WINDOW_ANCHORS if k in queries] + rest
     ordered: dict[str, Callable[[str], Any]] = {}
     for key in front:
