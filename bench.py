@@ -124,11 +124,21 @@ def run_suite(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     import ray
 
     if not ray.is_initialized():
+        kw = {}
+        # spill-regime knob (BASELINE.md 164M/328M-event points): the
+        # default local store is ~42% of RAM; the biggest replays are
+        # object-store-bound, and a larger store delays spill onset —
+        # the single-box analog of "the fleet's aggregate store scales
+        # with node count".
+        obj_gb = os.environ.get("BENCH_OBJ_STORE_GB")
+        if obj_gb:
+            kw["object_store_memory"] = int(float(obj_gb) * (1 << 30))
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            **kw,
         )
     from ray.data import DataContext
 

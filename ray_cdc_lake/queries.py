@@ -769,6 +769,37 @@ def q_cdc_change_feed(sf_dir: str):
     return feed.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_scan_ranges(sf_dir: str):
+    """Manifest-driven scan pruning (sink.read_lake ranges=): an
+    incremental consumer reads the live tail ``lsn >= cut`` planning the
+    scan from manifest metadata alone — buckets whose hwm_lsn is below
+    the cut and files whose recorded lsn range cannot overlap are skipped
+    with zero storage round trips, then the same predicate applies
+    exactly per row. Result: live final-state rows whose winning lsn is
+    in the second txn's segment. Oracle: the LWW replay restricted to
+    winners at lsn >= cut. The scan-side twin of read_key's per-file
+    stats pruning; reference analog: manifest-driven folder selection
+    instead of S3 LIST (S3Utils.kt listObjects avoidance)."""
+    from .sink import read_lake
+
+    lake, cut = _two_txn_lake(sf_dir, "twotxn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    # version pinned to the snapshot after txn-0002: the shared fixture
+    # lake is later MUTATED by the delete-prefix query (its sharing
+    # contract — read-only consumers pin, mutators use fixed txn ids).
+    # Both bounds exercised: winners in epoch 3's lsn window only — a
+    # strict subset of the live state (rename winners sit at >= 4*STRIDE,
+    # so the hi bound actually excludes rows).
+    stride = cut // 2
+    return read_lake(
+        lake, version=2, ranges={"lsn": (3 * stride, 4 * stride - 1)}
+    ).map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_delete_prefix(sf_dir: str):
     """Delete-by-prefix as a maintenance txn (S2,
     DeleteAllS3ObjectsByPrefix.kt:25-129 incl. the sibling-prefix guard):
@@ -1128,6 +1159,16 @@ CDC_SQL: dict[str, str] = {
         SELECT repo, path, "commit", lang, content,
                sha256(content) AS content_sha256, lsn
         FROM ranked WHERE rn = 1 AND op <> 'delete'""",
+    # live winners in epoch 3's lsn window — what the pruned ranges=
+    # scan (lo AND hi bound) must return; rename winners (>= 4*STRIDE)
+    # prove the hi bound excludes rows
+    "cdc_scan_ranges": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND lsn >= 3*{STRIDE_SQL} AND lsn < 4*{STRIDE_SQL}""",
     "cdc_lake_diff": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         old_ranked AS (
@@ -3152,6 +3193,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_delete_prefix": q_cdc_delete_prefix,
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_scan_ranges": q_cdc_scan_ranges,
         "cdc_predicate_delete": q_cdc_predicate_delete,
         "cdc_write_audit_publish": q_cdc_write_audit_publish,
         "cdc_multi_lake_txn": q_cdc_multi_lake_txn,

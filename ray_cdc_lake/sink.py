@@ -943,6 +943,78 @@ def _write_txn_data(
     return bucket_stats
 
 
+def _plan_scan(
+    m: "Manifest", lake_dir: str, ranges: dict[str, tuple] | None
+) -> tuple[list[str], dict[str, int]]:
+    """Scan planning from manifest METADATA alone: enumerate the data files
+    the current manifest references and, when ``ranges`` is given, prune
+    whole buckets (by ``hwm_lsn``) and whole files (by the per-file
+    column min/max recorded at commit) whose stats cannot overlap.  Zero
+    storage round trips for pruned files — at object-store scale the
+    footer opens ARE the scan-planning cost, and an incremental consumer
+    tailing ``lsn > watermark`` should touch only the buckets written
+    since.  Files/buckets without recorded stats are kept (conservative).
+
+    Returns (files, accounting) where accounting counts total vs pruned.
+    Reference analog: the manifest-driven folder selection in
+    ReorderFiles.kt — the file set comes from metadata, not a LIST."""
+    acct = {"buckets_total": 0, "buckets_pruned": 0, "files_total": 0, "files_pruned": 0}
+
+    def _overlaps(stats: dict, prefix: str, lo, hi) -> bool:
+        smin, smax = stats.get(f"{prefix}_min"), stats.get(f"{prefix}_max")
+        if smin is None or smax is None:
+            return True  # no stats recorded — cannot prune
+        if lo is not None and smax < lo:
+            return False
+        if hi is not None and smin > hi:
+            return False
+        return True
+
+    files: list[str] = []
+    for b, info in sorted(m.buckets.items(), key=lambda kv: int(kv[0])):
+        acct["buckets_total"] += 1
+        fstats = info.get("files")
+        n_bucket_files = len(fstats) if fstats is not None else 0
+        acct["files_total"] += n_bucket_files
+        if ranges and "lsn" in ranges and info.get("hwm_lsn", -1) >= 0:
+            lo, _hi = ranges["lsn"]
+            if lo is not None and info["hwm_lsn"] < lo:
+                acct["buckets_pruned"] += 1
+                acct["files_pruned"] += n_bucket_files
+                continue
+        d = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}")
+        if fstats is None:
+            # legacy manifest without file stats: caller falls back to a
+            # dir listing for this bucket (signalled by the sentinel)
+            files.append(os.path.join(d, "*"))
+            continue
+        for f in fstats:
+            if ranges and not all(
+                _overlaps(f, col, lo, hi) for col, (lo, hi) in ranges.items()
+            ):
+                acct["files_pruned"] += 1
+                continue
+            files.append(os.path.join(d, f["name"]))
+    return files, acct
+
+
+def _ranges_expression(ranges: dict[str, tuple]):
+    """The exact row-level predicate matching a ``ranges`` spec, as a
+    pyarrow.dataset expression (pushed down to row-group pruning inside
+    the surviving files, then applied exactly per row)."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    for col, (lo, hi) in ranges.items():
+        for bound, op in ((lo, "ge"), (hi, "le")):
+            if bound is None:
+                continue
+            f = pads.field(col)
+            e = (f >= bound) if op == "ge" else (f <= bound)
+            expr = e if expr is None else (expr & e)
+    return expr
+
+
 def read_lake(
     lake_dir: str,
     live_only: bool = True,
@@ -951,6 +1023,7 @@ def read_lake(
     columns: list[str] | None = None,
     filter=None,
     branch: str | None = None,
+    ranges: dict[str, tuple] | None = None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible). Pass
@@ -961,7 +1034,18 @@ def read_lake(
     storage — at 100 TB a consumer that needs (repo, lsn) must not ship
     content bytes); ``filter`` is a ``pyarrow.dataset`` expression pushed
     down to row-group pruning (the files are key-sorted within buckets,
-    so key-range filters skip whole row groups via footer min/max)."""
+    so key-range filters skip whole row groups via footer min/max).
+
+    ``ranges`` is a first-class range predicate ``{column: (lo, hi)}``
+    (inclusive; None = open bound) over the stats columns recorded in the
+    manifest (``repo``/``path``/``lsn``): files whose manifest min/max
+    cannot overlap are skipped WITHOUT any storage round trip (no footer
+    open, no LIST), buckets whose ``hwm_lsn`` is below an ``lsn`` lower
+    bound are skipped wholesale, and the same predicate is pushed down
+    exactly over the surviving files.  This is the scan-side twin of
+    read_key's manifest pruning — an incremental consumer reading
+    ``ranges={"lsn": (watermark + 1, None)}`` plans its scan from the
+    manifest alone."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -1010,19 +1094,37 @@ def read_lake(
     # files — enumerate the data files explicitly, from the MANIFEST's
     # per-file stats when recorded (zero LIST requests against storage; at
     # object-store scale the listing round trips are the scan-planning
-    # cost), falling back to a dir listing for legacy manifests
+    # cost), falling back to a dir listing for legacy manifests.  With
+    # ``ranges``, _plan_scan additionally prunes buckets/files whose
+    # manifest stats cannot overlap.
+    planned, _scan_acct = _plan_scan(m, lake_dir, ranges)
     files = []
-    for b, info in sorted(m.buckets.items(), key=lambda kv: int(kv[0])):
-        d = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}")
-        fstats = info.get("files")
-        if fstats is not None:
-            files += [os.path.join(d, f["name"]) for f in fstats]
-        else:
+    for p in planned:
+        if p.endswith("*"):  # legacy bucket without file stats: LIST it
+            d = os.path.dirname(p)
             files += [
                 os.path.join(d, fn)
                 for fn in store.listdir(d)
                 if fn.endswith(".parquet")
             ]
+        else:
+            files.append(p)
+    if ranges:
+        expr = _ranges_expression(ranges)
+        if expr is not None:
+            filter = expr if filter is None else (filter & expr)
+        if not files:
+            # every file pruned from metadata: empty result with the
+            # selected schema, zero storage reads
+            import pyarrow as pa
+
+            from .schemas import LAKE_SCHEMA
+
+            fields = list(LAKE_SCHEMA) + [pa.field("op", pa.string())]
+            sch = pa.schema(fields)
+            if columns is not None:
+                sch = pa.schema([sch.field(c) for c in columns])
+            return rd.from_arrow(sch.empty_table())
     read_cols = None
     if columns is not None:
         # the live filter needs 'op' even when the caller didn't ask for

@@ -625,3 +625,99 @@ def test_manifest_metrics_retention(tmp_path, monkeypatch):
     m = read_manifest(lake)
     assert list(m.metrics) == ["t2", "t3", "t4"]  # oldest aged out
     assert len(m.txns) == 5  # the txn LIST is untouched (compaction's job)
+
+
+# ---------------------------------------------------------------------------
+# manifest-driven scan pruning (ranges=)
+# ---------------------------------------------------------------------------
+
+
+def _ranged(keys, lsn0=1) -> pa.Table:
+    """One row per key; bucket = first char ord % 4 so key prefixes map to
+    known buckets deterministically (no salted hash())."""
+    rows = list(keys)
+    return pa.table(
+        {
+            "repo": pa.array(["r"] * len(rows)),
+            "path": pa.array(rows),
+            "lsn": pa.array(range(lsn0, lsn0 + len(rows)), type=pa.int64()),
+            "commit": pa.array([f"c{i}" for i in range(len(rows))]),
+            "op": pa.array(["insert"] * len(rows)),
+            "content": pa.array(["x"] * len(rows), type=pa.large_string()),
+            "bucket": pa.array([ord(k[0]) % 4 for k in rows], type=pa.int64()),
+        }
+    )
+
+
+def test_read_lake_ranges_prunes_from_manifest(tmp_path):
+    """ranges= skips whole files from manifest metadata (no footer open)
+    and still applies the predicate exactly per row."""
+    import ray.data as rd
+    from ray_cdc_lake.sink import _plan_scan
+
+    lake = str(tmp_path / "lake")
+    # buckets: 'a'%4=1, 'b'%4=2, 'c'%4=3, 'd'%4=0 — four disjoint path
+    # ranges in four files
+    commit_txn(
+        lake, "t1", rd.from_arrow(_ranged(["a1", "a2", "b1", "b2", "c1", "d1"]))
+    )
+    m = read_manifest(lake)
+
+    # metadata-only plan: a path range touching only the 'b' bucket
+    files, acct = _plan_scan(m, lake, {"path": ("b", "bzzz")})
+    assert acct["files_total"] >= 4
+    assert len(files) < acct["files_total"]
+    assert acct["files_pruned"] == acct["files_total"] - len(files)
+
+    got = read_lake(lake, ranges={"path": ("b", "bzzz")}).to_pandas()
+    assert sorted(got["path"]) == ["b1", "b2"]
+
+    # row-level exactness inside a surviving file: 'a1' only, though the
+    # file also holds 'a2'
+    got2 = read_lake(lake, ranges={"path": ("a1", "a1")}, columns=["path", "lsn"]).to_pandas()
+    assert list(got2["path"]) == ["a1"]
+    assert sorted(got2.columns) == ["lsn", "path"]
+
+
+def test_read_lake_lsn_range_skips_stale_buckets(tmp_path):
+    """An incremental consumer tailing lsn > watermark plans its scan from
+    bucket hwm_lsn alone: buckets untouched since the watermark are
+    skipped wholesale; an all-pruned scan returns an empty dataset with
+    the right schema and zero storage reads."""
+    import ray.data as rd
+    from ray_cdc_lake.sink import _plan_scan
+
+    lake = str(tmp_path / "lake")
+    commit_txn(lake, "t1", rd.from_arrow(_ranged(["a1", "b1"], lsn0=1)))   # lsn 1-2
+    commit_txn(lake, "t2", rd.from_arrow(_ranged(["c1", "c2"], lsn0=10)))  # lsn 10-11
+    m = read_manifest(lake)
+
+    files, acct = _plan_scan(m, lake, {"lsn": (5, None)})
+    assert acct["buckets_pruned"] >= 2  # 'a' and 'b' buckets are stale
+    got = read_lake(lake, ranges={"lsn": (5, None)}).to_pandas()
+    assert sorted(got["path"]) == ["c1", "c2"]
+
+    # watermark beyond every hwm: everything pruned, schema preserved
+    empty = read_lake(lake, ranges={"lsn": (1000, None)}, columns=["path", "lsn"])
+    # (.to_pandas() on an empty Ray dataset drops columns — assert on the
+    # dataset schema, which is what downstream stages consume)
+    assert sorted(empty.schema().names) == ["lsn", "path"]
+    assert empty.count() == 0
+
+
+def test_read_lake_ranges_compose_with_filter_and_live(tmp_path):
+    """ranges= AND a caller filter AND the live tombstone filter compose."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    lake = str(tmp_path / "lake")
+    t = _ranged(["a1", "a2", "a3"])
+    t = t.set_column(4, "op", pa.array(["insert", "delete", "insert"]))
+    commit_txn(lake, "t1", rd.from_arrow(t))
+    got = read_lake(
+        lake,
+        ranges={"path": ("a1", "a3")},
+        filter=pds.field("lsn") >= 2,
+    ).to_pandas()
+    # a1 dropped by filter, a2 is a tombstone, a3 survives
+    assert list(got["path"]) == ["a3"]
