@@ -575,6 +575,144 @@ def run_stats() -> None:
     ray.shutdown()
 
 
+def run_sustained() -> dict:
+    """Sustained COMMITTED tail throughput — the north rule's metric
+    (sustained change-events/sec upsert throughput on a long-running
+    tail) measured through the exactly-once sink, not the uncommitted
+    replay: the binlog is persisted UNTIMED (in a deployment the log
+    already exists — it is the source), then SUSTAINED_WINDOWS
+    consecutive LSN-window micro-batches are applied as exactly-once
+    txns (stage -> commit -> watermark advance) and committed events/sec
+    is reported over the whole tail.
+
+    Phase 2 measures the SPARSE-delta regime — the steady-state tail
+    moment where a micro-batch touches a handful of keys: per-apply wall
+    must track the delta's bucket footprint, not lake size
+    (touched-bucket pruning in checkpoint.apply_incremental); the
+    rewritten-bucket count per txn is read back from the manifest as
+    hard evidence."""
+    meter = _HostMeter()
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.pipeline import binlog_cuts, persist_binlog
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+    from ray_cdc_lake.sink import read_lake, read_manifest
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    lake = "/tmp/ray_cdc_bench_sustained/lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    windows = int(os.environ.get("SUSTAINED_WINDOWS", "16"))
+    cuts = binlog_cuts(BENCH_EPOCHS, windows)
+    binlog = persist_binlog(lake, SF_DIR, BENCH_EPOCHS, cuts)  # untimed
+
+    # per-segment event counts from parquet footers (untimed, metadata only)
+    segments = []
+    for i in range(len(cuts)):
+        seg_dir = os.path.join(binlog, f"segment={i}")
+        if not os.path.isdir(seg_dir):
+            continue
+        files = [
+            os.path.join(seg_dir, f)
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            n = sum(pq.read_metadata(f).num_rows for f in files)
+            segments.append((i, files, n))
+    total_events = sum(n for _, _, n in segments)
+
+    def drop_seg(t):
+        return (
+            t.drop_columns(["segment"]) if "segment" in t.column_names else t
+        )
+
+    t0 = time.perf_counter()
+    for i, files, _n in segments:
+        win = rd.read_parquet(files).map_batches(drop_seg, batch_format="pyarrow")
+        apply_incremental(
+            lake, f"tail-{i:04d}", win, events_schema=COMPILED_SCHEMA
+        )
+    tail_wall = time.perf_counter() - t0
+
+    # ---- phase 2: sparse-delta steady state ----
+    m = read_manifest(lake)
+    n_buckets_total = len(m.buckets)
+    base_lsn = max(info["hwm_lsn"] for info in m.buckets.values()) + 1
+    sparse_keys = int(os.environ.get("SUSTAINED_SPARSE_KEYS", "8"))
+    keys = read_lake(lake, columns=["repo", "path"]).take(sparse_keys)
+    applies = int(os.environ.get("SUSTAINED_SPARSE_APPLIES", "8"))
+    sparse_walls, sparse_rewritten = [], []
+    for j in range(applies):
+        rows = [
+            (base_lsn + j * sparse_keys + k, r["repo"], r["path"])
+            for k, r in enumerate(keys)
+        ]
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], type=pa.int64()),
+                pa.array(["update"] * len(rows), type=pa.string()),
+                pa.array([r[1] for r in rows], type=pa.string()),
+                pa.array([r[2] for r in rows], type=pa.string()),
+                pa.array([f"c{r[0]:08d}" for r in rows], type=pa.string()),
+                pa.array(["py"] * len(rows), type=pa.string()),
+                pa.array([f"sparse-{j}-{r[0]}" for r in rows], type=pa.large_string()),
+            ],
+            schema=COMPILED_SCHEMA,
+        )
+        t0 = time.perf_counter()
+        apply_incremental(
+            lake, f"sparse-{j:04d}", rd.from_arrow(tbl),
+            events_schema=COMPILED_SCHEMA,
+        )
+        sparse_walls.append(time.perf_counter() - t0)
+        mj = read_manifest(lake)
+        sparse_rewritten.append(
+            sum(1 for info in mj.buckets.values() if info["txn_id"] == f"sparse-{j:04d}")
+        )
+
+    ray.shutdown()
+    eps = total_events / tail_wall
+    return {
+        "metric": "sustained_committed_events_per_sec",
+        "value": round(eps, 1),
+        "unit": "events/sec",
+        "queries": {
+            "tail_wall_sec": round(tail_wall, 3),
+            "tail_windows": len(segments),
+            "sparse_apply_avg_sec": round(sum(sparse_walls) / len(sparse_walls), 3),
+            "sparse_apply_min_sec": round(min(sparse_walls), 3),
+            "sparse_buckets_rewritten_avg": round(
+                sum(sparse_rewritten) / len(sparse_rewritten), 2
+            ),
+            "sparse_buckets_total": n_buckets_total,
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": total_events,
+        "events_per_sec": round(eps, 1),
+        "host": meter.snapshot(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -585,6 +723,8 @@ if __name__ == "__main__":
         print(json.dumps(run_stress()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--sustained" in sys.argv:
+        print(json.dumps(run_sustained()))
     elif "--only" in sys.argv:
         names = sys.argv[sys.argv.index("--only") + 1].split(",")
         print(json.dumps(run_only(names)))

@@ -17,6 +17,7 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .kernels import import_polars as _pl
 
@@ -168,6 +169,19 @@ def _apply_incremental_once(
             for n, t in zip(s.names, s.types):
                 types[n] = t
         names = sorted(types)
+        # TOUCHED-BUCKET PRUNING: copy-on-write is per-bucket (commit_txn
+        # merges {**manifest.buckets, **bucket_stats}), so a micro-batch
+        # that lands in K of B committed buckets only needs the prior
+        # state of those K buckets — merging the whole lake per apply
+        # would make sustained tail cost O(lake), not O(delta + touched).
+        # The evolved-schema case falls back to a full rewrite: the read
+        # path (one read_parquet over all live files) relies on the
+        # invariant that every live file shares one schema, and a partial
+        # rewrite would commit mixed schemas.
+        old_types = dict(zip(s_old.names, s_old.types))
+        evolved = set(names) != set(old_types) or any(
+            old_types[n] != types[n] for n in old_types
+        )
 
         def conform(batch: pa.Table) -> pa.Table:
             # a batch column missing from the declared union means the
@@ -193,13 +207,48 @@ def _apply_incremental_once(
         # so every pre-combine event byte (the full fan-out) would cross
         # the object store just to be collapsed one operator later. LWW
         # is associative — per-branch partials reduce to the same winners.
-        ds = (
-            ds.map_batches(conform, batch_format="pyarrow")
-            .map_batches(partial_lww, batch_format="pyarrow")
-            .union(
-                prior.map_batches(conform, batch_format="pyarrow").map_batches(
-                    partial_lww, batch_format="pyarrow"
+        delta = ds.map_batches(conform, batch_format="pyarrow").map_batches(
+            partial_lww, batch_format="pyarrow"
+        )
+        if not evolved:
+            # one pass over the micro-batch: materialize the combined
+            # delta (bounded by the micro-batch's distinct keys, NOT the
+            # lake), then plan the prior read from its bucket set. The
+            # take_all is <= blocks x num_buckets tiny bucket-id rows.
+            delta = delta.materialize()
+            parts = delta.map_batches(
+                lambda t: pa.table({"bucket": pc.unique(t["bucket"])}),
+                batch_format="pyarrow",
+            ).take_all()
+            touched = {int(r["bucket"]) for r in parts}
+            committed = {int(b) for b in manifest.buckets}
+            hit = touched & committed
+            if not hit:
+                # all-new buckets (or an empty post-watermark delta):
+                # nothing of the prior state participates in the merge
+                return commit_txn(
+                    lake_dir,
+                    txn_id,
+                    lww_winners_keep_bucket(delta, combined=True),
+                    fail_before_publish=fail_before_publish,
+                    expected_version=manifest.version,
+                    num_buckets=num_buckets,
+                    branch=branch,
+                    store=store,
                 )
+            if hit != committed:
+                prior = read_lake(
+                    lake_dir,
+                    live_only=False,
+                    branch=branch,
+                    store=store,
+                    buckets=hit,
+                ).map_batches(
+                    lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
+                )
+        ds = delta.union(
+            prior.map_batches(conform, batch_format="pyarrow").map_batches(
+                partial_lww, batch_format="pyarrow"
             )
         )
         winners = lww_winners_keep_bucket(ds, combined=True)

@@ -94,6 +94,62 @@ def replay_to_lake(
     return merged.map_batches(add_sha256, batch_format="pyarrow")
 
 
+def binlog_cuts(epochs: int, micro_batches: int) -> list[int]:
+    """Window boundaries in LSN space: the epoch band split evenly, then
+    one final window for the post-epoch delete/rename band
+    (lsn >= E*STRIDE)."""
+    from .events import STRIDE
+
+    hi = (epochs + 1) * STRIDE * 3  # past every derivable lsn
+    return [
+        (i + 1) * epochs * STRIDE // max(1, micro_batches - 1)
+        for i in range(micro_batches - 1)
+    ] + [hi]
+
+
+def persist_binlog(
+    lake_dir: str, sf_dir: str, epochs: int, cuts: list[int]
+) -> str:
+    """Persist the derived log ONCE as LSN-segment-partitioned parquet —
+    the binlog. Each micro-batch then READS only its segment directory
+    (partition-pruned), the way a real tail consumes binlog segments;
+    nothing is materialized in the object store across windows. Returns
+    the binlog dir (idempotent: an existing binlog is trusted — the
+    staging+rename protocol below guarantees it is complete)."""
+    import os
+
+    import numpy as np
+
+    binlog_dir = os.path.join(lake_dir, "_binlog")
+    if os.path.isdir(binlog_dir):
+        return binlog_dir
+    cuts_arr = np.array(cuts, dtype=np.int64)
+
+    def tag_segment(t):
+        import pyarrow as _pa
+
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        seg = np.searchsorted(cuts_arr, lsn, side="right").astype(np.int64)
+        return t.append_column("segment", _pa.array(seg))
+
+    ev_all = derive_event_log(sf_dir, epochs).map_batches(
+        compile_changes, batch_format="pyarrow"
+    )
+    ev_all = ev_all.map_batches(normalize_content, batch_format="pyarrow")
+    # stage + atomic rename: a crash mid-write leaves only the staging
+    # dir, so a resumed run re-derives instead of trusting a partial log
+    staging = binlog_dir + ".staging"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    ev_all.map_batches(tag_segment, batch_format="pyarrow").write_parquet(
+        staging, partition_cols=["segment"], compression="zstd"
+    )
+    os.replace(staging, binlog_dir)
+    return binlog_dir
+
+
 def tail_replay(
     lake_dir: str,
     sf_dir: str,
@@ -112,51 +168,13 @@ def tail_replay(
     """
     import os
 
-    import numpy as np
     import ray.data as rd
 
     from .checkpoint import apply_incremental
-    from .events import STRIDE
     from .schemas import COMPILED_SCHEMA
 
-    # window boundaries in LSN space: the epoch band split evenly, then one
-    # final window for the post-epoch delete/rename band (lsn >= E*STRIDE)
-    hi = (epochs + 1) * STRIDE * 3  # past every derivable lsn
-    cuts = [
-        (i + 1) * epochs * STRIDE // max(1, micro_batches - 1)
-        for i in range(micro_batches - 1)
-    ] + [hi]
-
-    # persist the derived log ONCE as LSN-segment-partitioned parquet —
-    # the binlog. Each micro-batch then READS only its segment directory
-    # (partition-pruned), the way a real tail consumes binlog segments;
-    # nothing is materialized in the object store across windows.
-    binlog_dir = os.path.join(lake_dir, "_binlog")
-    if not os.path.isdir(binlog_dir):
-        cuts_arr = np.array(cuts, dtype=np.int64)
-
-        def tag_segment(t):
-            import pyarrow as _pa
-
-            lsn = t["lsn"].to_numpy(zero_copy_only=False)
-            seg = np.searchsorted(cuts_arr, lsn, side="right").astype(np.int64)
-            return t.append_column("segment", _pa.array(seg))
-
-        ev_all = derive_event_log(sf_dir, epochs).map_batches(
-            compile_changes, batch_format="pyarrow"
-        )
-        ev_all = ev_all.map_batches(normalize_content, batch_format="pyarrow")
-        # stage + atomic rename: a crash mid-write leaves only the staging
-        # dir, so a resumed run re-derives instead of trusting a partial log
-        staging = binlog_dir + ".staging"
-        if os.path.isdir(staging):
-            import shutil
-
-            shutil.rmtree(staging)
-        ev_all.map_batches(tag_segment, batch_format="pyarrow").write_parquet(
-            staging, partition_cols=["segment"], compression="zstd"
-        )
-        os.replace(staging, binlog_dir)
+    cuts = binlog_cuts(epochs, micro_batches)
+    binlog_dir = persist_binlog(lake_dir, sf_dir, epochs, cuts)
 
     txns = []
     for i in range(len(cuts)):

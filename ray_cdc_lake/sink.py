@@ -37,6 +37,7 @@ import errno
 import json
 import os
 import time
+import dataclasses
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
@@ -1024,6 +1025,7 @@ def read_lake(
     filter=None,
     branch: str | None = None,
     ranges: dict[str, tuple] | None = None,
+    buckets: "set[int] | None" = None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible). Pass
@@ -1045,12 +1047,24 @@ def read_lake(
     exactly over the surviving files.  This is the scan-side twin of
     read_key's manifest pruning — an incremental consumer reading
     ``ranges={"lsn": (watermark + 1, None)}`` plans its scan from the
-    manifest alone."""
+    manifest alone.
+
+    ``buckets`` restricts the read to an explicit set of bucket ids —
+    metadata-only pruning (non-listed buckets never reach scan planning).
+    This is the incremental-apply fast path: a micro-batch that touches K
+    of B committed buckets merges against K buckets of prior state, not
+    the whole lake (copy-on-write rewrites are per-bucket, so untouched
+    buckets keep their manifest entries verbatim)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     store = store or _DEFAULT_STORE
     m = read_manifest(lake_dir, store=store, version=version, branch=branch)
+    if buckets is not None:
+        keep = {str(int(b)) for b in buckets}
+        m = dataclasses.replace(
+            m, buckets={k: v for k, v in m.buckets.items() if k in keep}
+        )
     # predicate-delete files still active under THIS manifest (version
     # pinning gives each snapshot its own consistent delete set)
     active_deletes = []

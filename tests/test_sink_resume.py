@@ -685,3 +685,55 @@ def test_manifest_file_stats_prune_point_lookup(tmp_path):
         ("r1", "b.py"): (2, "B1"),
         ("r2", "c.py"): (3, "C1"),
     }
+
+
+def test_touched_bucket_pruning_skips_untouched(tmp_path):
+    """An incremental apply rewrites ONLY the buckets its micro-batch
+    lands in: untouched buckets keep their previous manifest entry
+    (txn_id unchanged — zero copy-on-write I/O for them), and the final
+    state is identical to what a full-merge apply produces."""
+    lake = str(tmp_path / "lake")
+    # seed: spread keys over many buckets so a one-key delta can't touch all
+    seed = [(i, "insert", f"r{i}", f"f{i}.py", f"S{i}") for i in range(1, 33)]
+    apply_incremental(lake, "txn-0001", ev_ds(seed), num_buckets=16)
+    m1 = read_manifest(lake)
+    assert len(m1.buckets) > 1
+
+    # delta: one key update -> exactly one touched bucket
+    apply_incremental(lake, "txn-0002", ev_ds([(100, "update", "r1", "f1.py", "S1b")]))
+    m2 = read_manifest(lake)
+    rewritten = [b for b, info in m2.buckets.items() if info["txn_id"] == "txn-0002"]
+    untouched = [b for b, info in m2.buckets.items() if info["txn_id"] == "txn-0001"]
+    assert len(rewritten) == 1
+    assert len(untouched) == len(m1.buckets) - len(rewritten) + (
+        0 if set(rewritten) <= set(m1.buckets) else 1
+    )
+    # untouched buckets keep their entries verbatim (same files, same hwm)
+    for b in untouched:
+        assert m2.buckets[b] == m1.buckets[b]
+
+    st = lake_state(lake)
+    assert st[("r1", "f1.py")] == (100, "S1b")
+    assert len(st) == 32
+
+    # empty post-watermark delta (pure re-delivery): metadata-only commit
+    apply_incremental(lake, "txn-0003", ev_ds([(100, "update", "r1", "f1.py", "S1b")]))
+    m3 = read_manifest(lake)
+    assert "txn-0003" in m3.txns
+    assert all(info["txn_id"] != "txn-0003" for info in m3.buckets.values())
+    assert lake_state(lake) == st
+
+
+def test_touched_bucket_pruning_matches_full_merge_with_tombstones(tmp_path):
+    """Pruned applies and full-lake merges converge to byte-identical
+    state across a mixed insert/update/delete tail (tombstone in one
+    bucket must not disturb other buckets' entries)."""
+    lake_a = str(tmp_path / "pruned")
+    lake_b = str(tmp_path / "onetxn")
+    segs = [SEG_A, SEG_B, [(8, "update", "r1", "d.py", "D2"), (9, "insert", "r3", "e.py", "E1")]]
+    for i, seg in enumerate(segs):
+        apply_incremental(lake_a, f"txn-{i:04d}", ev_ds(seg), num_buckets=8)
+    apply_incremental(
+        lake_b, "txn-all", ev_ds([r for s in segs for r in s]), num_buckets=8
+    )
+    assert lake_state(lake_a) == lake_state(lake_b)
