@@ -54,6 +54,53 @@ STAGING_DIR = "_staging"
 DATA_DIR = "data"
 
 
+def _bloom_build(h) -> dict:
+    """Bloom filter over a file's 64-bit key hashes, sized to ~10 bits per
+    key (fpr ≈ 1%), stored base64 in the manifest's per-file stats. The
+    two double-hashing halves come from the one stable key hash the
+    engine already computes (transforms.key_hash_u64), so membership is
+    checkable from the manifest alone — a point lookup that bloom-misses
+    every candidate file touches ZERO storage (the at-scale win: min/max
+    ranges of multi-txn bucket files overlap, blooms don't)."""
+    import base64
+
+    import numpy as np
+
+    n = max(1, len(h))
+    m = 1 << max(11, int(np.ceil(np.log2(10 * n))))  # >= 2048 bits
+    m = min(m, 1 << 20)  # cap: 128 KiB of bits per file
+    k = max(1, min(8, round(0.693 * m / n)))
+    h = np.asarray(h, dtype=np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+        )
+    return {"m": int(m), "k": int(k), "bits": base64.b64encode(bits.tobytes()).decode()}
+
+
+def _bloom_maybe_contains(bloom: dict | None, h: int) -> bool:
+    """True when the key hash MAY be in the file (no false negatives);
+    missing/legacy stats conservatively return True."""
+    if not bloom:
+        return True
+    import base64
+
+    m, k = bloom["m"], bloom["k"]
+    bits = base64.b64decode(bloom["bits"])
+    h1, h2 = h & 0xFFFFFFFF, (h >> 32) | 1
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 class LakeStore:
     """Filesystem abstraction for all sink I/O, backed by a
     ``pyarrow.fs.FileSystem`` for the bulk operations, with the TWO
@@ -930,6 +977,21 @@ def _write_txn_data(
                 if n in mins:  # column-wise bounds (conservative prune)
                     fstat[f"{n}_min"] = mins[n]
                     fstat[f"{n}_max"] = maxs[n]
+            if {"repo", "path"} <= set(md.schema.names) and md.num_rows:
+                # per-file key bloom: one key-columns-only read per staged
+                # file at commit time (content bytes never move) buys
+                # storage-free negative point lookups forever after —
+                # min/max ranges of multi-txn bucket files overlap, the
+                # bloom still prunes (read_key checks it after the ranges)
+                from .transforms import key_hash_u64
+
+                with store.fs.open_input_file(os.path.join(bdir, fn)) as kf:
+                    kt = pq.read_table(kf, columns=["repo", "path"])
+                fstat["key_bloom"] = _bloom_build(
+                    key_hash_u64(
+                        kt["repo"].combine_chunks(), kt["path"].combine_chunks()
+                    )
+                )
             file_stats.append(fstat)
         bucket_stats[b] = {
             "txn_id": txn_id,
@@ -1236,14 +1298,21 @@ def read_key(
     bdir = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={bucket}")
     fstats = info.get("files")
     if fstats is not None:
-        # manifest-recorded per-file key ranges: name the candidate files
-        # and prune by column-wise (repo, path) bounds WITHOUT touching
-        # storage — no dir listing, no footer opens for pruned files
+        # manifest-recorded per-file key ranges + key bloom: name the
+        # candidate files and prune by column-wise (repo, path) bounds,
+        # then by bloom membership, WITHOUT touching storage — no dir
+        # listing, no footer opens for pruned files. The bounds are
+        # COLUMN-WISE (conservative): a (repo, path) pair can sit inside
+        # both ranges yet not exist in the file; the bloom prunes exactly
+        # those, so a lookup of an ABSENT key normally touches zero
+        # storage at all (fpr ~1% at 10 bits/key).
+        hk = int(h[0])
         names = [
             f["name"]
             for f in fstats
             if ("repo_min" not in f or f["repo_min"] <= repo <= f["repo_max"])
             and ("path_min" not in f or f["path_min"] <= path <= f["path_max"])
+            and _bloom_maybe_contains(f.get("key_bloom"), hk)
         ]
     else:  # legacy manifest without file stats: list the bucket dir
         if not store.isdir(bdir):
@@ -1298,3 +1367,117 @@ def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
             store.rmtree(os.path.join(stage_root, t))
             removed.append(f"_staging/{t}")
     return removed
+
+
+_MANIFEST_FILE_RE = None  # compiled lazily (module import stays light)
+
+
+def _parse_manifest_name(fn: str) -> tuple[str, int] | None:
+    """'manifest-000003.json' -> ('main', 3);
+    'manifest-dev-000002.json' -> ('dev', 2); else None."""
+    global _MANIFEST_FILE_RE
+    if _MANIFEST_FILE_RE is None:
+        import re
+
+        # branch names may themselves contain '-'; the greedy group takes
+        # everything up to the final -NNNNNN
+        _MANIFEST_FILE_RE = re.compile(r"^manifest-(?:(.+)-)?(\d{6})\.json$")
+    m = _MANIFEST_FILE_RE.match(fn)
+    if m is None:
+        return None
+    return (m.group(1) or "main", int(m.group(2)))
+
+
+def expire_snapshots(
+    lake_dir: str, keep_last: int = 1, store: LakeStore | None = None
+) -> dict:
+    """Iceberg-style snapshot retention: delete manifest versions older
+    than the newest ``keep_last`` of each chain (main and every branch),
+    then reclaim data-txn dirs that no RETAINED manifest's bucket entries
+    reference.
+
+    Contract:
+
+    * Time travel to any retained version stays FULLY readable (the
+      sweep keeps every txn dir some retained manifest still owns a
+      bucket in) — unlike plain ``vacuum``, whose live set is only the
+      branch heads and which therefore leaves older snapshots dangling
+      after a compaction.
+    * Reading an expired version raises (the manifest file is gone) —
+      history disappears explicitly, never silently-corrupt.
+    * Any manifest a branch pointer references is pinned regardless of
+      age (a fresh branch can point at an old MAIN-chain version).
+    * The exactly-once ledger is untouched: committed txn IDs live in
+      the CURRENT manifest's ``txns`` list, so a re-delivered old txn is
+      still a no-op after its data was expired.
+    * Claimed-but-unpointed next versions (a crashed publish) are above
+      every head, hence never expired, and their data stays live.
+
+    This is the storage-reclaim path for a long-running incremental tail
+    that does NOT want a full compaction rewrite: applies accumulate one
+    txn dir per touched bucket forever; expiry drops the dirs whose
+    buckets every retained snapshot has since rewritten. Returns
+    ``{"manifests_removed": [...], "data_removed": [...]}``.
+    Reference analog: the retention half of DeleteAllS3ObjectsByPrefix —
+    bulk-delete superseded objects while the live manifest stays intact
+    (S3Utils.kt:75-90)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    store = store or _DEFAULT_STORE
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    out: dict = {"manifests_removed": [], "data_removed": []}
+    if not store.isdir(mdir):
+        return out
+
+    entries = store.listdir(mdir)
+    pinned: set[str] = set()  # manifest filenames a pointer references
+    heads: dict[str, int] = {}  # chain -> head version (own-chain only)
+    for fn in entries:
+        if fn == "CURRENT":
+            raw = store.read_text(os.path.join(mdir, fn)).strip()
+            name = (
+                os.path.basename(_manifest_path(lake_dir, int(raw)))
+                if raw.isdigit()
+                else raw
+            )
+            pinned.add(name)
+            parsed = _parse_manifest_name(name)
+            if parsed is not None:
+                heads[parsed[0]] = parsed[1]
+        elif fn.startswith("BRANCH-") and ".tmp-" not in fn:
+            raw = store.read_text(os.path.join(mdir, fn)).strip()
+            pinned.add(raw)
+            parsed = _parse_manifest_name(raw)
+            # pin only; a branch pointing into the MAIN chain pins that
+            # file but does not define main's head
+            if parsed is not None and parsed[0] != "main":
+                heads[parsed[0]] = parsed[1]
+
+    for fn in entries:
+        parsed = _parse_manifest_name(fn)
+        if parsed is None or fn in pinned:
+            continue
+        chain, ver = parsed
+        head = heads.get(chain)
+        if head is None:
+            continue  # orphan chain (no pointer) — leave for inspection
+        if ver <= head - keep_last:
+            store.delete_file(os.path.join(mdir, fn))
+            out["manifests_removed"].append(fn)
+
+    # sweep: a txn dir is live iff some REMAINING manifest's bucket map
+    # still owns a bucket in it (ownership, not the txns ledger — the
+    # ledger records idempotency history, not file references)
+    live: set[str] = set()
+    for fn in store.listdir(mdir):
+        if _parse_manifest_name(fn) is None:
+            continue
+        d = json.loads(store.read_text(os.path.join(mdir, fn)))
+        live |= {info["txn_id"] for info in d.get("buckets", {}).values()}
+    data_root = os.path.join(lake_dir, DATA_DIR)
+    if store.isdir(data_root):
+        for t in store.listdir(data_root):
+            if t not in live:
+                store.rmtree(os.path.join(data_root, t))
+                out["data_removed"].append(f"data/{t}")
+    return out

@@ -721,3 +721,158 @@ def test_read_lake_ranges_compose_with_filter_and_live(tmp_path):
     ).to_pandas()
     # a1 dropped by filter, a2 is a tombstone, a3 survives
     assert list(got["path"]) == ["a3"]
+
+
+def test_key_bloom_no_false_negatives(tmp_path):
+    """Per-file key blooms: every inserted hash is a maybe-hit (no false
+    negatives — the correctness property), and absent hashes prune at
+    roughly the designed ~1% fpr (loose bound: <5%)."""
+    from ray_cdc_lake.sink import _bloom_build, _bloom_maybe_contains
+
+    rng = np.random.default_rng(7)
+    present = rng.integers(0, 2**63, 5000, dtype=np.uint64)
+    bloom = _bloom_build(present)
+    for h in present[:500]:
+        assert _bloom_maybe_contains(bloom, int(h))
+    absent = rng.integers(0, 2**63, 2000, dtype=np.uint64)
+    absent = absent[~np.isin(absent, present)]
+    fp = sum(_bloom_maybe_contains(bloom, int(h)) for h in absent)
+    assert fp / len(absent) < 0.05
+    # empty/legacy stats are conservatively a maybe-hit
+    assert _bloom_maybe_contains(None, 123)
+    assert _bloom_maybe_contains({}, 123)
+
+
+class _CountingFS:
+    """Delegating proxy around a pyarrow FileSystem that counts
+    open_input_file calls (read_key storage-touch accounting)."""
+
+    def __init__(self, fs):
+        self._fs = fs
+        self.opens = 0
+
+    def open_input_file(self, path):
+        self.opens += 1
+        return self._fs.open_input_file(path)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_read_key_bloom_prunes_absent_keys_to_zero_reads(tmp_path):
+    """A point lookup of an ABSENT key whose (repo, path) falls inside the
+    column-wise min/max bounds (so range pruning alone cannot help) is
+    answered from the manifest's per-file key bloom with ZERO storage
+    reads. Present keys still read exactly their matching files."""
+    import ray.data as rd
+    from pyarrow.fs import LocalFileSystem
+
+    from ray_cdc_lake.sink import _bloom_maybe_contains, read_key
+    from ray_cdc_lake.transforms import key_hash_u64
+
+    lake = str(tmp_path / "lake")
+    commit_txn(lake, "txn-a", rd.from_arrow(_winners()))
+    m = read_manifest(lake)
+    blooms = [
+        f["key_bloom"]
+        for info in m.buckets.values()
+        for f in info["files"]
+    ]
+    assert blooms and all(b for b in blooms)  # stats recorded at commit
+
+    # candidates inside the bounds (repo 'r', paths sort between p0..p9);
+    # pick one the blooms deterministically miss in every file (fpr ~1%,
+    # so the first candidate almost always works — the loop makes the
+    # test deterministic, not flaky)
+    chosen = None
+    for i in range(50):
+        repo, path = "r", f"p3absent{i}"
+        hk = int(key_hash_u64(pa.array([repo]), pa.array([path]))[0])
+        if not any(_bloom_maybe_contains(b, hk) for b in blooms):
+            chosen = (repo, path)
+            break
+    assert chosen is not None
+
+    counting = _CountingFS(LocalFileSystem())
+    cstore = LakeStore(counting)
+    assert read_key(lake, *chosen, store=cstore) is None
+    assert counting.opens == 0  # manifest-only answer
+
+    # a live key still resolves (and touches storage)
+    t = _winners()
+    repo, path = t["repo"][0].as_py(), t["path"][0].as_py()
+    row = read_key(lake, repo, path, store=cstore)
+    assert row is not None and row["repo"] == repo
+    assert counting.opens >= 1
+
+
+def test_expire_snapshots_retention_and_data_reclaim(tmp_path):
+    """Iceberg-style expiry: manifests older than keep_last go away, txn
+    dirs no retained manifest references are reclaimed, the head stays
+    fully readable, expired versions raise, and the exactly-once ledger
+    still no-ops a re-delivered expired txn."""
+    import ray.data as rd
+
+    from ray_cdc_lake.sink import expire_snapshots
+
+    lake = str(tmp_path / "lake")
+    # two full-table commits: txn-b's winners cover every bucket, so v2
+    # owns all buckets and txn-a's dirs are referenced by v1 only
+    commit_txn(lake, "txn-a", rd.from_arrow(_winners(seed=5)))
+    commit_txn(lake, "txn-b", rd.from_arrow(_winners(seed=6)))
+    data = tmp_path / "lake" / "data"
+    assert (data / "txn-a").is_dir() and (data / "txn-b").is_dir()
+
+    before = read_lake(lake).to_pandas().sort_values(["repo", "path"])
+    out = expire_snapshots(lake, keep_last=1)
+    assert out["manifests_removed"] == ["manifest-000001.json"]
+    assert out["data_removed"] == ["data/txn-a"]
+    assert not (data / "txn-a").exists() and (data / "txn-b").is_dir()
+
+    # head unchanged and fully readable
+    after = read_lake(lake).to_pandas().sort_values(["repo", "path"])
+    assert before.reset_index(drop=True).equals(after.reset_index(drop=True))
+    # expired version is explicitly gone, not silently corrupt
+    with pytest.raises(Exception):
+        read_manifest(lake, version=1)
+    # ledger intact: re-delivered expired txn is still a no-op
+    m = commit_txn(lake, "txn-a", rd.from_arrow(_winners(seed=5)))
+    assert m.version == 2 and m.txns == ["txn-a", "txn-b"]
+    # idempotent expiry
+    out2 = expire_snapshots(lake, keep_last=1)
+    assert out2 == {"manifests_removed": [], "data_removed": []}
+
+    with pytest.raises(ValueError):
+        expire_snapshots(lake, keep_last=0)
+
+
+def test_expire_snapshots_pins_branch_referenced_manifests(tmp_path):
+    """A branch pointing at an old MAIN-chain version pins that manifest
+    (and its data) regardless of age; the branch's own chain is trimmed
+    to its keep_last newest."""
+    import ray.data as rd
+
+    from ray_cdc_lake.sink import create_branch, expire_snapshots
+
+    lake = str(tmp_path / "lake")
+    commit_txn(lake, "txn-a", rd.from_arrow(_winners(seed=5)))
+    commit_txn(lake, "txn-b", rd.from_arrow(_winners(seed=6)))
+    create_branch(lake, "old", from_version=1)
+
+    out = expire_snapshots(lake, keep_last=1)
+    assert out["manifests_removed"] == []  # v1 pinned by the branch
+    assert out["data_removed"] == []
+    b = read_manifest(lake, branch="old")
+    assert b.version == 1
+    assert read_lake(lake, branch="old").count() > 0
+
+    # advance the branch twice: its own chain (manifest-old-*) trims
+    commit_txn(lake, "txn-c", rd.from_arrow(_winners(seed=7)), branch="old")
+    commit_txn(lake, "txn-d", rd.from_arrow(_winners(seed=8)), branch="old")
+    out = expire_snapshots(lake, keep_last=1)
+    assert "manifest-old-000002.json" in out["manifests_removed"]
+    # main v1 no longer branch-pinned -> expired now
+    assert "manifest-000001.json" in out["manifests_removed"]
+    assert read_manifest(lake, branch="old").version == 3
+    assert read_lake(lake, branch="old").count() > 0
+    assert read_lake(lake).count() > 0
