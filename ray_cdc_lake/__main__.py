@@ -104,6 +104,14 @@ def cmd_vacuum(a) -> int:
     return 0
 
 
+def cmd_expire(a) -> int:
+    from .sink import expire_snapshots
+
+    out = expire_snapshots(a.lake, keep_last=a.keep_last)
+    print(json.dumps({"lake": a.lake, **out}))
+    return 0
+
+
 def cmd_delete_where(a) -> int:
     from .sink import delete_where
 
@@ -201,6 +209,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("compact", help="major compaction + vacuum")
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "expire",
+        help="snapshot retention: drop manifests older than the newest "
+        "--keep-last of each chain, then reclaim txn/bucket dirs no "
+        "retained manifest owns (branch-pinned versions survive)",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--keep-last", type=int, default=2)
+    sp.set_defaults(fn=cmd_expire)
 
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
     common(sp, buckets=False)

@@ -731,6 +731,83 @@ def q_cdc_branch_isolation(sf_dir: str):
 
 
 
+def q_cdc_point_lookup(sf_dir: str):
+    """Manifest-routed point lookups vs the replay oracle: the first 64
+    live keys (ordered by repo, path) fetched one at a time through
+    ``read_key`` — stable key hash names ONE bucket, the manifest names
+    its owning txn dir, per-file min/max bounds + key blooms prune the
+    file list from metadata alone — and interleaved absent-key probes
+    must come back None (normally answered from the manifest's blooms
+    with zero storage reads). Reference analog: the S3 ``statObject``
+    point lookup (S3Utils.kt:27-33). Oracle: the LWW final state limited
+    to the same 64 keys in SQL."""
+    from .sink import read_key, read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "maint")
+    keys = (
+        read_lake(lake, columns=["repo", "path"])
+        .sort(["repo", "path"])
+        .limit(64)
+        .take_all()
+    )
+    rows = []
+    for i, k in enumerate(keys):
+        row = read_key(lake, k["repo"], k["path"])
+        assert row is not None, f"live key missing: {k}"
+        rows.append(row)
+        if i < 8:  # absent-key probes: bloom-pruned to a manifest-only No
+            assert read_key(lake, k["repo"], k["path"] + "#absent") is None
+    t = pa.table(
+        {
+            "repo": pa.array([r["repo"] for r in rows]),
+            "path": pa.array([r["path"] for r in rows]),
+            "commit": pa.array([r["commit"] for r in rows]),
+            "lang": pa.array([r["lang"] for r in rows]),
+            "content": pa.array([r["content"] for r in rows], type=pa.large_string()),
+            "lsn": pa.array([r["lsn"] for r in rows], type=pa.int64()),
+        }
+    )
+    return add_sha256(t, column="content", out="content_sha256")
+
+
+def q_cdc_snapshot_expiry(sf_dir: str):
+    """Iceberg-style snapshot expiry preserves the head: two incremental
+    applies, then ``expire_snapshots(keep_last=1)`` drops the v1 manifest
+    and reclaims every txn dir — and every superseded per-bucket COW dir
+    inside retained txn dirs — that no retained manifest owns. The
+    surviving head must still equal the full-replay oracle byte-for-byte
+    (sha256 per row), and the exactly-once txn ledger must be intact.
+    Reference analog: the retention half of DeleteAllS3ObjectsByPrefix
+    (S3Utils.kt:75-90)."""
+    from .sink import expire_snapshots, read_lake, read_manifest
+
+    lake, _ = _two_txn_lake(sf_dir, "maint")
+    expire_snapshots(lake, keep_last=1)
+    m = read_manifest(lake)
+    # head pointer, version chain and ledger survive expiry (idempotent on
+    # in-process reruns of the memoized fixture — already-expired = no-op)
+    assert m.version == 2 and m.txns == ["txn-0001", "txn-0002"]
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
+POINT_LOOKUP_SQL = f"""
+WITH {EVENTS_CTE}, {COMPILED_CTE},
+final AS (
+  SELECT repo, path, "commit", lang, content,
+         sha256(content) AS content_sha256, lsn
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+keys AS (SELECT repo, path FROM final ORDER BY repo, path LIMIT 64)
+SELECT f.repo, f.path, f."commit", f.lang, f.content, f.content_sha256, f.lsn
+FROM final f JOIN keys k ON f.repo = k.repo AND f.path = k.path
+"""
+
+
 def q_cdc_lake_diff(sf_dir: str):
     """Snapshot diff v1 -> v2 (the change feed between two committed
     versions): added / deleted / updated keys with old/new LSNs, computed
@@ -3258,6 +3335,15 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         q, s = mod.registry()
         queries.update(q)
         sql.update(s)
+
+    # lake-maintenance surface (registered AFTER the extension modules so
+    # natural order ranks these behind the 48 never-stamped round-3 window
+    # entries — they rotate into the driver window next round instead of
+    # displacing two of this round's)
+    queries["cdc_point_lookup"] = q_cdc_point_lookup
+    queries["cdc_snapshot_expiry"] = q_cdc_snapshot_expiry
+    sql["cdc_point_lookup"] = POINT_LOOKUP_SQL
+    sql["cdc_snapshot_expiry"] = FINAL_STATE_SQL
 
     queries = _windowed(queries, sql)
     return queries, sql

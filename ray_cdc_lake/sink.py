@@ -1467,17 +1467,30 @@ def expire_snapshots(
 
     # sweep: a txn dir is live iff some REMAINING manifest's bucket map
     # still owns a bucket in it (ownership, not the txns ledger — the
-    # ledger records idempotency history, not file references)
-    live: set[str] = set()
+    # ledger records idempotency history, not file references). Applies
+    # are copy-on-write PER BUCKET, so a still-live txn dir can hold
+    # bucket=k subdirs that every retained manifest has since rewritten
+    # in a newer txn — the second sweep reclaims those at bucket
+    # granularity (pure deletion, no data rewrite: the bounded-work
+    # storage-reclaim a long-running tail needs between full compactions).
+    owned: set[tuple[str, str]] = set()  # (txn_id, bucket) pairs retained
     for fn in store.listdir(mdir):
         if _parse_manifest_name(fn) is None:
             continue
         d = json.loads(store.read_text(os.path.join(mdir, fn)))
-        live |= {info["txn_id"] for info in d.get("buckets", {}).values()}
+        owned |= {(info["txn_id"], b) for b, info in d.get("buckets", {}).items()}
+    live = {t for t, _ in owned}
     data_root = os.path.join(lake_dir, DATA_DIR)
     if store.isdir(data_root):
         for t in store.listdir(data_root):
             if t not in live:
                 store.rmtree(os.path.join(data_root, t))
                 out["data_removed"].append(f"data/{t}")
+                continue
+            for entry in store.listdir(os.path.join(data_root, t)):
+                if not entry.startswith("bucket="):
+                    continue
+                if (t, entry.split("=", 1)[1]) not in owned:
+                    store.rmtree(os.path.join(data_root, t, entry))
+                    out["data_removed"].append(f"data/{t}/{entry}")
     return out

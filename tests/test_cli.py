@@ -61,3 +61,19 @@ def test_cli_delete_where(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["version"] == 2 and out["active_deletes"] == 1
     assert set(read_lake(lake).to_pandas()["repo"]) == {"r2"}
+
+
+def test_cli_expire(tmp_path, capsys):
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import read_lake, read_manifest
+    from tests.test_sink_resume import SEG_A, SEG_B, ev_ds
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A), num_buckets=4)
+    apply_incremental(lake, "t2", ev_ds(SEG_B), num_buckets=4)
+    before = read_lake(lake).count()
+    assert main(["expire", "--lake", lake, "--keep-last", "1"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["manifests_removed"] == ["manifest-000001.json"]
+    assert read_manifest(lake).version == 2
+    assert read_lake(lake).count() == before

@@ -876,3 +876,47 @@ def test_expire_snapshots_pins_branch_referenced_manifests(tmp_path):
     assert read_manifest(lake, branch="old").version == 3
     assert read_lake(lake, branch="old").count() > 0
     assert read_lake(lake).count() > 0
+
+
+def test_expire_snapshots_reclaims_superseded_bucket_dirs(tmp_path):
+    """Applies are copy-on-write per bucket, so a retained txn dir can
+    hold bucket=k subdirs a newer txn superseded. Bucket-level expiry
+    reclaims exactly those — no rewrite, state and point lookups intact."""
+    import ray.data as rd
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import expire_snapshots, read_key
+
+    def ev(lsns, paths):
+        n = len(lsns)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "repo": pa.array(["r"] * n),
+                    "path": pa.array(paths),
+                    "lsn": pa.array(lsns, type=pa.int64()),
+                    "commit": pa.array([f"c{l}" for l in lsns]),
+                    "op": pa.array(["insert"] * n),
+                    "content": pa.array(["x"] * n, type=pa.large_string()),
+                }
+            )
+        )
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev([1, 2, 3, 4], ["a", "b", "c", "d"]), num_buckets=4)
+    apply_incremental(lake, "t2", ev([5], ["a"]), num_buckets=4)
+    m = read_manifest(lake)
+    # find the bucket t2 rewrote: t1's copy of it is on disk but dead
+    (reb,) = [b for b, i in m.buckets.items() if i["txn_id"] == "t2"]
+    stale = tmp_path / "lake" / "data" / "t1" / f"bucket={reb}"
+    assert stale.is_dir()
+
+    before = read_lake(lake).to_pandas().sort_values("path").reset_index(drop=True)
+    out = expire_snapshots(lake, keep_last=1)
+    assert f"data/t1/bucket={reb}" in out["data_removed"]
+    assert not stale.exists()
+    # live buckets of t1 untouched, state byte-identical, lookups work
+    after = read_lake(lake).to_pandas().sort_values("path").reset_index(drop=True)
+    assert before.equals(after)
+    assert read_key(lake, "r", "a", num_buckets=4)["lsn"] == 5
+    # keep_last=2 would have pinned manifest v1 and its bucket ownership
