@@ -13,6 +13,8 @@ Commands (thin wrappers over the library; all idempotent/resumable):
 * ``tail``    — segmented binlog tail: one txn per LSN window; a killed
   run resumes at the first uncommitted window (pipeline.tail_replay).
 * ``compact`` — LSM major compaction + vacuum.
+* ``rescale`` — online bucket-modulus rescale (start/step/finish);
+  ingest keeps running between bucket-local split steps.
 * ``vacuum``  — drop unreferenced txn data.
 * ``metrics`` — print the manifest's per-bucket lineage and per-txn
   ingest metrics as JSON (the ops/observability surface).
@@ -93,6 +95,18 @@ def cmd_compact(a) -> int:
     _ray_up()
     m = compact(a.lake, num_buckets=a.buckets)
     print(json.dumps({"lake": a.lake, "version": m.version, "txns": m.txns}))
+    return 0
+
+
+def cmd_rescale(a) -> int:
+    from .rescale import rescale_start, rescale_status, rescale_step
+
+    if a.start is not None:
+        rescale_start(a.lake, factor=a.start)
+    elif a.step is not None or a.finish:
+        _ray_up()  # the split reads/writes data
+        rescale_step(a.lake, max_buckets=a.step)
+    print(json.dumps({"lake": a.lake, **rescale_status(a.lake)}))
     return 0
 
 
@@ -223,6 +237,19 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
     common(sp, buckets=False)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "rescale",
+        help="online modulus rescale: --start FACTOR records the target; "
+        "--step N splits N more buckets (bucket-local, one txn); "
+        "--finish splits everything left and flips the modulus; no flag "
+        "prints status. Ingest keeps running between steps.",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--start", type=int, metavar="FACTOR")
+    sp.add_argument("--step", type=int, metavar="N")
+    sp.add_argument("--finish", action="store_true")
+    sp.set_defaults(fn=cmd_rescale)
 
     sp = sub.add_parser(
         "delete-where", help="metadata-only predicate delete (merge-on-read)"

@@ -52,6 +52,27 @@ def filter_after_hwm(hwm: dict[int, int]):
     return fn
 
 
+def _bucket_assigner(manifest: Manifest, num_buckets: int):
+    """Batch fn appending the merge 'bucket' column. Plain modulus
+    normally; the MIXED rule (sink.bucket_ids_mixed) while an online
+    rescale is in flight, so mid-rescale applies land each key exactly
+    where readers will look for it."""
+    r = manifest.rescale
+    if not r:
+        return lambda b: add_bucket(b, num_buckets)
+    from .sink import bucket_ids_mixed
+    from .transforms import key_hash_u64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if "bucket" in batch.column_names:
+            batch = batch.drop_columns(["bucket"])
+        h = key_hash_u64(batch["repo"], batch["path"])
+        ids = bucket_ids_mixed(h, num_buckets, r)
+        return batch.append_column("bucket", pa.array(ids))
+
+    return fn
+
+
 def apply_incremental(
     lake_dir: str,
     txn_id: str,
@@ -129,7 +150,8 @@ def _apply_incremental_once(
         raise ValueError(
             f"lake {lake_dir} is bucketed with num_buckets="
             f"{manifest.num_buckets}, apply requested {num_buckets} — "
-            "re-bucket with compact(num_buckets=...) instead"
+            "re-bucket with compact(num_buckets=...) or, without a "
+            "whole-lake rewrite txn, rescale.rescale_start/rescale_step"
         )
     elif manifest.buckets and not manifest.num_buckets and (
         max(int(b) for b in manifest.buckets) >= num_buckets
@@ -142,17 +164,14 @@ def _apply_incremental_once(
             f"num_buckets={num_buckets} — the lake was bucketed with a "
             "larger modulus; re-bucket with compact(num_buckets=...)"
         )
-    ds = compiled_events.map_batches(
-        lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
-    )
+    assign = _bucket_assigner(manifest, num_buckets)
+    ds = compiled_events.map_batches(assign, batch_format="pyarrow")
     if dedup_below_hwm:
         ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
 
     if manifest.buckets:
         prior = read_lake(lake_dir, live_only=False, branch=branch, store=store)
-        prior = prior.map_batches(
-            lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
-        )
+        prior = prior.map_batches(assign, batch_format="pyarrow")
         # conform both branches to one column order/schema before union
         # (schema evolution: missing columns null-backfilled — the
         # pa.unify_schemas analog of SURVEY.md §7 step 8). Pass
@@ -243,9 +262,7 @@ def _apply_incremental_once(
                     branch=branch,
                     store=store,
                     buckets=hit,
-                ).map_batches(
-                    lambda b: add_bucket(b, num_buckets), batch_format="pyarrow"
-                )
+                ).map_batches(assign, batch_format="pyarrow")
         ds = delta.union(
             prior.map_batches(conform, batch_format="pyarrow").map_batches(
                 partial_lww, batch_format="pyarrow"
@@ -644,7 +661,13 @@ def compact(
 
     m = read_manifest(lake_dir, store=store)
     if num_buckets is None:
-        num_buckets = m.num_buckets or DEFAULT_NUM_BUCKETS
+        # an in-flight online rescale finishes HERE (compact rewrites the
+        # whole state anyway, so default to the rescale's target modulus;
+        # the fresh manifest below clears the rescale marker either way)
+        if m.rescale:
+            num_buckets = m.rescale["to"]
+        else:
+            num_buckets = m.num_buckets or DEFAULT_NUM_BUCKETS
     txn = f"compact-{m.version + 1:06d}"
     ds = read_lake(lake_dir, live_only=False, store=store)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")

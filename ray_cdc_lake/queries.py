@@ -342,6 +342,57 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_rescale_online(sf_dir: str):
+    """ONLINE bucket rescale under live ingest (rescale.py): commit txn 1
+    at the base modulus, start a 2x rescale and split only HALF the old
+    buckets, apply txn 2 MID-RESCALE (its keys bucketed by the mixed
+    rule — split keys at the new modulus, the rest at the old), then
+    finish the rescale and read the final state back. Must equal the
+    one-shot replay oracle byte-for-byte: the mixed-modulus window
+    neither loses, duplicates, nor mis-buckets a key. Each split step is
+    bucket-local (keys of old bucket b can only move to {b + M*j}), so
+    the rescale never shuffles across buckets — the 100 TB path to a
+    bigger modulus without compact()'s whole-lake single-txn rewrite."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .rescale import rescale_start, rescale_step
+    from .schemas import COMPILED_SCHEMA, DEFAULT_NUM_BUCKETS
+    from .sink import read_lake, read_manifest
+
+    lake = f"/tmp/ray_cdc_lake_rescale/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = compiled_log(sf_dir, E)
+    ev = ev.materialize()
+    from .events import STRIDE
+
+    cut = 2 * STRIDE
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
+    rescale_start(lake, factor=2)
+    rescale_step(lake, max_buckets=DEFAULT_NUM_BUCKETS // 2)  # half split...
+    apply_incremental(lake, "txn-0002", seg2, events_schema=COMPILED_SCHEMA)
+    rescale_step(lake)  # ...finish; flips num_buckets to 2x
+    m = read_manifest(lake)
+    assert m.rescale is None and m.num_buckets == 2 * DEFAULT_NUM_BUCKETS
+    out = read_lake(lake)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_compact_state(sf_dir: str):
     """Major compaction through the driver gate: build a fresh two-txn
     lake, ``compact()`` it (single collapsed txn + vacuum of superseded
@@ -1432,6 +1483,7 @@ CDC_SQL: dict[str, str] = {
     "cdc_final_state_salted": FINAL_STATE_SQL,
     "cdc_final_state_spill": FINAL_STATE_SQL,
     "cdc_compact_state": FINAL_STATE_SQL,
+    "cdc_rescale_online": FINAL_STATE_SQL,
     "cdc_idempotent_replay": FINAL_STATE_SQL,
     "cdc_dedup_events": f"""
         WITH {EVENTS_CTE}
@@ -3259,6 +3311,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_final_state_spill": q_cdc_final_state_spill,
         "cdc_compact_state": q_cdc_compact_state,
+        "cdc_rescale_online": q_cdc_rescale_online,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,

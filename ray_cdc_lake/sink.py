@@ -328,6 +328,18 @@ class Manifest:
     # active bucket left are pruned at the next commit; compact()
     # materializes and clears all of them. Old manifests read back as [].
     deletes: list[dict] = field(default_factory=list)
+    # in-flight ONLINE RESCALE state (None = not rescaling):
+    # {"to": target modulus, "split": sorted old-bucket ids already split}.
+    # While set, bucket assignment is MIXED: a key whose OLD bucket
+    # (hash % num_buckets) is in "split" lives at hash % to; otherwise it
+    # still lives at its old id. Bucket ids >= num_buckets are always
+    # new-modulus ids; an id < num_buckets is a new-modulus id iff that id
+    # is in "split" (splitting old bucket b under to = f*M yields exactly
+    # {b + M*j, j < f} — bucket-local, so each split step rewrites only
+    # its own buckets with NO cross-bucket shuffle). rescale.finalize (or
+    # the last rescale_step, or compact) flips num_buckets to "to" and
+    # clears this. Old manifests read back as None.
+    rescale: dict | None = None
 
     def hwm(self) -> dict[int, int]:
         return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
@@ -338,6 +350,44 @@ class Manifest:
         for b, info in sorted(self.buckets.items(), key=lambda kv: int(kv[0])):
             out.append(os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}"))
         return out
+
+
+def _manifest_from_dict(d: dict) -> Manifest:
+    """One decode path for every manifest read — keys absent from old
+    manifests get their dataclass defaults (forward-compatible reads)."""
+    return Manifest(
+        version=d["version"],
+        buckets=d["buckets"],
+        txns=d["txns"],
+        schema_version=d.get("schema_version", 0),
+        schema_fields=d.get("schema_fields", []),
+        num_buckets=d.get("num_buckets", 0),
+        metrics=d.get("metrics", {}),
+        deletes=d.get("deletes", []),
+        rescale=d.get("rescale"),
+    )
+
+
+def bucket_ids_mixed(h, num_buckets: int, rescale: dict | None):
+    """Vectorized bucket assignment honoring an in-flight online rescale.
+
+    ``h`` is the uint64 stable key hash array (transforms.key_hash_u64).
+    No rescale: plain ``h % num_buckets``. Mid-rescale: keys whose old
+    bucket is already split live at ``h % rescale["to"]``; the rest stay
+    at their old id — the ONE rule every reader and writer (apply,
+    read_key, read_lake's delete scoping) must share, or a key would be
+    written to one bucket and looked up in another."""
+    import numpy as np
+
+    old = (h % np.uint64(num_buckets)).astype(np.int64)
+    if not rescale:
+        return old
+    new = (h % np.uint64(rescale["to"])).astype(np.int64)
+    is_split = np.zeros(num_buckets, dtype=bool)
+    split = rescale.get("split", [])
+    if split:
+        is_split[np.asarray(split, dtype=np.int64)] = True
+    return np.where(is_split[old], new, old)
 
 
 def _manifest_path(lake_dir: str, version: int, branch: str | None = None) -> str:
@@ -391,16 +441,7 @@ def read_manifest(
     else:
         mpath = _manifest_path(lake_dir, version)
     d = json.loads(store.read_text(mpath))
-    return Manifest(
-        version=d["version"],
-        buckets=d["buckets"],
-        txns=d["txns"],
-        schema_version=d.get("schema_version", 0),
-        schema_fields=d.get("schema_fields", []),
-        num_buckets=d.get("num_buckets", 0),
-        metrics=d.get("metrics", {}),
-        deletes=d.get("deletes", []),
-    )
+    return _manifest_from_dict(d)
 
 
 class CommitConflict(RuntimeError):
@@ -438,6 +479,7 @@ def _publish(
         "num_buckets": m.num_buckets,
         "metrics": m.metrics,
         "deletes": m.deletes,
+        "rescale": m.rescale,
         "committed_at": time.time(),
     }
     tmp = mpath + f".tmp-{os.getpid()}"
@@ -588,6 +630,7 @@ def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Ma
         num_buckets=b.num_buckets,
         metrics=b.metrics,
         deletes=b.deletes,
+        rescale=b.rescale,
     )
     _publish(lake_dir, merged, store=store)
     return merged
@@ -651,16 +694,7 @@ def commit_txn(
     if store.exists(nxt_path):
         d = json.loads(store.read_text(nxt_path))
         if d.get("txns") == [*manifest.txns, txn_id]:
-            nxt = Manifest(
-                version=d["version"],
-                buckets=d["buckets"],
-                txns=d["txns"],
-                schema_version=d.get("schema_version", 0),
-                schema_fields=d.get("schema_fields", []),
-                num_buckets=d.get("num_buckets", 0),
-                metrics=d.get("metrics", {}),
-                deletes=d.get("deletes", []),
-            )
+            nxt = _manifest_from_dict(d)
             _finish_pointer(lake_dir, nxt, store, branch)
             return nxt
     # optimistic-concurrency pin: a caller that MERGED against manifest
@@ -704,6 +738,9 @@ def commit_txn(
         deletes=[
             e for e in manifest.deletes if _active_delete_buckets(e, new_buckets)
         ],
+        # an in-flight online rescale rides through ordinary applies
+        # untouched — the apply bucketed its winners with the mixed rule
+        rescale=manifest.rescale,
     )
     _publish(lake_dir, new, store=store, branch=branch)
     return new
@@ -810,6 +847,7 @@ def delete_where(
                 if _active_delete_buckets(e, manifest.buckets)
             ]
             + [entry],
+            rescale=manifest.rescale,
         )
         try:
             _publish(lake_dir, new, store=store, branch=branch)
@@ -1229,10 +1267,12 @@ def read_lake(
             if "bucket" in t.column_names:
                 bvals = pc.cast(t["bucket"], pa.string())
             else:
-                from .transforms import add_bucket
+                from .transforms import key_hash_u64
 
+                hh = key_hash_u64(t["repo"], t["path"])
                 bvals = pc.cast(
-                    add_bucket(t, num_buckets_hint)["bucket"], pa.string()
+                    pa.array(bucket_ids_mixed(hh, num_buckets_hint, m.rescale)),
+                    pa.string(),
                 )
             drop = None
             for e, ab in active_deletes:
@@ -1291,7 +1331,9 @@ def read_key(
             # explicitly for lakes committed before it was recorded
             num_buckets = max(int(b) for b in m.buckets) + 1
     h = key_hash_u64(pa.array([repo]), pa.array([path]))
-    bucket = int(h[0] % np.uint64(num_buckets))
+    # mid-rescale the key may already live at its new-modulus id (mixed
+    # rule shared with every writer — see bucket_ids_mixed)
+    bucket = int(bucket_ids_mixed(h, num_buckets, m.rescale)[0])
     info = m.buckets.get(str(bucket))
     if info is None:
         return None
