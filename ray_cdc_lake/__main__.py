@@ -93,7 +93,7 @@ def cmd_compact(a) -> int:
     from .checkpoint import compact
 
     _ray_up()
-    m = compact(a.lake, num_buckets=a.buckets)
+    m = compact(a.lake, num_buckets=a.buckets, sort=a.sort)
     print(json.dumps({"lake": a.lake, "version": m.version, "txns": m.txns}))
     return 0
 
@@ -222,6 +222,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("compact", help="major compaction + vacuum")
     common(sp)
+    sp.add_argument(
+        "--sort",
+        action="store_true",
+        help="sort-order compaction: range-sort (bucket, repo, path) so "
+        "per-file key ranges are disjoint (exact manifest pruning)",
+    )
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser(

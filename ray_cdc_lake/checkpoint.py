@@ -641,6 +641,7 @@ def compact(
     lake_dir: str,
     num_buckets: int | None = None,
     store: "LakeStore | None" = None,
+    sort: bool = False,
 ) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
     ``num_buckets`` defaults to the lake's committed modulus; passing a
@@ -655,6 +656,16 @@ def compact(
     referencing only that txn, and vacuums everything else. State before
     and after is byte-identical (tested); per-bucket high watermarks are
     preserved because each bucket's max-LSN winner survives LWW.
+
+    ``sort=True`` is SORT-ORDER compaction (the Iceberg sort-order /
+    Delta Z-order analog for this key shape): a range-partitioned global
+    sort on (bucket, repo, path) before the write, so every output file
+    covers one contiguous key range of its bucket. Per-file (repo, path)
+    min/max in the manifest then become DISJOINT, which turns read_key /
+    range-scan pruning from bloom-assisted into exact interval lookup,
+    and row-group pushdown inside a file prunes by the same order. A
+    range shuffle, not a per-bucket map_groups: a whole bucket never has
+    to fit in one worker's heap, so it holds at 100 TB buckets.
     """
     from .sink import Manifest as _Manifest
     from .sink import _publish, _retain_metrics, _write_txn_data, read_manifest, vacuum
@@ -671,6 +682,8 @@ def compact(
     txn = f"compact-{m.version + 1:06d}"
     ds = read_lake(lake_dir, live_only=False, store=store)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
+    if sort:
+        ds = ds.sort(["bucket", "repo", "path"])
     # write the compact txn's data files WITHOUT publishing, then publish
     # exactly ONE manifest referencing only the compact txn — no
     # intermediate state mixing old bucket dirs with re-bucketed data is

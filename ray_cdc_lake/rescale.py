@@ -102,6 +102,7 @@ def rescale_step(
     lake_dir: str,
     max_buckets: int | None = None,
     store: "LakeStore | None" = None,
+    max_attempts: int = 5,
 ) -> Manifest:
     """Split up to ``max_buckets`` not-yet-split old buckets (lowest ids
     first; default: all remaining) as ONE committed transaction.
@@ -110,7 +111,27 @@ def rescale_step(
     modulus — bucket-local by construction, so the step's cost is the
     size of the chosen buckets only. The last step (every old id split)
     finalizes: ``num_buckets`` flips to the target and the marker clears.
-    Returns the new manifest (or the current one when nothing is left)."""
+    Returns the new manifest (or the current one when nothing is left).
+
+    Concurrent writers: a live apply that wins the next manifest version
+    first conflicts this step (its split read is stale); the step
+    re-reads and retries, same optimistic-concurrency loop as
+    apply_incremental — rescale and ingest interleave without
+    coordination."""
+    last: CommitConflict | None = None
+    for _ in range(max_attempts):
+        try:
+            return _rescale_step_once(lake_dir, max_buckets, store)
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def _rescale_step_once(
+    lake_dir: str,
+    max_buckets: int | None,
+    store: "LakeStore | None",
+) -> Manifest:
     from .sink import _DEFAULT_STORE
 
     store = store or _DEFAULT_STORE

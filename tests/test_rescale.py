@@ -175,6 +175,36 @@ def test_rescale_step_crash_recovery(tmp_path, monkeypatch):
     }
 
 
+def test_rescale_step_retries_on_concurrent_apply(tmp_path, monkeypatch):
+    """A live apply winning the next manifest version conflicts the step
+    (its split read is stale); the step re-reads and retries — rescale
+    and ingest interleave with no coordination, and neither loses rows."""
+    import ray_cdc_lake.rescale as rmod
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)
+    rescale_start(lake, factor=2)
+
+    real_publish = rmod._publish
+    state = {"raced": 0}
+
+    def racing_publish(lake_dir, m, store=None, **kw):
+        if state["raced"] == 0:
+            state["raced"] += 1
+            # a concurrent writer lands between the step's read and its
+            # publish; the step's claim of this version must now conflict
+            apply_incremental(
+                lake_dir, "txn-race", ev_ds(SEG2), dedup_below_hwm=False
+            )
+        return real_publish(lake_dir, m, store=store, **kw)
+
+    monkeypatch.setattr(rmod, "_publish", racing_publish)
+    m = rescale_step(lake)  # conflicts once, retries, finalizes
+    assert state["raced"] == 1
+    assert m.rescale is None and m.num_buckets == 2 * NB
+    assert live_state(lake) == oneshot_state(tmp_path, 2 * NB)
+
+
 def test_compact_finalizes_inflight_rescale(tmp_path):
     lake = str(tmp_path / "lake")
     apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)

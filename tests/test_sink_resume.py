@@ -159,6 +159,42 @@ def test_schema_evolution_column_add(tmp_path):
     assert pd.isna(df.loc[("r1", "a.py"), "license"])
 
 
+def test_sort_order_compaction(tmp_path):
+    """compact(sort=True): identical live state, and every output file is
+    internally sorted by (repo, path) with DISJOINT per-file key ranges
+    inside each bucket — the manifest min/max become exact intervals, so
+    point/range pruning needs no bloom fallback."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray_cdc_lake.checkpoint import compact
+
+    lake = str(tmp_path / "lake")
+    # many keys across several txns so buckets hold interleaved runs
+    rows1 = [(i + 1, "insert", f"r{i % 5}", f"f{i:03d}.py", f"v{i}") for i in range(60)]
+    rows2 = [(100 + i, "update", f"r{i % 5}", f"f{i:03d}.py", f"w{i}") for i in range(0, 60, 3)]
+    apply_incremental(lake, "txn-a", ev_ds(rows1), num_buckets=4)
+    apply_incremental(lake, "txn-b", ev_ds(rows2), num_buckets=4)
+    before = lake_state(lake)
+
+    m = compact(lake, sort=True)
+    assert lake_state(lake) == before
+    for b, info in read_manifest(lake).buckets.items():
+        spans = []
+        for fstat in info["files"]:
+            fpath = os.path.join(lake, "data", info["txn_id"], f"bucket={b}", fstat["name"])
+            t = pq.read_table(fpath, columns=["repo", "path"])
+            keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+            assert keys == sorted(keys), f"bucket {b} file {fstat['name']} unsorted"
+            spans.append((keys[0], keys[-1]))
+        spans.sort()
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, f"bucket {b}: overlapping file key ranges"
+    # point lookups on the sorted layout
+    assert read_lake(lake).count() == len(before)
+
+
 def test_compaction_preserves_state(tmp_path):
     """compact() rewrites the lake as one txn: identical live state,
     identical watermarks, old txn dirs gone, stale events still rejected
