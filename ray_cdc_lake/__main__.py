@@ -15,6 +15,8 @@ Commands (thin wrappers over the library; all idempotent/resumable):
 * ``compact`` — LSM major compaction + vacuum.
 * ``rescale`` — online bucket-modulus rescale (start/step/finish);
   ingest keeps running between bucket-local split steps.
+* ``replicate`` — converge a replica lake to the source's committed
+  chain, one idempotent txn per source version, deltas only.
 * ``vacuum``  — drop unreferenced txn data.
 * ``metrics`` — print the manifest's per-bucket lineage and per-txn
   ingest metrics as JSON (the ops/observability surface).
@@ -107,6 +109,17 @@ def cmd_rescale(a) -> int:
         _ray_up()  # the split reads/writes data
         rescale_step(a.lake, max_buckets=a.step)
     print(json.dumps({"lake": a.lake, **rescale_status(a.lake)}))
+    return 0
+
+
+def cmd_replicate(a) -> int:
+    from .replicate import replicate
+
+    _ray_up()
+    out = replicate(
+        a.src, a.dst, assume_ordered_log=not a.unordered
+    )
+    print(json.dumps({"src": a.src, "dst": a.dst, **out}))
     return 0
 
 
@@ -243,6 +256,18 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
     common(sp, buckets=False)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser(
+        "replicate",
+        help="advance a replica lake to the source's committed state: one "
+        "idempotent txn per source version, watermark-delta extraction "
+        "(--unordered re-ships changed buckets whole for multi-writer "
+        "sources with unrelated LSN ranges); killed runs resume",
+    )
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--unordered", action="store_true")
+    sp.set_defaults(fn=cmd_replicate)
 
     sp = sub.add_parser(
         "rescale",

@@ -393,6 +393,40 @@ def q_cdc_rescale_online(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_replicate(sf_dir: str):
+    """Cross-lake incremental replication (replicate.py): a two-txn
+    source lake is replicated version-by-version into an EMPTY replica
+    with a DIFFERENT bucket modulus — one idempotent ``repl-<v>`` txn
+    per source version, each moving only the rows above the touched
+    buckets' previous watermarks (pure manifest planning, no snapshot
+    diff). A second replicate() call must be a complete no-op. The
+    replica's live state must equal the one-shot replay oracle — i.e.
+    the source — byte-for-byte."""
+    import shutil
+
+    from .replicate import replicate
+    from .schemas import DEFAULT_NUM_BUCKETS
+    from .sink import read_lake
+
+    src, _ = _two_txn_lake(sf_dir, "replsrc")
+    dst = f"/tmp/ray_cdc_lake_replica/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(dst, ignore_errors=True)
+    out = replicate(src, dst, num_buckets=DEFAULT_NUM_BUCKETS // 4)
+    assert out["applied"], "first replication must apply the source versions"
+    again = replicate(src, dst, num_buckets=DEFAULT_NUM_BUCKETS // 4)
+    assert again["applied"] == [] and again["skipped"] >= 2  # converged = no-op
+    ds = read_lake(dst)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_compact_state(sf_dir: str):
     """Major compaction through the driver gate: build a fresh two-txn
     lake, ``compact()`` it (single collapsed txn + vacuum of superseded
@@ -1484,6 +1518,7 @@ CDC_SQL: dict[str, str] = {
     "cdc_final_state_spill": FINAL_STATE_SQL,
     "cdc_compact_state": FINAL_STATE_SQL,
     "cdc_rescale_online": FINAL_STATE_SQL,
+    "cdc_replicate": FINAL_STATE_SQL,
     "cdc_idempotent_replay": FINAL_STATE_SQL,
     "cdc_dedup_events": f"""
         WITH {EVENTS_CTE}
@@ -3312,6 +3347,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_final_state_spill": q_cdc_final_state_spill,
         "cdc_compact_state": q_cdc_compact_state,
         "cdc_rescale_online": q_cdc_rescale_online,
+        "cdc_replicate": q_cdc_replicate,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
         "cdc_partition_manifest": q_cdc_partition_manifest,

@@ -45,6 +45,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .kernels import _winner_per_key
+# module scope, not lazy: the strip() UDF below references this inside a
+# Ray worker, where a runtime relative import can fail when the driving
+# process isn't cwd'd to the repo (self-contained pickling only covers
+# module-scope references).
+from .transforms import key_hash_u64
 
 if TYPE_CHECKING:
     import ray.data
@@ -1021,8 +1026,6 @@ def _write_txn_data(
                 # storage-free negative point lookups forever after —
                 # min/max ranges of multi-txn bucket files overlap, the
                 # bloom still prunes (read_key checks it after the ranges)
-                from .transforms import key_hash_u64
-
                 with store.fs.open_input_file(os.path.join(bdir, fn)) as kf:
                     kt = pq.read_table(kf, columns=["repo", "path"])
                 fstat["key_bloom"] = _bloom_build(
@@ -1267,7 +1270,6 @@ def read_lake(
             if "bucket" in t.column_names:
                 bvals = pc.cast(t["bucket"], pa.string())
             else:
-                from .transforms import key_hash_u64
 
                 hh = key_hash_u64(t["repo"], t["path"])
                 bvals = pc.cast(
@@ -1315,8 +1317,6 @@ def read_key(
     ``statObject`` (S3Utils.kt:27-33)."""
     import numpy as np
     import pyarrow as pa
-
-    from .transforms import key_hash_u64
 
     store = store or _DEFAULT_STORE
     m = read_manifest(lake_dir, store=store, branch=branch)
