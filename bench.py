@@ -73,6 +73,8 @@ SECONDARY = [
     "cdc_replay_committed",  # the exactly-once sink write path
     "cdc_change_feed",  # CDF read with pre/post images
     "cdc_predicate_delete",  # metadata-only merge-on-read delete
+    "cdc_rescale_online",  # online bucket-modulus rescale, mixed-modulus reads
+    "cdc_replicate",  # cross-lake incremental replication + no-op convergence
 ]
 
 
