@@ -56,6 +56,12 @@ if TYPE_CHECKING:
     from .sink import LakeStore, Manifest
 
 
+# Columns the engine mints internally and must never ship as event
+# payload (the replica's own apply re-derives them). Everything else —
+# including schema-evolved source columns — replicates verbatim.
+_INTERNAL_COLUMNS = ("bucket",)
+
+
 def _txn_for(version: int) -> str:
     return f"repl-{version:06d}"
 
@@ -140,15 +146,15 @@ def _replicate_step(
 
     txn_id = _txn_for(version)
 
-    # metadata-only predicate deletes replicate as the SAME predicate
-    old_deletes = {
-        (e["column"], e["op"], str(e["value"])) for e in (m_old.deletes if m_old else [])
-    }
-    new_entries = [
-        e
-        for e in m_new.deletes
-        if (e["column"], e["op"], str(e["value"])) not in old_deletes
-    ]
+    # metadata-only predicate deletes replicate as the SAME predicate.
+    # New entries are detected by txn_id, NOT by (column, op, value):
+    # re-issuing an identical predicate while an earlier identical entry
+    # is still active (delete -> re-upsert matching key -> delete again,
+    # the GDPR re-erase flow) is a NEW entry with a new txn_id — matching
+    # on the triple would classify it as already-seen and silently skip
+    # it, leaving the re-upserted row alive on the replica forever.
+    old_delete_txns = {e["txn_id"] for e in (m_old.deletes if m_old else [])}
+    new_entries = [e for e in m_new.deletes if e["txn_id"] not in old_delete_txns]
     if new_entries:
         # a source commit carries at most one new delete entry (each
         # delete_where is its own version); replicate it and be done —
@@ -219,8 +225,12 @@ def _replicate_step(
             ids = bucket_ids_mixed(h, src_nb, src_rescale)
             t = t.append_column("bucket", pa.array(ids))
             t = filter_after_hwm(prev_hwm)(t)
-            cols = [c for c in COMPILED_SCHEMA.names if c in t.column_names]
-            return t.select(cols)
+            # drop ONLY engine-internal columns (the bucket id just
+            # appended for the watermark filter) — schema-evolved source
+            # columns must replicate, so no COMPILED_SCHEMA whitelist here
+            return t.drop_columns(
+                [c for c in _INTERNAL_COLUMNS if c in t.column_names]
+            )
 
         events = delta.map_batches(exact_delta, batch_format="pyarrow")
         # a non-structural step has >= 1 above-watermark row, so schema
@@ -236,8 +246,10 @@ def _replicate_step(
         )
 
         def strip_extras(t: pa.Table) -> pa.Table:
-            cols = [c for c in COMPILED_SCHEMA.names if c in t.column_names]
-            return t.select(cols)
+            # evolved source columns replicate; only internals are dropped
+            return t.drop_columns(
+                [c for c in _INTERNAL_COLUMNS if c in t.column_names]
+            )
 
         events = delta.map_batches(strip_extras, batch_format="pyarrow")
         events_schema = None

@@ -35,6 +35,7 @@ and the whole step is idempotent under retry.
 from __future__ import annotations
 
 import json
+import uuid
 from typing import TYPE_CHECKING
 
 from .sink import (
@@ -150,21 +151,41 @@ def _rescale_step_once(
             return m
     new_split = sorted(split | set(chosen))
     done = len(new_split) == M
-    txn = f"rescale-{m.version + 1:06d}"
+    # the txn id carries a per-attempt nonce: two concurrent rescale_step
+    # drivers (or a retry racing a slow winner) must not share a data dir
+    # — _write_txn_data begins by rmtree'ing the dir for its txn id, so a
+    # shared id would let a losing attempt delete the winner's already
+    # moved (possibly already published) files. With the nonce each
+    # attempt stages/moves in its own dir; a losing attempt's dir stays
+    # unreferenced (no manifest names it) and vacuum() reclaims it.
+    txn = f"rescale-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
     with_data = [b for b in chosen if str(b) in m.buckets]
 
     # crash-after-claim recovery (the commit_txn guard, same reasoning):
-    # if the NEXT version's manifest is already claimed by THIS step, its
-    # data files are in place — finish the pointer instead of rewriting
-    # them (a rewrite would mint new file stats and orphan the claim)
+    # if the NEXT version's manifest is already claimed by a rescale step
+    # of THIS rescale, its data files are in place — finish the pointer
+    # instead of rewriting them (a rewrite would mint new file stats and
+    # orphan the claim). The claim is recognized by the rescale marker,
+    # NOT by the split set this attempt happened to compute: the crashed
+    # step may have run with a different max_buckets, so ANY claim with
+    # the same target whose split set strictly grew past the current one
+    # (modulus unchanged) is a finishable step — and a claim with the
+    # marker cleared and the modulus flipped to the target is a
+    # finishable FINAL step. An apply's claim carries the marker with an
+    # UNCHANGED split set, so it never matches and conflicts as before.
     nxt_path = _manifest_path(lake_dir, m.version + 1)
     if store.exists(nxt_path):
         d = json.loads(store.read_text(nxt_path))
         r = d.get("rescale")
-        ours = (
-            d.get("rescale") == {"to": to, "split": new_split}
-            and d.get("num_buckets") == M
-        ) or (r is None and d.get("num_buckets") == to and done)
+        if r is not None:
+            claimed_split = set(r.get("split", []))
+            ours = (
+                r.get("to") == to
+                and d.get("num_buckets") == M
+                and claimed_split > split
+            )
+        else:
+            ours = d.get("num_buckets") == to
         if ours:
             nxt = _manifest_from_dict(d)
             _finish_pointer(lake_dir, nxt, store, None)

@@ -148,6 +148,62 @@ def test_replicate_unordered_source_full_bucket_mode(tmp_path):
     assert ("rw2", "w0.py") in live_state(dst)
 
 
+def test_replicate_reissued_identical_predicate_delete(tmp_path):
+    """The GDPR re-erase flow: delete_where(X), re-upsert a matching key,
+    delete_where(X) AGAIN with the identical predicate. The second delete
+    is a NEW entry (new txn_id) even though its (column, op, value)
+    triple matches a still-active earlier entry — matching on the triple
+    would classify it as already-seen, replicate version 4 as an empty
+    txn, and leave the re-upserted row alive on the replica forever."""
+    from ray_cdc_lake.sink import delete_where
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    apply_incremental(src, "txn-1", ev_ds(SEG1), num_buckets=8)
+    delete_where(src, "gdpr-1", "repo", "==", "r1")  # v2
+    # v3: a row matching the erased predicate comes back
+    back = [(200, "insert", "r1", "back.py", "resurrected")]
+    apply_incremental(src, "txn-back", ev_ds(back), num_buckets=8)
+    assert ("r1", "back.py") in live_state(src)
+    # v4: identical predicate re-issued while gdpr-1 may still be active
+    delete_where(src, "gdpr-2", "repo", "==", "r1")
+    assert all(repo != "r1" for (repo, _p) in live_state(src))
+
+    out = replicate(src, dst)
+    assert out["applied"] == [1, 2, 3, 4]
+    assert live_state(dst) == live_state(src)
+    assert ("r1", "back.py") not in live_state(dst)
+    assert all(repo != "r1" for (repo, _p) in live_state(dst))
+
+    # and the replica stays converged on a later catch-up run too
+    assert replicate(src, dst) == {"applied": [], "skipped": 4}
+
+
+def test_replicate_carries_evolved_columns(tmp_path):
+    """A schema-evolved source column (checkpoint conform / column add)
+    must replicate — both in exact-delta mode and in unordered full-bucket
+    mode — not be silently dropped by a COMPILED_SCHEMA whitelist."""
+    import pandas as pd
+    import ray.data as rd
+
+    src = str(tmp_path / "src")
+    apply_incremental(src, "txn-1", ev_ds(SEG1), num_buckets=8)
+    seg2 = ev_table(SEG2).append_column(
+        "license", pa.array(["MIT"] * len(SEG2), type=pa.large_string())
+    )
+    apply_incremental(src, "txn-2", rd.from_arrow(seg2), num_buckets=8)
+
+    for mode, dst_name in ((True, "dst-ordered"), (False, "dst-unordered")):
+        dst = str(tmp_path / dst_name)
+        replicate(src, dst, num_buckets=4, assume_ordered_log=mode)
+        assert live_state(dst) == live_state(src)
+        df = read_lake(dst).to_pandas().set_index(["repo", "path"])
+        assert "license" in df.columns
+        assert df.loc[("r9", "new.py"), "license"] == "MIT"
+        # pre-evolution rows read back null-backfilled, like on the source
+        assert pd.isna(df.loc[("r0", "f03.py"), "license"])
+
+
 def test_replicate_lagged_catchup_after_kill(tmp_path, monkeypatch):
     """A replication killed mid-chain resumes at the first unapplied
     version (txn-id idempotence) and still converges."""

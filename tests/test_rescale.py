@@ -175,6 +175,91 @@ def test_rescale_step_crash_recovery(tmp_path, monkeypatch):
     }
 
 
+def test_rescale_crash_recovery_with_different_max_buckets(tmp_path, monkeypatch):
+    """Retrying a crashed step with a DIFFERENT max_buckets computes a
+    different split set than the claimed manifest's — the recovery match
+    must recognize the claim by its rescale marker (same target, split
+    grew, modulus unchanged), not by the retry's own chosen set, or the
+    lake wedges behind the orphaned claim with CommitConflict forever."""
+    import ray_cdc_lake.rescale as rmod
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)
+    rescale_start(lake, factor=2)
+
+    real_publish = rmod._publish
+
+    def crashing_publish(lake_dir, m, store=None, **kw):
+        import ray_cdc_lake.sink as smod
+
+        st = store or smod._DEFAULT_STORE
+        cur = f"{lake_dir}/{smod.MANIFEST_DIR}/CURRENT"
+        before = st.read_text(cur)
+        real_publish(lake_dir, m, store=store, **kw)
+        st.write_text(cur + ".roll", before)
+        st.replace_file(cur + ".roll", cur)
+        raise RuntimeError("injected crash after claim")
+
+    monkeypatch.setattr(rmod, "_publish", crashing_publish)
+    with pytest.raises(RuntimeError, match="injected"):
+        rescale_step(lake, max_buckets=2)  # claim carries split=[0, 1]
+    monkeypatch.setattr(rmod, "_publish", real_publish)
+
+    m = rescale_step(lake, max_buckets=1)  # retry computes split=[0] only
+    assert m.rescale == {"to": 2 * NB, "split": [0, 1]}  # the CLAIM won
+    m = rescale_step(lake)  # finish the remainder
+    assert m.rescale is None and m.num_buckets == 2 * NB
+    assert live_state(lake) == {(r, p): (lsn, c) for (lsn, _, r, p, c) in SEG1}
+
+    # crash a FINAL step too, then retry with a partial max_buckets: the
+    # finalized claim (marker cleared, modulus flipped) must be accepted
+    lake2 = str(tmp_path / "lake2")
+    apply_incremental(lake2, "txn-1", ev_ds(SEG1), num_buckets=NB)
+    rescale_start(lake2, factor=2)
+    monkeypatch.setattr(rmod, "_publish", crashing_publish)
+    with pytest.raises(RuntimeError, match="injected"):
+        rescale_step(lake2)  # full split: the claim finalizes
+    monkeypatch.setattr(rmod, "_publish", real_publish)
+    m = rescale_step(lake2, max_buckets=1)
+    assert m.rescale is None and m.num_buckets == 2 * NB
+    assert live_state(lake2) == {(r, p): (lsn, c) for (lsn, _, r, p, c) in SEG1}
+
+
+def test_concurrent_rescale_steps_do_not_clobber_data(tmp_path, monkeypatch):
+    """Two rescale_step drivers racing the same version: the loser's
+    attempt must not delete the winner's already-published data files
+    (per-attempt txn-dir nonce), and its retry must converge on the
+    winner's claim instead of corrupting the lake."""
+    import ray_cdc_lake.rescale as rmod
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)
+    rescale_start(lake, factor=2)
+
+    real_read = rmod.read_lake
+    state = {"raced": 0}
+
+    def racing_read(*a, **kw):
+        ds = real_read(*a, **kw)
+        if state["raced"] == 0:
+            state["raced"] += 1
+            # a second driver runs (and PUBLISHES) its own step between
+            # this attempt's claim check and its data write — with a
+            # version-derived txn dir, this attempt's _write_txn_data
+            # would now rmtree the winner's already-published files
+            rmod._rescale_step_once(a[0], 2, kw.get("store"))
+        return ds
+
+    monkeypatch.setattr(rmod, "read_lake", racing_read)
+    m = rescale_step(lake)  # loses the race once, retries, finishes
+    monkeypatch.setattr(rmod, "read_lake", real_read)
+    assert state["raced"] == 1
+    assert m.rescale is None and m.num_buckets == 2 * NB
+    # every file the winner's txn published must still exist: the final
+    # state reads back complete through the manifest chain
+    assert live_state(lake) == {(r, p): (lsn, c) for (lsn, _, r, p, c) in SEG1}
+
+
 def test_rescale_step_retries_on_concurrent_apply(tmp_path, monkeypatch):
     """A live apply winning the next manifest version conflicts the step
     (its split read is stale); the step re-reads and retries — rescale
