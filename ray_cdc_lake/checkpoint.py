@@ -301,6 +301,9 @@ def delete_by_prefix(
     global hwm + 1, so they win LWW against every existing row)."""
     import pyarrow.compute as pc
 
+    # driver-side import captured by the worker closure (an in-function
+    # relative import inside the UDF would ModuleNotFound in workers)
+    from .kernels import md5_hex
     from .sink import read_lake
 
     manifest = read_manifest(lake_dir, branch=branch, store=store)
@@ -315,25 +318,24 @@ def delete_by_prefix(
         prefix = prefix + "/"
 
     def to_tombstones(batch: pa.Table) -> pa.Table:
-        import hashlib
-
         t = batch.filter(pc.starts_with(batch["path"], prefix))
         n = t.num_rows
         # commit id derived from the KEY, not the batch position: a
         # crashed-and-retried apply must regenerate identical events
         # whatever the block split (the determinism contract: the commit
-        # identifies the event)
-        commits = [
-            hashlib.md5(f"del:{r}/{p}@{new_lsn}".encode("utf-8")).hexdigest()
-            for r, p in zip(t["repo"].to_pylist(), t["path"].to_pylist())
-        ]
+        # identifies the event). String assembly is an Arrow kernel, the
+        # digest the shared batched kernel (as events.py mints commits) —
+        # no per-row Python on this maintenance path.
+        keys = pc.binary_join_element_wise(
+            "del:", t["repo"], "/", t["path"], f"@{new_lsn}", ""
+        )
         return pa.Table.from_arrays(
             [
                 pa.array([new_lsn] * n, type=pa.int64()),
                 pa.array(["delete"] * n, type=pa.string()),
                 t["repo"],
                 t["path"],
-                pa.array(commits, type=pa.string()),
+                md5_hex(keys),
                 pa.nulls(n, pa.string()),
                 pa.nulls(n, pa.large_string()),
             ],

@@ -501,17 +501,19 @@ def q_cdc_extension_discovery(sf_dir: str):
     Store layout (deterministic, SQL-expressible): per document,
     doc_id%4==0 -> both .tif and .jp2 committed; ==1 -> .tiff; ==2 ->
     .jp2; ==3 -> nothing. The key set is read back FROM the committed
-    manifest (not from the build-side table) and broadcast once
-    (ray.put; J3/J5 semi-join shape — a batch touches few items, so its
-    probe set is the genuinely small side)."""
+    manifest (not from the build-side table) and probed WITHOUT any
+    driver-side materialization: compile_batches_against_lake builds a
+    distributed OR-merged bloom over the lake's path column, bloom
+    misses short-circuit as definitely-absent, and bloom hits are
+    exact-verified by a bucketed semi-join co-partitioned on the
+    candidate-name hash (the dedup_incremental / semi_join_bloom
+    pattern) — at 10^10 keys the driver holds one 16-KiB blob, never
+    the key column."""
     import json
     import shutil
 
-    import ray
-
-    from .change_batches import compile_batches_table
-    from .sink import commit_txn, read_lake
-    from .sources import get_broadcast
+    from .change_batches import compile_batches_against_lake
+    from .sink import commit_txn
     from .transforms import add_bucket
 
     lake = f"/tmp/ray_cdc_lake_extdisc/{sf_dir.strip('/').replace('/', '_')}"
@@ -555,13 +557,6 @@ def q_cdc_extension_discovery(sf_dir: str):
     )
     commit_txn(lake, "seed-store", store)
 
-    # the key set comes from the COMMITTED lake (manifest-referenced files
-    # only), broadcast once per worker
-    key_set = frozenset(
-        read_lake(lake).select_columns(["path"]).to_pandas()["path"]
-    )
-    ref = ray.put(key_set)
-
     def to_batch_json(g: pa.Table) -> pa.Table:
         g = g.sort_by([("doc_id", "ascending")])
         src = g["source"][0].as_py()
@@ -586,10 +581,7 @@ def q_cdc_extension_discovery(sf_dir: str):
         )
 
     batches = docs.groupby("source").map_groups(to_batch_json, batch_format="pyarrow")
-    return batches.map_batches(
-        lambda b: compile_batches_table(b, existing_names=get_broadcast(ref)),
-        batch_format="pyarrow",
-    )
+    return compile_batches_against_lake(batches, lake)
 
 
 def q_cdc_repo_manifest(sf_dir: str):
@@ -2095,6 +2087,90 @@ def q_doc_validate_actor(sf_dir: str):
     return out.select_columns(["doc_id", "route", "is_valid"])
 
 
+def q_doc_validate_dispatch(sf_dir: str):
+    """Per-format validator dispatch (A1 parity with Jhove's
+    FILE_TYPE_MODULE_MAP, Jhove.kt:95-105): each document's file
+    extension selects a distinct validator module from a registry built
+    once per actor; the batch is partitioned by format and every module's
+    vectorized rule runs on its slice. Unmapped extensions (and
+    extension-less paths) route to 'No module for type'; a control
+    character (injected deterministically at doc_id%97==0) routes
+    'Not well-formed' regardless of module."""
+    from .sources import actor_pool_size
+    from .validate import FormatDispatchValidator
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "text"])
+    # extension cycle covers every mapped format plus an unmapped type
+    # and a no-extension path
+    suffixes = np.array(
+        [".jp2", ".jpeg", ".jpg", ".tif", ".tiff", ".png", ".gif",
+         ".pdf", ".xml", ".txt", ""],
+        dtype=object,
+    )
+
+    def add_path(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sfx = pa.array(suffixes[did % len(suffixes)], type=pa.string())
+        path = pc.binary_join_element_wise(
+            "docs/",
+            pc.cast(batch["lang"], pa.string()),
+            "/doc_",
+            pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 6, "0"),
+            sfx,
+            "",
+        )
+        bell = pa.array(
+            np.where(did % 97 == 0, "\x07", "").tolist(), type=pa.string()
+        )
+        text = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()), bell, ""
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "path": path, "text": text}
+        )
+
+    out = ds.map_batches(add_path, batch_format="pyarrow").map_batches(
+        FormatDispatchValidator,
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(),
+    )
+    return out.select_columns(["doc_id", "path", "module", "status", "is_valid"])
+
+
+DISPATCH_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             text || CASE WHEN doc_id % 97 = 0 THEN chr(7) ELSE '' END AS t2,
+             ['jp2','jpeg','jpg','tif','tiff','png','gif','pdf','xml','txt','']
+               [CAST(doc_id % 11 AS INT) + 1] AS ext
+      FROM documents),
+    m AS (
+      SELECT doc_id, t2,
+             'docs/' || lang || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+               || CASE WHEN ext = '' THEN '' ELSE '.' || ext END AS path,
+             CASE ext WHEN 'jp2' THEN 'JPEG2000-hul'
+                  WHEN 'jpeg' THEN 'JPEG-hul' WHEN 'jpg' THEN 'JPEG-hul'
+                  WHEN 'tif' THEN 'TIFF-hul' WHEN 'tiff' THEN 'TIFF-hul'
+                  WHEN 'png' THEN 'PNG-gdm' WHEN 'gif' THEN 'gif-hul'
+                  WHEN 'pdf' THEN 'PDF-hul' WHEN 'xml' THEN 'XML-hul'
+                  ELSE NULL END AS module,
+             CASE ext WHEN 'jp2' THEN 350
+                  WHEN 'jpeg' THEN 300 WHEN 'jpg' THEN 300
+                  WHEN 'tif' THEN 250 WHEN 'tiff' THEN 250
+                  WHEN 'png' THEN 200 WHEN 'gif' THEN 150
+                  WHEN 'pdf' THEN 400 WHEN 'xml' THEN 100
+                  ELSE NULL END AS min_chars
+      FROM base)
+    SELECT doc_id, path, module,
+           CASE WHEN module IS NULL THEN 'No module for type'
+                WHEN strpos(t2, chr(7)) > 0 THEN 'Not well-formed'
+                WHEN length(t2) < min_chars THEN 'Well-Formed, but not valid'
+                ELSE 'Well-Formed and valid' END AS status,
+           (module IS NOT NULL AND strpos(t2, chr(7)) = 0
+            AND length(t2) >= min_chars) AS is_valid
+    FROM m"""
+
+
 def q_doc_xml_extract(sf_dir: str):
     """XML metadata extraction (M7/M10 analog, JhoveParser.kt:12-184):
     synthesize a JHOVE-shaped XML payload per document (vectorized), then
@@ -3433,6 +3509,10 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     queries["cdc_snapshot_expiry"] = q_cdc_snapshot_expiry
     sql["cdc_point_lookup"] = POINT_LOOKUP_SQL
     sql["cdc_snapshot_expiry"] = FINAL_STATE_SQL
+    # round-4 addition: per-format validator-module dispatch (never
+    # stamped, so _windowed fronts it automatically)
+    queries["doc_validate_dispatch"] = q_doc_validate_dispatch
+    sql["doc_validate_dispatch"] = DISPATCH_SQL
 
     queries = _windowed(queries, sql)
     return queries, sql

@@ -49,7 +49,13 @@ from .schemas import COMPILED_SCHEMA
 # Ray workers whose cwd may not resolve `ray_cdc_lake` by path — a lazy
 # in-function relative import raises ModuleNotFoundError there, while
 # module-scope references travel with the self-contained pickle.
-from .sink import bucket_ids_mixed, delete_where, read_lake, read_manifest
+from .sink import (
+    bucket_ids_mixed,
+    delete_where,
+    read_lake,
+    read_manifest,
+    register_consumer,
+)
 from .transforms import key_hash_u64
 
 if TYPE_CHECKING:
@@ -73,6 +79,7 @@ def replicate(
     dst_store: "LakeStore | None" = None,
     num_buckets: int | None = None,
     assume_ordered_log: bool = True,
+    consumer: str | None = None,
 ) -> dict:
     """Advance ``dst_lake`` to the current committed state of ``src_lake``.
     Applies one replica txn per unapplied source version, in order.
@@ -88,10 +95,14 @@ def replicate(
     (more bytes, never wrong: re-applied carry-over rows are LWW
     no-ops on the replica).
 
-    Retention caveat: replication reads historical source versions, so
-    the source must retain manifests back to the replica's lag point
-    (``expire_snapshots(keep_last=...)`` governs this — same contract as
-    any incremental consumer of the chain)."""
+    Retention contract: replication reads historical source versions, so
+    the source must retain manifests back to the replica's lag point.
+    Pass ``consumer="<name>"`` to REGISTER this replica's applied
+    watermark on the source after every applied step
+    (``sink.register_consumer``) — ``expire_snapshots`` then refuses to
+    expire the replica's lag window unless called with ``force=True``.
+    An unregistered replica is unprotected (same contract as any
+    incremental consumer of the chain)."""
     import pyarrow.compute as pc  # noqa: F401  (kernel import kept local to workers)
 
     src_m = read_manifest(src_lake, store=store)
@@ -127,7 +138,14 @@ def replicate(
             assume_ordered_log=assume_ordered_log,
         )
         applied.append(v)
+        if consumer is not None:
+            # per-step: a killed run leaves the watermark at the last
+            # fully-applied version, so retention stays pinned correctly
+            register_consumer(src_lake, consumer, v, store=store)
         prev = m_new
+    if consumer is not None:
+        # fully caught up (possibly all steps skipped as already applied)
+        register_consumer(src_lake, consumer, src_m.version, store=store)
     return {"applied": applied, "skipped": skipped}
 
 

@@ -1411,6 +1411,70 @@ def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
     return removed
 
 
+def _consumer_file(name: str) -> str:
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(
+            f"consumer name {name!r} must match [A-Za-z0-9._-]+ "
+            "(it becomes a manifest-dir filename)"
+        )
+    return f"CONSUMER-{name}"
+
+
+def register_consumer(
+    lake_dir: str, name: str, version: int, store: LakeStore | None = None
+) -> int:
+    """Record an incremental consumer's applied watermark: the highest
+    source manifest version it has FULLY applied. ``expire_snapshots``
+    refuses (without ``force``) to expire any manifest a registered
+    consumer still needs — version ``W`` itself stays required, it is the
+    ``m_old`` of the consumer's next step. Monotonic: a write below the
+    recorded watermark is ignored (a stale writer can only be
+    conservative, never un-protect the window). Returns the recorded
+    watermark. Reference analog: the swap-safety discipline of
+    RenameS3Utils.kt:124-127 — originals that are also someone's finals
+    must not be deleted."""
+    store = store or _DEFAULT_STORE
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    store.makedirs(mdir)
+    path = os.path.join(mdir, _consumer_file(name))
+    cur = -1
+    if store.exists(path):
+        cur = int(store.read_text(path).strip())
+    if version <= cur:
+        return cur
+    tmp = path + f".tmp-{os.getpid()}"
+    store.write_text(tmp, str(int(version)))
+    store.replace_file(tmp, path)
+    return int(version)
+
+
+def list_consumers(lake_dir: str, store: LakeStore | None = None) -> dict[str, int]:
+    """Registered consumer name -> applied source version."""
+    store = store or _DEFAULT_STORE
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    out: dict[str, int] = {}
+    if not store.isdir(mdir):
+        return out
+    for fn in store.listdir(mdir):
+        if fn.startswith("CONSUMER-") and ".tmp-" not in fn:
+            out[fn[len("CONSUMER-") :]] = int(
+                store.read_text(os.path.join(mdir, fn)).strip()
+            )
+    return out
+
+
+def deregister_consumer(
+    lake_dir: str, name: str, store: LakeStore | None = None
+) -> None:
+    """Remove a consumer registration (its lag no longer pins retention)."""
+    store = store or _DEFAULT_STORE
+    path = os.path.join(lake_dir, MANIFEST_DIR, _consumer_file(name))
+    if store.exists(path):
+        store.delete_file(path)
+
+
 _MANIFEST_FILE_RE = None  # compiled lazily (module import stays light)
 
 
@@ -1431,7 +1495,10 @@ def _parse_manifest_name(fn: str) -> tuple[str, int] | None:
 
 
 def expire_snapshots(
-    lake_dir: str, keep_last: int = 1, store: LakeStore | None = None
+    lake_dir: str,
+    keep_last: int = 1,
+    store: LakeStore | None = None,
+    force: bool = False,
 ) -> dict:
     """Iceberg-style snapshot retention: delete manifest versions older
     than the newest ``keep_last`` of each chain (main and every branch),
@@ -1454,6 +1521,12 @@ def expire_snapshots(
       still a no-op after its data was expired.
     * Claimed-but-unpointed next versions (a crashed publish) are above
       every head, hence never expired, and their data stays live.
+    * Registered incremental consumers (``register_consumer`` — e.g. a
+      replica updated by ``replicate(consumer=...)``) pin the chain back
+      to their applied watermark: expiring a version a lagged consumer
+      still needs raises instead of silently breaking its next catch-up
+      run. Pass ``force=True`` to expire anyway (explicitly breaking the
+      replica, which must then re-seed).
 
     This is the storage-reclaim path for a long-running incremental tail
     that does NOT want a full compaction rewrite: applies accumulate one
@@ -1494,6 +1567,23 @@ def expire_snapshots(
             # file but does not define main's head
             if parsed is not None and parsed[0] != "main":
                 heads[parsed[0]] = parsed[1]
+
+    # replication-lag retention contract: versions <= head - keep_last
+    # are about to go; a consumer at applied watermark W still reads
+    # manifest W (the m_old of its next step) and everything above it
+    if not force:
+        main_head = heads.get("main")
+        if main_head is not None:
+            for cname, w in sorted(list_consumers(lake_dir, store=store).items()):
+                if main_head - keep_last >= w:
+                    raise ValueError(
+                        f"expire_snapshots(keep_last={keep_last}) would drop "
+                        f"manifest version {w}, which registered consumer "
+                        f"{cname!r} (applied watermark {w}, head {main_head}) "
+                        "still needs for its next incremental step — raise "
+                        "keep_last, let the consumer catch up, deregister it, "
+                        "or pass force=True to break it explicitly"
+                    )
 
     for fn in entries:
         parsed = _parse_manifest_name(fn)

@@ -97,6 +97,98 @@ class ContentValidator:
         ).append_column("is_valid", pa.array(is_valid))
 
 
+# File-type -> validator-module registry, the FILE_TYPE_MODULE_MAP analog
+# (Jhove.kt:95-105): each extension dispatches to a named validator module.
+# No real format parsers exist in this container, so a module here is a
+# (name, min_chars) pair — a deterministic, SQL-expressible per-format
+# validity rule — while the DISPATCH shape (per-actor registry, partition
+# the batch by type, run each format's vectorized check on its slice) is
+# the real, reusable machinery.
+DEFAULT_FILE_TYPE_MODULES: dict[str, tuple[str, int]] = {
+    "jp2": ("JPEG2000-hul", 350),
+    "jpeg": ("JPEG-hul", 300),
+    "jpg": ("JPEG-hul", 300),
+    "tif": ("TIFF-hul", 250),
+    "tiff": ("TIFF-hul", 250),
+    "png": ("PNG-gdm", 200),
+    "gif": ("gif-hul", 150),
+    "pdf": ("PDF-hul", 400),
+    "xml": ("XML-hul", 100),
+}
+
+STATUS_VALID = "Well-Formed and valid"
+STATUS_NOT_VALID = "Well-Formed, but not valid"
+STATUS_NOT_WF = "Not well-formed"
+STATUS_NO_MODULE = "No module for type"
+
+
+class FormatDispatchValidator:
+    """Per-format validator dispatch (A1 parity with Jhove's module map,
+    Jhove.kt:95-105): each row's file extension selects a validator module
+    from a registry built ONCE per actor; the batch is partitioned by
+    format and each module's vectorized check runs on its slice. An
+    extension with no module routes to ``No module for type`` (never a
+    crashed task). ``modules=`` REPLACES the default registry entirely —
+    the reference's dynamic-property override rule ("when any dynamic
+    property is present, only dynamic mappings are used, defaults are not
+    merged", Jhove.kt:38-43).
+
+    Adds columns: ``module`` (null when unmapped), ``status`` (the JHOVE
+    status vocabulary), ``is_valid``.
+    """
+
+    def __init__(
+        self,
+        modules: dict[str, tuple[str, int]] | None = None,
+        path_col: str = "path",
+        text_col: str = "text",
+    ):
+        reg = DEFAULT_FILE_TYPE_MODULES if modules is None else modules
+        # one-time per-actor compile (the init()-builds-localSchemaMap
+        # analog, Jhove.kt:148-217): lowercase keys, compiled control-char
+        # well-formedness pattern shared by every module
+        self.registry = {e.lower(): (str(n), int(m)) for e, (n, m) in reg.items()}
+        self.path_col = path_col
+        self.text_col = text_col
+        self.ctrl_pattern = r"[\x01-\x08\x0b\x0c\x0e-\x1f]"
+        self.ext_pattern = r"\.(?P<ext>[A-Za-z0-9]+)$"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        path = pc.cast(batch[self.path_col], pa.string())
+        text = pc.cast(batch[self.text_col], pa.string())
+        ext_struct = pc.extract_regex(path, self.ext_pattern)
+        exts = pc.fill_null(
+            pc.utf8_lower(pc.struct_field(ext_struct, "ext")), ""
+        ).to_numpy(zero_copy_only=False)
+        length = pc.fill_null(pc.utf8_length(text), 0).to_numpy(
+            zero_copy_only=False
+        )
+        not_wf = pc.fill_null(
+            pc.match_substring_regex(text, self.ctrl_pattern), False
+        ).to_numpy(zero_copy_only=False)
+
+        module = np.full(n, None, dtype=object)
+        status = np.full(n, STATUS_NO_MODULE, dtype=object)
+        for e in np.unique(exts):
+            entry = self.registry.get(e)
+            if entry is None:
+                continue  # stays No-module (the unmapped route)
+            name, min_chars = entry
+            sel = exts == e
+            module[sel] = name
+            status[sel] = np.select(
+                [not_wf[sel], length[sel] < min_chars],
+                [STATUS_NOT_WF, STATUS_NOT_VALID],
+                STATUS_VALID,
+            )
+        return (
+            batch.append_column("module", pa.array(module, type=pa.string()))
+            .append_column("status", pa.array(status, type=pa.string()))
+            .append_column("is_valid", pa.array(status == STATUS_VALID))
+        )
+
+
 def build_jhove_xml(batch: pa.Table) -> pa.Table:
     """Deterministically synthesize a per-document JHOVE-shaped XML payload
     (the engine's documents have no real image bytes; the XML layout

@@ -107,6 +107,63 @@ def test_unsafe_names_routed_not_raised():
     assert t["safe"][0].as_py() is False
 
 
+def test_compile_against_lake_matches_broadcast_compile(tmp_path):
+    """The distributed discovery path (bloom over the committed key set +
+    bucketed exact verify, no driver-side key materialization) must emit
+    exactly the instruction set of the broadcast-set compile — including
+    the default-.tif warn path and ids that already carry an extension."""
+    import ray.data as rd
+
+    from ray_cdc_lake.change_batches import compile_batches_against_lake
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+
+    # commit the EXISTING key set (plus decoys) into a lake
+    keys = sorted(EXISTING) + ["unrelated_0001.tif", "tekst_zzz_00001.tiff"]
+    seed = pa.Table.from_arrays(
+        [
+            pa.array(range(1, len(keys) + 1), type=pa.int64()),
+            pa.array(["insert"] * len(keys), type=pa.string()),
+            pa.array(["store"] * len(keys), type=pa.string()),
+            pa.array(keys, type=pa.string()),
+            pa.array([f"seed-{k}" for k in keys], type=pa.string()),
+            pa.nulls(len(keys), pa.string()),
+            pa.array(keys, type=pa.large_string()),
+        ],
+        schema=COMPILED_SCHEMA,
+    )
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "seed", rd.from_arrow(seed), num_buckets=4)
+
+    # a batch mixing discovery ids, a known-extension id, and a miss
+    batch = {
+        "batchId": "b-1",
+        "changes": [
+            {
+                "itemId": I1,
+                "orderedImageIds": [
+                    f"tekst_{I1}_00001",          # discovers .jp2
+                    f"tekst_{I1}_00002.tif",      # extension given: no probe
+                    "never_committed_page",       # nothing found -> .tif
+                ],
+            }
+        ],
+    }
+    batches = pa.table({"lsn": [7], "batch_json": [json.dumps(batch)]})
+
+    want = compile_batches_table(batches, existing_names=EXISTING)
+    got = compile_batches_against_lake(
+        rd.from_arrow(batches), lake, verify_buckets=8
+    ).to_pandas()
+
+    to_set = lambda df: {  # noqa: E731
+        tuple(r) for r in df[sorted(df.columns)].itertuples(index=False)
+    }
+    assert to_set(got) == to_set(want.to_pandas())
+    # and the warn-path default really is in there
+    assert ("never_committed_page.tif" == got["original_name"]).any()
+
+
 def test_batch_apply_through_lww_is_swap_safe():
     """The reorder 00002<->00003 is a swap; applying the compiled events
     through the merge must keep every page live with the right content."""

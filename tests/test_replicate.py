@@ -148,6 +148,63 @@ def test_replicate_unordered_source_full_bucket_mode(tmp_path):
     assert ("rw2", "w0.py") in live_state(dst)
 
 
+def test_expire_refuses_to_break_lagged_registered_replica(tmp_path):
+    """A registered replica's applied watermark pins source retention:
+    an expiry that would drop a manifest the replica still needs raises
+    (force=True overrides); after the replica catches up, the same
+    expiry succeeds — and the caught-up replica still converges."""
+    import pytest
+
+    from ray_cdc_lake.sink import (
+        deregister_consumer,
+        expire_snapshots,
+        list_consumers,
+        register_consumer,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    apply_incremental(src, "txn-1", ev_ds(SEG1), num_buckets=8)
+    replicate(src, dst, consumer="replica-dst")
+    assert list_consumers(src) == {"replica-dst": 1}
+
+    # source advances 3 more versions while the replica lags at 1
+    for i, lsn0 in enumerate((100, 200, 300), start=2):
+        apply_incremental(
+            src, f"txn-{i}",
+            ev_ds([(lsn0, "insert", "r0", f"late{i}.py", f"L{i}")]),
+            num_buckets=8,
+        )
+
+    with pytest.raises(ValueError, match="replica-dst"):
+        expire_snapshots(src, keep_last=2)  # would drop v1 (and v2)
+    # nothing was removed: the lagged replica still catches up cleanly
+    out = replicate(src, dst, consumer="replica-dst")
+    assert out["applied"] == [2, 3, 4]
+    assert live_state(dst) == live_state(src)
+    assert list_consumers(src) == {"replica-dst": 4}
+
+    # caught up: the same expiry now passes
+    removed = expire_snapshots(src, keep_last=2)
+    assert removed["manifests_removed"]
+
+    # watermark is monotonic: a stale writer cannot regress it
+    assert register_consumer(src, "replica-dst", 2) == 4
+
+    # force=True (or deregistering) removes the pin
+    apply_incremental(
+        src, "txn-9", ev_ds([(900, "insert", "r0", "l9.py", "X")]), num_buckets=8
+    )
+    apply_incremental(
+        src, "txn-10", ev_ds([(901, "insert", "r0", "la.py", "Y")]), num_buckets=8
+    )
+    with pytest.raises(ValueError, match="replica-dst"):
+        expire_snapshots(src, keep_last=1)
+    assert expire_snapshots(src, keep_last=1, force=True)["manifests_removed"]
+    deregister_consumer(src, "replica-dst")
+    assert list_consumers(src) == {}
+
+
 def test_replicate_reissued_identical_predicate_delete(tmp_path):
     """The GDPR re-erase flow: delete_where(X), re-upsert a matching key,
     delete_where(X) AGAIN with the identical predicate. The second delete

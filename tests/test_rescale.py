@@ -290,6 +290,50 @@ def test_rescale_step_retries_on_concurrent_apply(tmp_path, monkeypatch):
     assert live_state(lake) == oneshot_state(tmp_path, 2 * NB)
 
 
+def test_point_lookup_and_range_scan_frozen_mid_rescale(tmp_path):
+    """A lake FROZEN mid-rescale (manifest carries the split marker, some
+    buckets at the old modulus, some at the new) must serve both point
+    lookups (read_key's mixed-modulus bucket math + manifest pruning) and
+    manifest-range scans (read_lake(ranges=)) exactly."""
+    from ray_cdc_lake.sink import read_lake
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)
+    rescale_start(lake, factor=2)
+    rescale_step(lake, max_buckets=2)  # split buckets 0, 1 — then STOP
+    apply_incremental(lake, "txn-2", ev_ds(SEG2), num_buckets=NB)  # mixed
+    m = read_manifest(lake)
+    assert m.rescale == {"to": 2 * NB, "split": [0, 1]}  # still in flight
+
+    want = oneshot_state(tmp_path, NB)
+    assert live_state(lake) == want
+
+    # point lookups across BOTH regimes (split and unsplit old buckets)
+    hit_split = hit_unsplit = False
+    for (repo, path), (lsn, content) in want.items():
+        row = read_key(lake, repo, path)
+        assert row is not None and (row["lsn"], row["content"]) == (lsn, content)
+        if old_bucket(repo, path) in (0, 1):
+            hit_split = True
+        else:
+            hit_unsplit = True
+    assert hit_split and hit_unsplit
+    assert read_key(lake, "ghost", "nothing.py") is None
+
+    # manifest-range scan: the lsn window selects exactly SEG2's winners
+    got = read_lake(lake, ranges={"lsn": (100, None)}).to_pandas()
+    got_set = {(r.repo, r.path): (r.lsn, r.content) for r in got.itertuples()}
+    assert got_set == {k: v for k, v in want.items() if v[0] >= 100}
+
+    # key-range scan prunes by the recorded path stats mid-rescale too
+    got = read_lake(lake, ranges={"path": ("f00.py", "f09.py")}).to_pandas()
+    got_set = {(r.repo, r.path) for r in got.itertuples()}
+    assert got_set == {k for k in want if "f00.py" <= k[1] <= "f09.py"}
+
+    # a window above every watermark reads back empty, not an error
+    assert read_lake(lake, ranges={"lsn": (10_000, None)}).count() == 0
+
+
 def test_compact_finalizes_inflight_rescale(tmp_path):
     lake = str(tmp_path / "lake")
     apply_incremental(lake, "txn-1", ev_ds(SEG1), num_buckets=NB)

@@ -175,3 +175,70 @@ def test_extractor_quarantines_poison_rows():
     assert out["xml_error"].to_pylist()[0] is None
     assert "ParseError" in out["xml_error"].to_pylist()[1]
     assert out["xml_size"].to_pylist()[1] is None
+
+
+def test_format_dispatch_validator_routes_by_module():
+    """FILE_TYPE_MODULE_MAP analog (Jhove.kt:95-105): the extension picks
+    the module, each module applies its own rule, unmapped types route to
+    'No module for type', control chars are 'Not well-formed' anywhere."""
+    from ray_cdc_lake.validate import (
+        STATUS_NO_MODULE,
+        STATUS_NOT_VALID,
+        STATUS_NOT_WF,
+        STATUS_VALID,
+        FormatDispatchValidator,
+    )
+
+    t = pa.table(
+        {
+            "path": pa.array(
+                [
+                    "a/page.tif",      # TIFF-hul, long enough -> valid
+                    "a/page.TIF",      # case-insensitive dispatch
+                    "a/tiny.tif",      # TIFF-hul, too short -> not valid
+                    "a/img.jp2",       # JPEG2000-hul, short -> not valid
+                    "a/doc.txt",       # unmapped -> no module
+                    "a/noext",         # extension-less -> no module
+                    "a/bad.xml",       # control char -> not well-formed
+                ]
+            ),
+            "text": pa.array(
+                ["x" * 300, "x" * 300, "x" * 10, "x" * 300, "x" * 300,
+                 "x" * 300, "ok\x07ok"]
+            ),
+        }
+    )
+    out = FormatDispatchValidator()(t)
+    assert out["module"].to_pylist() == [
+        "TIFF-hul", "TIFF-hul", "TIFF-hul", "JPEG2000-hul", None, None,
+        "XML-hul",
+    ]
+    assert out["status"].to_pylist() == [
+        STATUS_VALID, STATUS_VALID, STATUS_NOT_VALID, STATUS_NOT_VALID,
+        STATUS_NO_MODULE, STATUS_NO_MODULE, STATUS_NOT_WF,
+    ]
+    assert out["is_valid"].to_pylist() == [
+        True, True, False, False, False, False, False,
+    ]
+
+
+def test_format_dispatch_override_replaces_defaults():
+    """The dynamic-property rule (Jhove.kt:38-43): a caller-supplied
+    registry is used INSTEAD of the defaults, not merged with them."""
+    from ray_cdc_lake.validate import (
+        STATUS_NO_MODULE,
+        STATUS_VALID,
+        FormatDispatchValidator,
+    )
+
+    v = FormatDispatchValidator(modules={"txt": ("TXT-hul", 1)})
+    t = pa.table(
+        {
+            "path": pa.array(["a/x.txt", "a/y.tif"]),
+            "text": pa.array(["hello", "x" * 999]),
+        }
+    )
+    out = v(t)
+    # txt now maps; tif (a DEFAULT) no longer does — not merged
+    assert out["module"].to_pylist() == ["TXT-hul", None]
+    assert out["status"].to_pylist() == [STATUS_VALID, STATUS_NO_MODULE]
