@@ -715,6 +715,136 @@ def run_sustained() -> dict:
     }
 
 
+def run_sustained_maintained() -> dict:
+    """Sustained committed tail WITH LIVE MAINTENANCE — the regime a
+    100 TB lake actually lives in: a long micro-batch chain (default 64
+    exactly-once txns over >=10M events) with ``expire_snapshots`` and
+    ``maybe_compact`` interleaved INSIDE the timed loop (every
+    MAINT_EVERY txns), so the reported committed events/sec pays for its
+    own storage reclaim. Also records manifest-size and metrics-retention
+    behavior over the chain: both must stay bounded (the retention caps),
+    not grow with txn count.
+
+    Env knobs: SUSTAINED_WINDOWS (64), BENCH_EPOCHS (2048 here -> ~10.2M
+    events at sf0.1), MAINT_EVERY (8), MAINT_KEEP_LAST (4),
+    MAINT_MAX_TXNS (24)."""
+    meter = _HostMeter()
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.checkpoint import apply_incremental, maybe_compact
+    from ray_cdc_lake.pipeline import binlog_cuts, persist_binlog
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+    from ray_cdc_lake.sink import expire_snapshots, read_lake, read_manifest
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    lake = "/tmp/ray_cdc_bench_maintained/lake"
+    shutil.rmtree(lake, ignore_errors=True)
+    windows = int(os.environ.get("SUSTAINED_WINDOWS", "64"))
+    epochs = int(os.environ.get("BENCH_EPOCHS", "2048"))
+    maint_every = int(os.environ.get("MAINT_EVERY", "8"))
+    keep_last = int(os.environ.get("MAINT_KEEP_LAST", "4"))
+    max_txns = int(os.environ.get("MAINT_MAX_TXNS", "24"))
+    cuts = binlog_cuts(epochs, windows)
+    binlog = persist_binlog(lake, SF_DIR, epochs, cuts)  # untimed: the log IS the source
+
+    segments = []
+    for i in range(len(cuts)):
+        seg_dir = os.path.join(binlog, f"segment={i}")
+        if not os.path.isdir(seg_dir):
+            continue
+        files = [
+            os.path.join(seg_dir, f)
+            for f in sorted(os.listdir(seg_dir))
+            if f.endswith(".parquet")
+        ]
+        if files:
+            n = sum(pq.read_metadata(f).num_rows for f in files)
+            segments.append((i, files, n))
+    total_events = sum(n for _, _, n in segments)
+
+    def drop_seg(t):
+        return (
+            t.drop_columns(["segment"]) if "segment" in t.column_names else t
+        )
+
+    def manifest_bytes() -> int:
+        mdir = os.path.join(lake, "_manifests")
+        return sum(
+            os.path.getsize(os.path.join(mdir, f))
+            for f in os.listdir(mdir)
+            if f.startswith("manifest-")
+        )
+
+    compactions = expiries = 0
+    maint_wall = 0.0
+    manifest_bytes_max = 0
+    txn_count_max = 0
+    t0 = time.perf_counter()
+    for j, (i, files, _n) in enumerate(segments, start=1):
+        win = rd.read_parquet(files).map_batches(drop_seg, batch_format="pyarrow")
+        apply_incremental(
+            lake, f"tail-{i:04d}", win, events_schema=COMPILED_SCHEMA
+        )
+        if j % maint_every == 0:
+            m0 = time.perf_counter()
+            if maybe_compact(lake, max_txns=max_txns) is not None:
+                compactions += 1
+            out = expire_snapshots(lake, keep_last=keep_last)
+            if out["manifests_removed"] or out["data_removed"]:
+                expiries += 1
+            maint_wall += time.perf_counter() - m0
+        mj = read_manifest(lake)
+        txn_count_max = max(txn_count_max, len(mj.txns))
+        manifest_bytes_max = max(manifest_bytes_max, manifest_bytes())
+    tail_wall = time.perf_counter() - t0
+
+    m = read_manifest(lake)
+    live_rows = read_lake(lake).count()
+    ray.shutdown()
+    eps = total_events / tail_wall
+    return {
+        "metric": "sustained_maintained_events_per_sec",
+        "value": round(eps, 1),
+        "unit": "events/sec",
+        "queries": {
+            "tail_wall_sec": round(tail_wall, 3),
+            "maint_wall_sec": round(maint_wall, 3),
+            "tail_windows": len(segments),
+            "compactions": compactions,
+            "expiries": expiries,
+            "txn_count_max": txn_count_max,
+            "txn_count_final": len(m.txns),
+            "manifest_bytes_max": manifest_bytes_max,
+            "manifest_bytes_final": manifest_bytes(),
+            "metrics_entries_final": len(m.metrics),
+            "manifest_version_final": m.version,
+            "live_rows": live_rows,
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events": total_events,
+        "events_per_sec": round(eps, 1),
+        "host": meter.snapshot(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -725,6 +855,8 @@ if __name__ == "__main__":
         print(json.dumps(run_stress()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--sustained-maintained" in sys.argv:
+        print(json.dumps(run_sustained_maintained()))
     elif "--sustained" in sys.argv:
         print(json.dumps(run_sustained()))
     elif "--only" in sys.argv:

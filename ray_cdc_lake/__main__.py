@@ -16,7 +16,10 @@ Commands (thin wrappers over the library; all idempotent/resumable):
 * ``rescale`` — online bucket-modulus rescale (start/step/finish);
   ingest keeps running between bucket-local split steps.
 * ``replicate`` — converge a replica lake to the source's committed
-  chain, one idempotent txn per source version, deltas only.
+  chain, one idempotent txn per source version, deltas only;
+  ``--consumer NAME`` registers its applied watermark on the source.
+* ``consumers`` — list/deregister the registered incremental consumers
+  whose watermarks pin snapshot retention.
 * ``vacuum``  — drop unreferenced txn data.
 * ``metrics`` — print the manifest's per-bucket lineage and per-txn
   ingest metrics as JSON (the ops/observability surface).
@@ -117,9 +120,18 @@ def cmd_replicate(a) -> int:
 
     _ray_up()
     out = replicate(
-        a.src, a.dst, assume_ordered_log=not a.unordered
+        a.src, a.dst, assume_ordered_log=not a.unordered, consumer=a.consumer
     )
     print(json.dumps({"src": a.src, "dst": a.dst, **out}))
+    return 0
+
+
+def cmd_consumers(a) -> int:
+    from .sink import deregister_consumer, list_consumers
+
+    if a.deregister:
+        deregister_consumer(a.lake, a.deregister)
+    print(json.dumps({"lake": a.lake, "consumers": list_consumers(a.lake)}))
     return 0
 
 
@@ -134,7 +146,7 @@ def cmd_vacuum(a) -> int:
 def cmd_expire(a) -> int:
     from .sink import expire_snapshots
 
-    out = expire_snapshots(a.lake, keep_last=a.keep_last)
+    out = expire_snapshots(a.lake, keep_last=a.keep_last, force=a.force)
     print(json.dumps({"lake": a.lake, **out}))
     return 0
 
@@ -251,6 +263,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--lake", required=True)
     sp.add_argument("--keep-last", type=int, default=2)
+    sp.add_argument(
+        "--force",
+        action="store_true",
+        help="expire even past a registered consumer's lag window "
+        "(explicitly breaks that replica)",
+    )
     sp.set_defaults(fn=cmd_expire)
 
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
@@ -267,7 +285,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("src")
     sp.add_argument("dst")
     sp.add_argument("--unordered", action="store_true")
+    sp.add_argument(
+        "--consumer",
+        default=None,
+        help="register this replica's applied watermark on the source so "
+        "expire-snapshots refuses to break its lag window",
+    )
     sp.set_defaults(fn=cmd_replicate)
+
+    sp = sub.add_parser(
+        "consumers",
+        help="list registered incremental consumers (applied watermarks "
+        "that pin snapshot retention); --deregister NAME removes one",
+    )
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--deregister", default=None, metavar="NAME")
+    sp.set_defaults(fn=cmd_consumers)
 
     sp = sub.add_parser(
         "rescale",

@@ -1116,16 +1116,19 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
     """The composed training-data curation pipeline over the planted
     corpus — what a reference user runs end-to-end before training:
 
-    1. EXACT dedup with payload: one content-hash bucketed shuffle of the
-       corpus; within each bucket the min-doc_id row per md5 survives
-       (the corpus moves across the wire exactly once);
-    2. NEAR-dup removal: verified n-gram-Jaccard pairs (>= threshold)
+    1. MAP-SIDE projection: md5 content hash + quality metrics computed in
+       one pass over the corpus; the quality gate (n_tokens >= 3,
+       stopword_ratio < 0.5) applies HERE — identical text means identical
+       metrics, so gating commutes with exact dedup — and the text column
+       is dropped. Neither shuffle ever moves a payload byte: both move
+       (doc_id, md5, n_tokens, stopword_ratio) rows (~50 bytes);
+    2. EXACT dedup: one content-hash bucketed shuffle of the projected
+       rows; within each bucket the min-doc_id row per md5 survives;
+    3. NEAR-dup removal: verified n-gram-Jaccard pairs (>= threshold)
        name the dropped member; applied as a CO-PARTITIONED ANTI-JOIN by
        doc_id (tagged union -> hash-bucket groupby -> per-group filter) —
        the drop list never touches the driver, so at petabyte pair counts
-       it stays a dataset, not a broadcast;
-    3. quality gating: vectorized token/stopword metrics, keep rows with
-       n_tokens >= 3 and stopword_ratio < 0.5.
+       it stays a dataset, not a broadcast.
 
     Emits (doc_id, n_tokens, stopword_ratio) for every surviving doc."""
     import pyarrow.compute as pc
@@ -1133,7 +1136,7 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
     from .textstats import quality_score
 
     # drop side of the anti-join: near-dup members, tagged _drop=True and
-    # schema-aligned with the corpus for the union (text carries nulls)
+    # schema-aligned with the projected corpus side (metrics carry nulls)
     pairs = q_dedup_ngram_jaccard(sf_dir)
 
     def drop_rows(b: pa.Table) -> pa.Table:
@@ -1141,9 +1144,8 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         return pa.table(
             {
                 "doc_id": sel["id_b"],
-                # large_string matches the polars-produced dedup side, so the
-                # union has one schema end-to-end
-                "text": pa.nulls(sel.num_rows, type=pa.large_string()),
+                "n_tokens": pa.nulls(sel.num_rows, type=pa.int64()),
+                "stopword_ratio": pa.nulls(sel.num_rows, type=pa.float64()),
                 "_drop": pa.array(np.ones(sel.num_rows, dtype=bool)),
             }
         )
@@ -1152,13 +1154,27 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
 
     corpus = corpus_ds(sf_dir)
 
-    def add_md5_bucket(b: pa.Table) -> pa.Table:
+    def project_and_gate(b: pa.Table) -> pa.Table:
+        # ONE pass over the payload: hash + metrics + gate, then the text
+        # leaves the pipeline — the shuffles below move ~50-byte rows.
         # nbytes=4/'big' == int(hex[:8], 16): the SQL-oracle-visible bucket
         md5s, pref = md5_hex_prefix(b["text"], nbytes=4, byteorder="big")
         bucket = (pref % NUM_PAIR_BUCKETS).astype(np.int64)
-        return b.append_column("text_md5", md5s).append_column(
-            "_hb", pa.array(bucket)
+        q = quality_score(b)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text_md5": md5s,
+                "n_tokens": q["n_tokens"],
+                "stopword_ratio": q["stopword_ratio"],
+                "_hb": pa.array(bucket),
+            }
         )
+        keep = pc.and_(
+            pc.greater_equal(t["n_tokens"], CURATION_MIN_TOKENS),
+            pc.less(t["stopword_ratio"], CURATION_MAX_STOP_RATIO),
+        )
+        return t.filter(keep)
 
     def keep_min_per_hash(g: pa.Table) -> pa.Table:
         pl = _pl()
@@ -1172,15 +1188,14 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         )
 
     deduped = (
-        corpus.map_batches(add_md5_bucket, batch_format="pyarrow")
+        corpus.map_batches(project_and_gate, batch_format="pyarrow")
         .groupby("_hb")
         .map_groups(keep_min_per_hash, batch_format="pyarrow")
     )
 
     # anti-join by doc_id: union the tagged sides, co-partition on a doc_id
-    # hash bucket, filter corpus rows whose id appears on the drop side.
-    # One extra all-to-all pass of the deduped corpus — the scale-safe trade
-    # for never collecting the drop list to the driver.
+    # hash bucket, filter corpus rows whose id appears on the drop side —
+    # the scale-safe trade for never collecting the drop list to the driver
     def tag_corpus(b: pa.Table) -> pa.Table:
         return b.append_column(
             "_drop", pa.array(np.zeros(b.num_rows, dtype=bool))
@@ -1197,21 +1212,12 @@ def q_corpus_curation(sf_dir: str, jaccard_threshold: float = 0.8):
         keep = ~drop_mask & ~np.isin(ids, ids[drop_mask])
         return g.filter(pa.array(keep)).drop_columns(["_drop", "_ab"])
 
-    def quality_gate(b: pa.Table) -> pa.Table:
-        q = quality_score(b)
-        keep = pc.and_(
-            pc.greater_equal(q["n_tokens"], CURATION_MIN_TOKENS),
-            pc.less(q["stopword_ratio"], CURATION_MAX_STOP_RATIO),
-        )
-        return q.filter(keep).select(["doc_id", "n_tokens", "stopword_ratio"])
-
     return (
         deduped.map_batches(tag_corpus, batch_format="pyarrow")
         .union(drop_side)
         .map_batches(add_anti_bucket, batch_format="pyarrow")
         .groupby("_ab")
         .map_groups(anti, batch_format="pyarrow")
-        .map_batches(quality_gate, batch_format="pyarrow")
     )
 
 
