@@ -31,6 +31,12 @@ if TYPE_CHECKING:
 
     from .sink import LakeStore
 
+# Target block size when coalescing the post-combiner delta before the
+# merge shuffle (see _apply_incremental_once): big enough that the sort
+# fan tracks delta BYTES, small enough that one block never dominates a
+# worker's heap.
+_DELTA_TARGET_BLOCK_BYTES = 128 * 1024 * 1024
+
 
 def filter_after_hwm(hwm: dict[int, int]):
     """Vectorized event filter: keep rows with lsn > hwm[bucket] (bucket
@@ -235,6 +241,19 @@ def _apply_incremental_once(
             # lake), then plan the prior read from its bucket set. The
             # take_all is <= blocks x num_buckets tiny bucket-id rows.
             delta = delta.materialize()
+            # COALESCE the combined delta to its post-combine SIZE: the
+            # combiner collapses rows but keeps the input's block fan
+            # (a 2.5M-event window reads as ~256 blocks, so the combined
+            # delta is ~256 blocks of a few rows each), and the groupby
+            # sort downstream partitions BY BLOCK COUNT — without this,
+            # every micro-batch apply schedules input-fan-in tiny sort
+            # tasks (measured 9.3 s -> 0.7 s for the merge of a 2.56M-
+            # event window at 32 CPUs). The repartition moves only
+            # post-combine rows (distinct keys per micro-batch), never
+            # the event fan-in, so it holds at any scale.
+            nb = max(1, delta.size_bytes() // _DELTA_TARGET_BLOCK_BYTES)
+            if delta.num_blocks() > 2 * nb:
+                delta = delta.repartition(int(nb)).materialize()
             parts = delta.map_batches(
                 lambda t: pa.table({"bucket": pc.unique(t["bucket"])}),
                 batch_format="pyarrow",
