@@ -289,7 +289,14 @@ def _apply_incremental_once(
         )
         winners = lww_winners_keep_bucket(ds, combined=True)
     else:
-        winners = lww_winners_keep_bucket(ds)
+        # first commit into an empty lake: combine map-side, then the
+        # same size-based coalesce as the incremental path above — the
+        # merge sort otherwise inherits the binlog read's block fan
+        combined = ds.map_batches(partial_lww, batch_format="pyarrow").materialize()
+        nb = max(1, combined.size_bytes() // _DELTA_TARGET_BLOCK_BYTES)
+        if combined.num_blocks() > 2 * nb:
+            combined = combined.repartition(int(nb)).materialize()
+        winners = lww_winners_keep_bucket(combined, combined=True)
     return commit_txn(
         lake_dir,
         txn_id,
