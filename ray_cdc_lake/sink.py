@@ -984,11 +984,11 @@ def _write_txn_data(
     # scan). The per-file key/lsn ranges go into the manifest so point
     # lookups and range scans can prune files from METADATA alone — at
     # 100 TB the footer-open round trips are the point-lookup cost, and
-    # the manifest is already in hand.
-    bucket_stats: dict[str, dict] = {}
-    for entry in store.listdir(staging):
-        if not entry.startswith("bucket="):
-            continue
+    # the manifest is already in hand. The per-bucket work (one footer
+    # open + one key-columns read per staged file) is I/O-bound and
+    # independent, so it runs on a thread pool: serial, these round
+    # trips are the commit-latency floor on an object store.
+    def _bucket_stat(entry: str) -> tuple[str, dict]:
         b = entry.split("=", 1)[1]
         hwm = -1
         rows = 0
@@ -1034,12 +1034,25 @@ def _write_txn_data(
                     )
                 )
             file_stats.append(fstat)
-        bucket_stats[b] = {
+        return b, {
             "txn_id": txn_id,
             "hwm_lsn": int(hwm),
             "rows": int(rows),
             "files": sorted(file_stats, key=lambda f: f["name"]),
         }
+
+    entries = [e for e in store.listdir(staging) if e.startswith("bucket=")]
+    bucket_stats: dict[str, dict] = {}
+    if len(entries) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            for b, st in ex.map(_bucket_stat, entries):
+                bucket_stats[b] = st
+    else:
+        for entry in entries:
+            b, st = _bucket_stat(entry)
+            bucket_stats[b] = st
 
     # phase 2: atomic move staging -> data
     store.makedirs(os.path.dirname(final_dir))
