@@ -128,6 +128,14 @@ class LakeStore:
     ``filesystem`` object for the staged data write.
     """
 
+    # Parallelism for the commit-time per-bucket footer/stat reads.
+    # Local filesystems: 1 — the reads are sub-ms and GIL-bound work
+    # (bloom build, key hashing) dominates, so threads only add contention
+    # (measured: 64-bucket stat pass 255 ms serial vs 470-530 ms pooled).
+    # Object stores: each stat is 1-2 network round trips, so the pool
+    # hides latency — ObjectStoreLakeStore raises this.
+    stat_concurrency = 1
+
     def __init__(self, fs=None):
         if fs is None:
             from pyarrow.fs import LocalFileSystem
@@ -235,6 +243,7 @@ class ObjectStoreLakeStore(LakeStore):
     """
 
     COPY_CHUNK = 8 << 20  # 8 MiB streamed copies
+    stat_concurrency = 16  # latency-bound footer round trips — pool them
 
     def __init__(self, fs=None, conditional_put=None):
         super().__init__(fs)
@@ -985,9 +994,10 @@ def _write_txn_data(
     # lookups and range scans can prune files from METADATA alone — at
     # 100 TB the footer-open round trips are the point-lookup cost, and
     # the manifest is already in hand. The per-bucket work (one footer
-    # open + one key-columns read per staged file) is I/O-bound and
-    # independent, so it runs on a thread pool: serial, these round
-    # trips are the commit-latency floor on an object store.
+    # open + one key-columns read per staged file) is independent; on an
+    # object store the round trips are the commit-latency floor, so it
+    # runs on a thread pool sized by store.stat_concurrency (1 on local
+    # filesystems, where the pool measurably HURTS — see LakeStore).
     def _bucket_stat(entry: str) -> tuple[str, dict]:
         b = entry.split("=", 1)[1]
         hwm = -1
@@ -1043,10 +1053,11 @@ def _write_txn_data(
 
     entries = [e for e in store.listdir(staging) if e.startswith("bucket=")]
     bucket_stats: dict[str, dict] = {}
-    if len(entries) > 1:
+    workers = min(getattr(store, "stat_concurrency", 1), max(len(entries), 1))
+    if workers > 1:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
             for b, st in ex.map(_bucket_stat, entries):
                 bucket_stats[b] = st
     else:

@@ -601,6 +601,43 @@ def test_objectstore_branches(tmp_path):
     assert "dev" not in list_branches(lake, store=store)
 
 
+def test_stat_concurrency_gated_by_store(tmp_path):
+    """The commit-time per-bucket stat pass pools its footer reads ONLY on
+    object stores (latency-bound round trips); on a local filesystem the
+    pool adds GIL contention for no win, so LakeStore keeps it serial.
+    Either way the resulting bucket stats must be identical."""
+    import ray.data
+
+    from ray_cdc_lake.sink import ObjectStoreLakeStore, _write_txn_data
+
+    assert LakeStore.stat_concurrency == 1
+    assert ObjectStoreLakeStore.stat_concurrency > 1
+
+    w = _winners()
+    serial = _write_txn_data(
+        str(tmp_path / "a"), "txn-1", ray.data.from_arrow(w), store=LakeStore()
+    )
+    pooled = _write_txn_data(
+        str(tmp_path / "b"),
+        "txn-1",
+        ray.data.from_arrow(w),
+        store=ObjectStoreLakeStore(),
+    )
+    # Ray's write embeds a per-run UUID in file names; compare everything
+    # else (rows, hwm, per-file ranges, blooms) exactly.
+    def norm(stats):
+        return {
+            b: {
+                **st,
+                "files": [{k: v for k, v in f.items() if k != "name"} for f in st["files"]],
+            }
+            for b, st in stats.items()
+        }
+
+    assert norm(serial) == norm(pooled)
+    assert set(serial) == {"0", "1", "2", "3"}
+
+
 def test_txn_id_branch_separator_reserved(tmp_path):
     """'--' is the branch-namespace separator: a literal txn id carrying it
     could alias a merged branch txn and be silently idempotency-skipped."""
