@@ -3102,6 +3102,135 @@ def q_events_moving_sum(sf_dir: str):
     return base.groupby("event_type").map_groups(per_type, batch_format="pyarrow")
 
 
+def q_events_session_windows(sf_dir: str):
+    """Session-window aggregate PROPER (§2.9 streaming-window family —
+    completes ``user_sessions``' per-user session COUNTS with one row per
+    session): per user, events ordered by (ts, event_id); a >30-min gap
+    opens a new session; emit (user_id, session_id, session_start,
+    session_end, n_events, value_cents).
+
+    Scale shape: same as ``events_lag_delta`` — ONE bucketed shuffle on
+    hash(user) % 64 (bucket-sized groups, never per-user tiny groups),
+    then fully vectorized per-bucket segmentation (sort, boundary flags,
+    cumsum-by-boundary aggregation — no Python loop). A session never
+    spans buckets because a user never spans buckets. Reference analog:
+    the per-key ordered grouping of CreateMetsBrowsing.kt:222-247 applied
+    to the time axis."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array((uid % DEFAULT_NUM_BUCKETS).astype(np.int64))
+        )
+
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # np.round == round-half-away on this column: value is 2-decimal
+        # dollars, no exact half-cents exist (verified at sf0.001-0.1)
+        cents = np.round(g["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        n = len(uid)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        is_new = new_user.copy()
+        is_new[1:] |= (ts[1:] - ts[:-1]) > GAP_US
+        gsid = np.cumsum(is_new)  # global session index over the bucket
+        user_first = np.flatnonzero(new_user)
+        # session_id restarts at 1 per user: subtract the user's base
+        base = np.repeat(gsid[user_first] - 1, np.diff(np.append(user_first, n)))
+        sid = (gsid - base).astype(np.int64)
+        starts = np.flatnonzero(is_new)
+        ends = np.append(starts[1:], n)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts]),
+                "session_id": pa.array(sid[starts]),
+                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "value_cents": pa.array(csum[ends] - csum[starts]),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
+
+
+HOP_US = 900 * 1_000_000  # hopping stride: 15 min; window width = 4 hops = 1 h
+
+
+def q_events_window_hopping(sf_dir: str):
+    """Hopping-window aggregate (1-h windows advancing every 15 min —
+    each event lands in 4 OVERLAPPING windows; the tumbling case is
+    ``events_daily``): per (window_start, event_type) count + value in
+    integer cents.
+
+    Scale shape: the 4x replication happens MAP-SIDE and is immediately
+    partial-aggregated in the same batch, so the one shuffle moves
+    (window, type, n, cents) partials — never the replicated events. At
+    100 TB the partial count is bounded by windows x types per block,
+    invariant of row count."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pl = _pl()
+
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        n = len(ts)
+        base = ts // HOP_US
+        idx = np.tile(np.arange(n), 4)
+        k = np.repeat(np.arange(4), n)
+        win = (base[idx] - k) * HOP_US
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "window_start": pa.array(win),
+                    "event_type": batch["event_type"].take(pa.array(idx)),
+                    "cents": pa.array(cents[idx]),
+                }
+            )
+        )
+        return (
+            df.group_by(["window_start", "event_type"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cents").sum().alias("value_cents"),
+            )
+            .to_arrow()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            batch["window_start"].cast(pa.timestamp("us")),
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_distinct_users_exact(sf_dir: str):
     """Exact distinct count, bucketed: per-batch local unique -> per-bucket
     unique counts -> one tiny sum. The shuffle moves distinct ids only."""
@@ -3402,6 +3531,31 @@ REL_SQL: dict[str, str] = {
         SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2""",
+    "events_session_windows": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_id""",
+    "events_window_hopping": """
+        WITH hops(k) AS (VALUES (0), (1), (2), (3)),
+        e AS (
+          SELECT make_timestamp(((epoch_us(ts) // 900000000) - h.k) * 900000000)
+                   AS window_start,
+                 event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events, hops h)
+        SELECT window_start, event_type, count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM e GROUP BY 1, 2""",
 }
 
 
@@ -3482,6 +3636,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "events_daily": q_events_daily,
         "events_rollup": q_events_rollup,
         "events_moving_sum": q_events_moving_sum,
+        "events_session_windows": q_events_session_windows,
+        "events_window_hopping": q_events_window_hopping,
         "distinct_users_exact": q_distinct_users_exact,
         "distinct_users_hll": q_distinct_users_hll,
         "heavy_hitters_users": q_heavy_hitters_users,
