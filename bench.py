@@ -43,6 +43,8 @@ SECONDARY = [
     "events_daily",
     "top_customers",
     "user_sessions",
+    "events_session_windows",
+    "events_window_hopping",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_exact",
