@@ -3118,8 +3118,6 @@ def q_events_session_windows(sf_dir: str):
     to the time axis."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    GAP_US = 30 * 60 * 1_000_000
-
     def bucketed(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return batch.append_column(
@@ -3127,44 +3125,67 @@ def q_events_session_windows(sf_dir: str):
         )
 
     def sessions_bucket(g: pa.Table) -> pa.Table:
-        g = g.sort_by(
-            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
-        )
-        uid = g["user_id"].to_numpy(zero_copy_only=False)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # np.round == round-half-away on this column: value is 2-decimal
-        # dollars, no exact half-cents exist (verified at sf0.001-0.1)
-        cents = np.round(g["value"].to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
-        n = len(uid)
-        new_user = np.ones(n, dtype=bool)
-        new_user[1:] = uid[1:] != uid[:-1]
-        is_new = new_user.copy()
-        is_new[1:] |= (ts[1:] - ts[:-1]) > GAP_US
-        gsid = np.cumsum(is_new)  # global session index over the bucket
-        user_first = np.flatnonzero(new_user)
-        # session_id restarts at 1 per user: subtract the user's base
-        base = np.repeat(gsid[user_first] - 1, np.diff(np.append(user_first, n)))
-        sid = (gsid - base).astype(np.int64)
-        starts = np.flatnonzero(is_new)
-        ends = np.append(starts[1:], n)
-        csum = np.concatenate(([0], np.cumsum(cents)))
-        return pa.table(
-            {
-                "user_id": pa.array(uid[starts]),
-                "session_id": pa.array(sid[starts]),
-                "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
-                "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
-                "n_events": pa.array((ends - starts).astype(np.int64)),
-                "value_cents": pa.array(csum[ends] - csum[starts]),
-            }
-        )
+        return session_rows(g.drop_columns(["bucket"]))
 
     return (
         ds.map_batches(bucketed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessions_bucket, batch_format="pyarrow")
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_rows(g: pa.Table, gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """Vectorized gap-based sessionization of one bucket of events
+    (columns event_id, ts, user_id, value): sort by (user, ts, event_id),
+    flag session boundaries (user change OR inter-event gap > ``gap_us``),
+    aggregate each boundary-delimited run with prefix sums — no Python
+    loop. session_id restarts at 1 per user. Property-tested against a
+    plain-Python reference; correct for any slice that contains every
+    event of each user it contains (the bucketing invariant)."""
+    g = g.sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+    )
+    uid = g["user_id"].to_numpy(zero_copy_only=False)
+    ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # np.round == round-half-away on this column: value is 2-decimal
+    # dollars, no exact half-cents exist (verified at sf0.001-0.1)
+    cents = np.round(g["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+    n = len(uid)
+    if n == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+                "value_cents": pa.array([], type=pa.int64()),
+            }
+        )
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = uid[1:] != uid[:-1]
+    is_new = new_user.copy()
+    is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+    gsid = np.cumsum(is_new)  # global session index over the bucket
+    user_first = np.flatnonzero(new_user)
+    # session_id restarts at 1 per user: subtract the user's base
+    base = np.repeat(gsid[user_first] - 1, np.diff(np.append(user_first, n)))
+    sid = (gsid - base).astype(np.int64)
+    starts = np.flatnonzero(is_new)
+    ends = np.append(starts[1:], n)
+    csum = np.concatenate(([0], np.cumsum(cents)))
+    return pa.table(
+        {
+            "user_id": pa.array(uid[starts]),
+            "session_id": pa.array(sid[starts]),
+            "session_start": pa.array(ts[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends - 1]).cast(pa.timestamp("us")),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+            "value_cents": pa.array(csum[ends] - csum[starts]),
+        }
     )
 
 

@@ -168,3 +168,74 @@ def test_chunk_overlap_invariant(texts):
         prev_tail = wins[k - 1].split(" ")[cu.CHUNK_STRIDE :]
         cur_head = wins[k].split(" ")[: cu.CHUNK_W - cu.CHUNK_STRIDE]
         assert prev_tail == cur_head
+
+
+events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),        # user_id (few users -> ties)
+        st.integers(min_value=0, max_value=10**8),    # ts in µs (dense -> gap edges)
+        st.floats(min_value=0, max_value=500).map(lambda v: round(v, 2)),  # value
+    ),
+    min_size=0,
+    max_size=250,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(rows=events_st, gap_us=st.sampled_from([1, 1_000, 10**6, 3 * 10**7]))
+def test_session_rows_matches_python_reference(rows, gap_us):
+    """queries.session_rows (vectorized boundary-flag sessionization)
+    agrees with a row-by-row Python reference on any input, including
+    timestamp ties, exact-gap boundaries (> is strict), single-event
+    sessions and empty input."""
+    from ray_cdc_lake.queries import session_rows
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["value_cents"],
+        )
+        for r in session_rows(t, gap_us=gap_us).to_pylist()
+    }
+
+    # reference: per user, sorted by (ts, event_id), strict-gap split
+    want = {}
+    by_user = {}
+    for eid, (u, ts, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((ts, eid, int(np.round(v * 100))))
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev_ts = 0, None
+        cur = []
+        for ts, eid, cents in evs + [(None, None, None)]:
+            if ts is None or prev_ts is None or ts - prev_ts > gap_us:
+                if cur:
+                    want[(u, sid)] = (
+                        epoch + dt.timedelta(microseconds=cur[0][0]),
+                        epoch + dt.timedelta(microseconds=cur[-1][0]),
+                        len(cur),
+                        sum(c for _, _, c in cur),
+                    )
+                if ts is None:
+                    break
+                sid += 1
+                cur = []
+            cur.append((ts, eid, cents))
+            prev_ts = ts
+
+    assert got == want
