@@ -169,6 +169,16 @@ class LakeStore:
         infos = self.fs.get_file_info(FileSelector(path, recursive=False))
         return sorted(i.base_name for i in infos)
 
+    def listdir_info(self, path: str) -> list[tuple[str, int]]:
+        """(base_name, size_bytes) pairs — the same single LIST round trip
+        as listdir, with the sizes the listing already carries (an S3
+        LIST returns object sizes for free; a second HEAD per file to
+        learn them would double the commit-time metadata cost)."""
+        from pyarrow.fs import FileSelector
+
+        infos = self.fs.get_file_info(FileSelector(path, recursive=False))
+        return sorted((i.base_name, int(i.size or 0)) for i in infos)
+
     def read_text(self, path: str) -> str:
         with self.fs.open_input_stream(path) as f:
             return f.read().decode("utf-8")
@@ -1004,12 +1014,14 @@ def _write_txn_data(
         rows = 0
         file_stats: list[dict] = []
         bdir = os.path.join(staging, entry)
-        for fn in store.listdir(bdir):
+        for fn, fsize in store.listdir_info(bdir):
             if not fn.endswith(".parquet"):
                 continue
             md = store.parquet_metadata(os.path.join(bdir, fn))
             rows += md.num_rows
-            fstat: dict = {"name": fn, "rows": int(md.num_rows)}
+            # bytes recorded so scan planning can right-size read blocks
+            # from the manifest alone (read_lake's override_num_blocks)
+            fstat: dict = {"name": fn, "rows": int(md.num_rows), "bytes": fsize}
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
             for rg in range(md.num_row_groups):
@@ -1071,6 +1083,14 @@ def _write_txn_data(
     return bucket_stats
 
 
+# Scan-planning block-sizing threshold: a planned scan at or under
+# 2x this many bytes reads as ceil(bytes / threshold) blocks (1-2)
+# instead of Ray's CPU-derived fan. Matches the delta-coalesce target
+# in checkpoint (_DELTA_TARGET_BLOCK_BYTES) — one "right-sized block"
+# notion across the merge pipeline.
+_SMALL_SCAN_BYTES = 128 << 20
+
+
 def _plan_scan(
     m: "Manifest", lake_dir: str, ranges: dict[str, tuple] | None
 ) -> tuple[list[str], dict[str, int]]:
@@ -1086,7 +1106,17 @@ def _plan_scan(
     Returns (files, accounting) where accounting counts total vs pruned.
     Reference analog: the manifest-driven folder selection in
     ReorderFiles.kt — the file set comes from metadata, not a LIST."""
-    acct = {"buckets_total": 0, "buckets_pruned": 0, "files_total": 0, "files_pruned": 0}
+    acct = {
+        "buckets_total": 0,
+        "buckets_pruned": 0,
+        "files_total": 0,
+        "files_pruned": 0,
+        # total bytes of the SELECTED files, when every one has recorded
+        # bytes (None otherwise — legacy manifests prevent sizing); lets
+        # the reader pick a block count from metadata instead of Ray's
+        # CPU-derived default (which fans an 87-row bucket to 64 blocks)
+        "bytes_planned": 0,
+    }
 
     def _overlaps(stats: dict, prefix: str, lo, hi) -> bool:
         smin, smax = stats.get(f"{prefix}_min"), stats.get(f"{prefix}_max")
@@ -1115,6 +1145,7 @@ def _plan_scan(
             # legacy manifest without file stats: caller falls back to a
             # dir listing for this bucket (signalled by the sentinel)
             files.append(os.path.join(d, "*"))
+            acct["bytes_planned"] = None
             continue
         for f in fstats:
             if ranges and not all(
@@ -1123,6 +1154,11 @@ def _plan_scan(
                 acct["files_pruned"] += 1
                 continue
             files.append(os.path.join(d, f["name"]))
+            if acct["bytes_planned"] is not None:
+                fb = f.get("bytes")
+                acct["bytes_planned"] = (
+                    None if fb is None else acct["bytes_planned"] + int(fb)
+                )
     return files, acct
 
 
@@ -1281,7 +1317,19 @@ def read_lake(
             for extra in sorted(need):
                 if extra not in read_cols:
                     read_cols.append(extra)
-    ds = rd.read_parquet(files, filesystem=store.fs, columns=read_cols, filter=filter)
+    read_kwargs = {}
+    pb = _scan_acct.get("bytes_planned")
+    if pb is not None and pb <= 2 * _SMALL_SCAN_BYTES:
+        # SMALL scan proven from manifest metadata: cap the block fan.
+        # Ray's default parallelism target is CPU-derived (~2x cores), so
+        # a 1-file 87-row touched-bucket read fans to 64 near-empty
+        # blocks and every downstream groupby/sort schedules that many
+        # partitions — measured 2x slower sparse applies at 32 CPUs than
+        # at 8. Large scans keep Ray's default splitting untouched.
+        read_kwargs["override_num_blocks"] = max(1, -(-pb // _SMALL_SCAN_BYTES))
+    ds = rd.read_parquet(
+        files, filesystem=store.fs, columns=read_cols, filter=filter, **read_kwargs
+    )
     num_buckets_hint = m.num_buckets or (
         max((int(b) for b in m.buckets), default=0) + 1
     )
