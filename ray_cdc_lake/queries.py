@@ -267,6 +267,46 @@ def q_cdc_dedup_events(sf_dir: str):
     return ds.groupby("bucket").map_groups(distinct, batch_format="pyarrow")
 
 
+def q_cdc_suppress_noops(sf_dir: str):
+    """No-op update suppression over the compiled change log (the
+    Debezium 'skip unchanged' / reference swap-skip analog,
+    RenameS3Utils.kt:52-58's distinctBy taken to row images): an
+    'update' whose normalized content equals the key's PREVIOUS image
+    carries no information — drop it before it costs a commit. The
+    synthetic log's duplicated-delivery rows (the dups CTE) are exactly
+    such no-ops. Scale shape: one bucketed shuffle on hash(key) % 64
+    (same as events_lag_delta — bucket groups, never per-key groups),
+    then a per-bucket vectorized sort + shift-within-key compare."""
+    from .transforms import add_bucket
+
+    ds = compiled_log(sf_dir, E).map_batches(
+        lambda b: add_bucket(b, DEFAULT_NUM_BUCKETS), batch_format="pyarrow"
+    )
+
+    def suppress(g: pa.Table) -> pa.Table:
+        pl = _pl()
+
+        df = (
+            pl.from_arrow(g.drop_columns(["bucket"]))
+            .with_columns((pl.col("op") != "delete").alias("_nd"))
+            # delete-before-insert at equal lsn: rename-set semantics,
+            # identical to the oracle's (op <> 'delete') sort key
+            .sort(["repo", "path", "lsn", "_nd", "commit"])
+            .with_columns(
+                pl.col("content").shift(1).over(["repo", "path"]).alias("_prev")
+            )
+        )
+        noop = (
+            (pl.col("op") == "update")
+            & (pl.col("content") == pl.col("_prev")).fill_null(False)
+        )
+        return (
+            df.filter(~noop).select(["lsn", "op", "repo", "path", "commit"]).to_arrow()
+        )
+
+    return ds.groupby("bucket").map_groups(suppress, batch_format="pyarrow")
+
+
 def q_cdc_partition_manifest(sf_dir: str):
     """Per-partition manifest/lineage aggregate (G3 analog,
     MetsBrowsingBuilder.kt:38-199): event counts, upsert/delete split and
@@ -1522,6 +1562,22 @@ CDC_SQL: dict[str, str] = {
                CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
                max(lsn) AS hwm_lsn
         FROM compiled GROUP BY repo""",
+    "cdc_suppress_noops": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
+        normalized AS (
+          SELECT lsn, op, repo, path, "commit",
+                 nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                                       chr(13), chr(10))) AS content
+          FROM compiled),
+        w AS (
+          SELECT lsn, op, repo, path, "commit", content,
+                 lag(content) OVER (
+                   PARTITION BY repo, path
+                   ORDER BY lsn, (op <> 'delete'), "commit") AS prev_content
+          FROM normalized)
+        SELECT lsn, op, repo, path, "commit"
+        FROM w
+        WHERE NOT (op = 'update' AND COALESCE(content = prev_content, FALSE))""",
 }
 
 
@@ -3601,6 +3657,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_replicate": q_cdc_replicate,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
         "cdc_dedup_events": q_cdc_dedup_events,
+        "cdc_suppress_noops": q_cdc_suppress_noops,
         "cdc_partition_manifest": q_cdc_partition_manifest,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_widening": q_cdc_schema_widening,
