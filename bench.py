@@ -45,6 +45,7 @@ SECONDARY = [
     "user_sessions",
     "events_session_windows",
     "events_window_hopping",
+    "cdc_suppress_noops",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_exact",
