@@ -23,7 +23,7 @@ from .kernels import import_polars as _pl
 
 from .merge import lww_winners_keep_bucket, partial_lww
 from .schemas import DEFAULT_NUM_BUCKETS
-from .sink import Manifest, commit_txn, read_lake, read_manifest
+from .sink import TARGET_BLOCK_BYTES, Manifest, commit_txn, read_lake, read_manifest
 from .transforms import add_bucket
 
 if TYPE_CHECKING:
@@ -34,8 +34,9 @@ if TYPE_CHECKING:
 # Target block size when coalescing the post-combiner delta before the
 # merge shuffle (see _apply_incremental_once): big enough that the sort
 # fan tracks delta BYTES, small enough that one block never dominates a
-# worker's heap.
-_DELTA_TARGET_BLOCK_BYTES = 128 * 1024 * 1024
+# worker's heap. The SAME constant sizes read_lake's small-scan blocks —
+# one notion, defined once in sink.
+_DELTA_TARGET_BLOCK_BYTES = TARGET_BLOCK_BYTES
 
 
 def filter_after_hwm(hwm: dict[int, int]):

@@ -2646,6 +2646,17 @@ def q_user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+def _user_bucketed(batch: pa.Table) -> pa.Table:
+    """Shared user-keyed shuffle key for the per-user window queries
+    (lag, session windows): hash(user) % 64 bucket-sized groups, never
+    per-user tiny groups. One definition so the user-keyed queries
+    cannot drift to different shuffles."""
+    uid = batch["user_id"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "bucket", pa.array((uid % DEFAULT_NUM_BUCKETS).astype(np.int64))
+    )
+
+
 def q_events_lag_delta(sf_dir: str):
     """Per-user lag window (the O1/J1 windowing family's lag/lead half):
     for every event, the previous event's timestamp on the same user and
@@ -2654,12 +2665,6 @@ def q_events_lag_delta(sf_dir: str):
     hash(user) (64 buckets, not per-user groups), then a vectorized
     per-bucket sort + shift(1)-within-user — never a global sort."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
-
-    def bucketed(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", pa.array((uid % DEFAULT_NUM_BUCKETS).astype(np.int64))
-        )
 
     def lag_bucket(g: pa.Table) -> pa.Table:
         pl = _pl()
@@ -2680,7 +2685,7 @@ def q_events_lag_delta(sf_dir: str):
         )
 
     return (
-        ds.map_batches(bucketed, batch_format="pyarrow")
+        ds.map_batches(_user_bucketed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(lag_bucket, batch_format="pyarrow")
     )
@@ -3174,17 +3179,11 @@ def q_events_session_windows(sf_dir: str):
     to the time axis."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
-    def bucketed(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        return batch.append_column(
-            "bucket", pa.array((uid % DEFAULT_NUM_BUCKETS).astype(np.int64))
-        )
-
     def sessions_bucket(g: pa.Table) -> pa.Table:
         return session_rows(g.drop_columns(["bucket"]))
 
     return (
-        ds.map_batches(bucketed, batch_format="pyarrow")
+        ds.map_batches(_user_bucketed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(sessions_bucket, batch_format="pyarrow")
     )

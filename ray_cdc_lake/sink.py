@@ -169,16 +169,6 @@ class LakeStore:
         infos = self.fs.get_file_info(FileSelector(path, recursive=False))
         return sorted(i.base_name for i in infos)
 
-    def listdir_info(self, path: str) -> list[tuple[str, int]]:
-        """(base_name, size_bytes) pairs — the same single LIST round trip
-        as listdir, with the sizes the listing already carries (an S3
-        LIST returns object sizes for free; a second HEAD per file to
-        learn them would double the commit-time metadata cost)."""
-        from pyarrow.fs import FileSelector
-
-        infos = self.fs.get_file_info(FileSelector(path, recursive=False))
-        return sorted((i.base_name, int(i.size or 0)) for i in infos)
-
     def read_text(self, path: str) -> str:
         with self.fs.open_input_stream(path) as f:
             return f.read().decode("utf-8")
@@ -1014,14 +1004,20 @@ def _write_txn_data(
         rows = 0
         file_stats: list[dict] = []
         bdir = os.path.join(staging, entry)
-        for fn, fsize in store.listdir_info(bdir):
+        for fn in store.listdir(bdir):
             if not fn.endswith(".parquet"):
                 continue
             md = store.parquet_metadata(os.path.join(bdir, fn))
             rows += md.num_rows
-            # bytes recorded so scan planning can right-size read blocks
-            # from the manifest alone (read_lake's override_num_blocks)
-            fstat: dict = {"name": fn, "rows": int(md.num_rows), "bytes": fsize}
+            # UNCOMPRESSED bytes (sum of row-group total_byte_size, free —
+            # the footer is already in hand) so scan planning right-sizes
+            # read blocks from the manifest alone in the same in-memory
+            # units checkpoint's delta coalesce uses; on-disk zstd bytes
+            # would understate decoded text 3-5x right at the threshold
+            raw = sum(
+                md.row_group(rg).total_byte_size for rg in range(md.num_row_groups)
+            )
+            fstat: dict = {"name": fn, "rows": int(md.num_rows), "bytes": int(raw)}
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
             for rg in range(md.num_row_groups):
@@ -1083,12 +1079,15 @@ def _write_txn_data(
     return bucket_stats
 
 
-# Scan-planning block-sizing threshold: a planned scan at or under
-# 2x this many bytes reads as ceil(bytes / threshold) blocks (1-2)
-# instead of Ray's CPU-derived fan. Matches the delta-coalesce target
-# in checkpoint (_DELTA_TARGET_BLOCK_BYTES) — one "right-sized block"
-# notion across the merge pipeline.
-_SMALL_SCAN_BYTES = 128 << 20
+# ONE right-sized-block notion across the merge pipeline, in IN-MEMORY
+# (uncompressed Arrow) bytes: checkpoint's delta coalesce divides
+# Dataset.size_bytes() by it, and scan planning below compares the
+# manifest's recorded uncompressed file bytes against it — a planned
+# scan at or under 2x this reads as ceil(bytes / target) blocks (1-2)
+# instead of Ray's CPU-derived fan. checkpoint imports this constant;
+# do not redeclare the literal elsewhere.
+TARGET_BLOCK_BYTES = 128 << 20
+_SMALL_SCAN_BYTES = TARGET_BLOCK_BYTES
 
 
 def _plan_scan(
