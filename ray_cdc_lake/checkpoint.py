@@ -91,6 +91,7 @@ def apply_incremental(
     dedup_below_hwm: bool = True,
     branch: str | None = None,
     store: "LakeStore | None" = None,
+    mode: str = "cow",
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -113,9 +114,21 @@ def apply_incremental(
        overwrite).
 
     Re-running with the same txn_id after a crash is safe at every point.
+
+    ``mode="mor"`` (merge-on-read) commits the micro-batch's OWN winners
+    as delta entries against already-committed buckets instead of
+    merging + rewriting them — write cost O(delta), independent of
+    bucket size (the micro-batch-latency path a huge lake needs; the
+    Iceberg-v2 data-sequencing analog). Readers merge base + deltas LWW
+    at scan time; ``compact_deltas`` folds chains back into the base.
+    Identical final read state to ``mode="cow"`` (tested); requires the
+    events schema to match the committed lake schema (evolution goes
+    through a cow apply) and no in-flight online rescale.
     """
     from .sink import CommitConflict
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     last: CommitConflict | None = None
     for _ in range(max_attempts):
         try:
@@ -129,6 +142,7 @@ def apply_incremental(
                 dedup_below_hwm=dedup_below_hwm,
                 branch=branch,
                 store=store,
+                mode=mode,
             )
         except CommitConflict as exc:
             last = exc
@@ -145,6 +159,7 @@ def _apply_incremental_once(
     dedup_below_hwm: bool = True,
     branch: str | None = None,
     store: "LakeStore | None" = None,
+    mode: str = "cow",
 ) -> Manifest:
     manifest = read_manifest(lake_dir, branch=branch, store=store)
     if num_buckets is None:  # follow the lake's committed modulus
@@ -176,6 +191,18 @@ def _apply_incremental_once(
     if dedup_below_hwm:
         ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
 
+    if mode == "mor" and manifest.buckets:
+        return _apply_mor_once(
+            lake_dir,
+            txn_id,
+            ds,
+            manifest,
+            num_buckets=num_buckets,
+            fail_before_publish=fail_before_publish,
+            events_schema=events_schema,
+            branch=branch,
+            store=store,
+        )
     if manifest.buckets:
         prior = read_lake(lake_dir, live_only=False, branch=branch, store=store)
         prior = prior.map_batches(assign, batch_format="pyarrow")
@@ -308,6 +335,150 @@ def _apply_incremental_once(
         branch=branch,
         store=store,
     )
+
+
+def _lake_file_schema(lake_dir: str, manifest: Manifest, store) -> "pa.Schema | None":
+    """Arrow schema of the committed lake's data files, from ONE footer
+    open (every live file shares one schema — the read-path invariant the
+    evolved-schema cow rewrite preserves). None when no file has recorded
+    stats (legacy manifest)."""
+    import os
+
+    from .sink import DATA_DIR, _DEFAULT_STORE
+
+    store = store or _DEFAULT_STORE
+    import pyarrow.parquet as pq
+
+    for b, info in sorted(manifest.buckets.items(), key=lambda kv: int(kv[0])):
+        fstats = info.get("files")
+        if fstats:
+            p = os.path.join(
+                lake_dir, DATA_DIR, info["txn_id"], f"bucket={b}", fstats[0]["name"]
+            )
+            with store.fs.open_input_file(p) as f:
+                return pq.ParquetFile(f).schema_arrow
+    return None
+
+
+def _apply_mor_once(
+    lake_dir: str,
+    txn_id: str,
+    ds: "ray.data.Dataset",
+    manifest: Manifest,
+    num_buckets: int,
+    fail_before_publish: bool,
+    events_schema: "pa.Schema | None",
+    branch: str | None,
+    store: "LakeStore | None",
+) -> Manifest:
+    """Merge-on-read apply: combine the micro-batch LWW map-side, coalesce
+    to its post-combine size, reduce to its OWN winners (tombstones kept —
+    they must shadow base rows at read), and commit them as delta entries.
+    The prior state is never read and never rewritten — per-commit cost is
+    O(micro-batch distinct keys), independent of bucket size."""
+    from .sink import commit_txn as _commit
+
+    if manifest.rescale:
+        raise ValueError(
+            "merge-on-read apply refused while an online rescale is in "
+            "flight — finish it (rescale_step / compact) or use mode='cow'"
+        )
+    lake_schema = _lake_file_schema(lake_dir, manifest, store)
+    if lake_schema is not None:
+        if events_schema is not None:
+            new_fields = {
+                (f.name, str(f.type)) for f in events_schema if f.name != "bucket"
+            }
+        else:  # same forced-partial-execution caveat as the cow path
+            s = ds.schema()
+            new_fields = {
+                (n, str(t)) for n, t in zip(s.names, s.types) if n != "bucket"
+            }
+        old_fields = {(f.name, str(f.type)) for f in lake_schema}
+        if new_fields != old_fields:
+            raise ValueError(
+                "merge-on-read apply requires the events schema to match "
+                f"the committed lake schema (lake {sorted(old_fields)}, "
+                f"events {sorted(new_fields)}) — schema evolution goes "
+                "through mode='cow', which rewrites to one unified schema"
+            )
+    combined = ds.map_batches(partial_lww, batch_format="pyarrow").materialize()
+    nb = max(1, combined.size_bytes() // _DELTA_TARGET_BLOCK_BYTES)
+    if combined.num_blocks() > 2 * nb:
+        combined = combined.repartition(int(nb)).materialize()
+    winners = lww_winners_keep_bucket(combined, combined=True)
+    return _commit(
+        lake_dir,
+        txn_id,
+        winners,
+        fail_before_publish=fail_before_publish,
+        expected_version=manifest.version,
+        num_buckets=num_buckets,
+        branch=branch,
+        store=store,
+        merge_on_read=True,
+    )
+
+
+def compact_deltas(
+    lake_dir: str,
+    buckets: "set[int] | None" = None,
+    min_deltas: int = 1,
+    store: "LakeStore | None" = None,
+    max_attempts: int = 5,
+) -> "Manifest | None":
+    """Fold merge-on-read delta chains back into their buckets' base files
+    (the LSM minor compaction at the lake level — ``compact()`` remains
+    the major one). Reads ONLY the targeted buckets through the merged
+    view (base + deltas LWW, active predicate deletes applied, tombstones
+    kept) and commits the result as one copy-on-write txn, which clears
+    those buckets' delta lists and deactivates their delete entries —
+    read amplification returns to one file chain per bucket.
+
+    ``min_deltas`` selects buckets whose chain is at least that long;
+    ``buckets`` restricts further. Returns the committed manifest, or
+    None when nothing qualified. Bucket-local (no cross-bucket shuffle);
+    optimistic-concurrency retries like apply_incremental. A bucket whose
+    merged state is EMPTY (a predicate delete wiped every row and no
+    tombstone remains) commits as an explicit empty entry — watermark
+    preserved, chain cleared, delete entry materialized/deactivated."""
+    from .sink import CommitConflict, commit_txn, read_lake, read_manifest
+
+    last: "CommitConflict | None" = None
+    for _ in range(max_attempts):
+        m = read_manifest(lake_dir, store=store)
+        targets = sorted(
+            (
+                int(b)
+                for b, es in m.deltas.items()
+                if len(es) >= min_deltas and (buckets is None or int(b) in buckets)
+            ),
+        )
+        if not targets:
+            return None
+        if not m.num_buckets:
+            raise ValueError(
+                "lake has no recorded bucket modulus (legacy manifest) — "
+                "compact(num_buckets=...) once to record it first"
+            )
+        nb = m.num_buckets
+        ds = read_lake(
+            lake_dir, live_only=False, store=store, buckets=set(targets)
+        )
+        ds = ds.map_batches(lambda t: add_bucket(t, nb), batch_format="pyarrow")
+        hwms = m.hwm()
+        try:
+            return commit_txn(
+                lake_dir,
+                f"fold-{m.version + 1:06d}",
+                ds,
+                store=store,
+                expected_version=m.version,
+                empty_buckets={str(b): hwms[b] for b in targets},
+            )
+        except CommitConflict as exc:
+            last = exc
+    raise last
 
 
 def delete_by_prefix(
@@ -652,6 +823,7 @@ def maybe_compact(
     max_txns: int = 16,
     num_buckets: int | None = None,
     store: "LakeStore | None" = None,
+    max_deltas: int | None = None,
 ) -> "Manifest | None":
     """Auto-compaction trigger for a long-running tail: once the
     committed txn list exceeds ``max_txns`` (each incremental apply adds
@@ -659,7 +831,14 @@ def maybe_compact(
     after each apply; returns the new manifest when compaction ran, else
     None. The threshold bounds read fan-in (files per bucket) without
     rewriting the lake on every apply — the LSM minor/major split at the
-    lake level, mirroring state.SortedRunIndex at the partition level."""
+    lake level, mirroring state.SortedRunIndex at the partition level.
+
+    ``max_deltas`` (opt-in) additionally folds any bucket whose
+    merge-on-read delta chain reaches that length (compact_deltas —
+    bucket-local, far cheaper than the full rewrite); the fold runs first
+    so a full compaction triggered in the same call sees folded state."""
+    if max_deltas is not None:
+        compact_deltas(lake_dir, min_deltas=max_deltas, store=store)
     m = read_manifest(lake_dir, store=store)
     if len(m.txns) <= max_txns:
         return None

@@ -382,6 +382,86 @@ def q_cdc_replay_committed(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _mor_lake_state(sf_dir: str, fold: bool):
+    """Shared builder for the merge-on-read queries: the derived log is
+    split into FOUR LSN-windowed micro-batch txns — the first commits the
+    base copy-on-write, the next three commit as MERGE-ON-READ delta
+    entries (apply_incremental(mode='mor'): O(delta) writes, the touched
+    buckets' bases are never read or rewritten; the final window carries
+    the delete/rename tail, so tombstones travel the delta chain too).
+    ``fold=True`` additionally runs compact_deltas (the LSM minor fold)
+    before reading. Either way the committed read must equal the one-shot
+    replay oracle byte-for-byte — the scan-time LWW merge of base +
+    deltas (and the folded rewrite) lose nothing and resurrect nothing."""
+    import shutil
+
+    from .checkpoint import apply_incremental, compact_deltas
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake, read_manifest
+
+    tag = "mor_fold" if fold else "mor"
+    lake = f"/tmp/ray_cdc_lake_{tag}/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    ev = compiled_log(sf_dir, E).materialize()
+    for i in range(4):
+        lo, hi = i * STRIDE, (i + 1) * STRIDE
+        if i == 3:
+            seg = ev.map_batches(
+                lambda t, lo=lo: t.filter(pc.greater_equal(t["lsn"], lo)),
+                batch_format="pyarrow",
+            )
+        else:
+            seg = ev.map_batches(
+                lambda t, lo=lo, hi=hi: t.filter(
+                    pc.and_(pc.greater_equal(t["lsn"], lo), pc.less(t["lsn"], hi))
+                ),
+                batch_format="pyarrow",
+            )
+        apply_incremental(
+            lake,
+            f"txn-{i:04d}",
+            seg,
+            events_schema=COMPILED_SCHEMA,
+            mode="cow" if i == 0 else "mor",
+        )
+    m = read_manifest(lake)
+    if not any(m.deltas.values()):
+        raise RuntimeError("expected merge-on-read delta entries after mor applies")
+    if fold:
+        compact_deltas(lake)
+        if any(read_manifest(lake).deltas.values()):
+            raise RuntimeError("compact_deltas left an unfolded delta chain")
+    out = read_lake(lake)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            ["repo", "path", "commit", "lang", "content", "content_sha256", "lsn"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_cdc_mor_apply(sf_dir: str):
+    """Merge-on-read micro-batch tail (Iceberg-v2 data-sequencing analog
+    of the reference's 'latest batch wins' apply, RenameDiskUtils.kt:72,91):
+    commit cost is O(micro-batch), independent of bucket size — the
+    100 TB micro-batch-latency path. Readers merge base + delta chains
+    LWW at scan time; state must equal the one-shot replay oracle."""
+    return _mor_lake_state(sf_dir, fold=False)
+
+
+def q_cdc_mor_compact(sf_dir: str):
+    """compact_deltas after a merge-on-read tail: the bucket-local LSM
+    minor fold rewrites ONLY delta-carrying buckets (base + chain merged,
+    tombstones kept, chains cleared) and the folded state still equals
+    the one-shot replay oracle."""
+    return _mor_lake_state(sf_dir, fold=True)
+
+
 def q_cdc_rescale_online(sf_dir: str):
     """ONLINE bucket rescale under live ingest (rescale.py): commit txn 1
     at the base modulus, start a 2x rescale and split only HALF the old
@@ -1538,6 +1618,8 @@ CDC_SQL: dict[str, str] = {
                lsn, sha256(content) AS content_sha256
         FROM ranked WHERE rn = 1 AND op <> 'delete'""",
     "cdc_replay_committed": FINAL_STATE_SQL,
+    "cdc_mor_apply": FINAL_STATE_SQL,
+    "cdc_mor_compact": FINAL_STATE_SQL,
     "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
     "cdc_compiled_changes": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
@@ -3646,6 +3728,8 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     queries: dict[str, Callable[[str], Any]] = {
         "cdc_compile_events": q_cdc_compile_events,
         "cdc_replay_committed": q_cdc_replay_committed,
+        "cdc_mor_apply": q_cdc_mor_apply,
+        "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_compiled_changes": q_cdc_compiled_changes,
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,

@@ -49,7 +49,11 @@ from .schemas import COMPILED_SCHEMA
 # Ray workers whose cwd may not resolve `ray_cdc_lake` by path — a lazy
 # in-function relative import raises ModuleNotFoundError there, while
 # module-scope references travel with the self-contained pickle.
+import os
+
 from .sink import (
+    DATA_DIR as _DATA_DIR,
+    _DEFAULT_STORE,
     bucket_ids_mixed,
     delete_where,
     read_lake,
@@ -66,6 +70,10 @@ if TYPE_CHECKING:
 # payload (the replica's own apply re-derives them). Everything else —
 # including schema-evolved source columns — replicates verbatim.
 _INTERNAL_COLUMNS = ("bucket",)
+
+
+def _strip_internal(t: pa.Table) -> pa.Table:
+    return t.drop_columns([c for c in _INTERNAL_COLUMNS if c in t.column_names])
 
 
 def _txn_for(version: int) -> str:
@@ -197,13 +205,17 @@ def _replicate_step(
     # replicate as an EMPTY txn. A genuinely brand-new bucket has no
     # bound (all its rows are new).
     M_old = m_old.num_buckets if m_old else 0
+    # old watermark INCLUDING any merge-on-read delta chain: rows a fold
+    # or cow rewrite merged in from deltas were already replicated when
+    # their delta txns landed, so they are carry-over, not new
+    old_hwms = m_old.hwm() if m_old else {}
     prev_hwm: dict[int, int] = {}
     for b in changed:
         ib = int(b)
         if b in old_buckets:
-            prev_hwm[ib] = old_buckets[b]["hwm_lsn"]
+            prev_hwm[ib] = old_hwms[ib]
         elif M_old and str(ib % M_old) in old_buckets:
-            prev_hwm[ib] = old_buckets[str(ib % M_old)]["hwm_lsn"]
+            prev_hwm[ib] = old_hwms[ib % M_old]
 
     # STRUCTURAL steps (compact / rescale split / sort rewrite) change
     # bucket owners without raising any watermark — under the ordered-log
@@ -215,6 +227,31 @@ def _replicate_step(
     )
     if assume_ordered_log and structural:
         changed = set()
+
+    # MERGE-ON-READ txns change ``deltas``, not bucket owners — and their
+    # delta files contain EXACTLY the rows the step introduced (the
+    # micro-batch's own winners, tombstones included), so the extraction
+    # is a direct file read with no watermark math and no log-order
+    # assumption. New entries are detected by txn_id per bucket, same
+    # discipline as the delete entries above.
+    old_deltas = m_old.deltas if m_old else {}
+    new_delta_files: list[str] = []
+    for b, es in m_new.deltas.items():
+        seen = {e["txn_id"] for e in old_deltas.get(b, [])}
+        for e in es:
+            if e["txn_id"] in seen:
+                continue
+            d = os.path.join(src_lake, _DATA_DIR, e["txn_id"], f"bucket={b}")
+            fstats = e.get("files")
+            if fstats is None:  # defensive: entries always record stats
+                s = store or _DEFAULT_STORE
+                new_delta_files += [
+                    os.path.join(d, fn)
+                    for fn in s.listdir(d)
+                    if fn.endswith(".parquet")
+                ]
+            else:
+                new_delta_files += [os.path.join(d, f["name"]) for f in fstats]
 
     if changed and assume_ordered_log:
         # conservative global bound for manifest FILE pruning: min over
@@ -272,8 +309,18 @@ def _replicate_step(
         events = delta.map_batches(strip_extras, batch_format="pyarrow")
         events_schema = None
     else:  # no bucket changed (or a proven-structural step): empty txn
-        events = rd.from_arrow(COMPILED_SCHEMA.empty_table())
+        events = None
         events_schema = COMPILED_SCHEMA  # empty datasets can't infer one
+
+    if new_delta_files:
+        s = store or _DEFAULT_STORE
+        mor = rd.read_parquet(new_delta_files, filesystem=s.fs).map_batches(
+            _strip_internal, batch_format="pyarrow"
+        )
+        events = mor if events is None else events.union(mor)
+        events_schema = None
+    if events is None:
+        events = rd.from_arrow(COMPILED_SCHEMA.empty_table())
 
     # ordered-chain apply: the replica's watermark dedup is valid here
     # (source versions ARE a single ordered log), but COW carry-over rows

@@ -84,6 +84,15 @@ def rescale_start(
             "lake has no recorded bucket modulus (legacy manifest) — "
             "compact(num_buckets=...) once to record it before rescaling"
         )
+    if any(m.deltas.values()):
+        # a split step rewrites buckets bucket-locally from their base
+        # files; an unfolded delta chain would detach from its base when
+        # the split moves the keys. Mutually exclusive by construction
+        # (commit_txn refuses merge-on-read commits mid-rescale).
+        raise ValueError(
+            "lake carries uncompacted merge-on-read deltas — fold them "
+            "first (checkpoint.compact_deltas) before starting a rescale"
+        )
     new = Manifest(
         version=m.version + 1,
         buckets=m.buckets,

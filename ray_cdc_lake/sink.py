@@ -342,6 +342,19 @@ class Manifest:
     # active bucket left are pruned at the next commit; compact()
     # materializes and clears all of them. Old manifests read back as [].
     deletes: list[dict] = field(default_factory=list)
+    # MERGE-ON-READ delta entries (Iceberg-v2 data-sequencing shape, the
+    # row-level twin of ``deletes``): bucket id -> ORDERED list of entries
+    # shaped exactly like a bucket entry ({"txn_id", "hwm_lsn", "rows",
+    # "files": [...]}) committed by apply_incremental(mode="mor"). A MOR
+    # apply writes ONLY its micro-batch's winners (O(delta) bytes, never
+    # the bucket's base) and appends here; readers merge base + deltas
+    # LWW per key at scan time, so commit cost is independent of bucket
+    # size — the micro-batch latency path a 100 TB lake needs. Invariant:
+    # every key here is also in ``buckets`` (the first write to a bucket
+    # commits as its base). A copy-on-write rewrite of a bucket (apply,
+    # compact, fold) clears its delta list — the rewrite merged them in.
+    # Old manifests read back as {}.
+    deltas: dict[str, list[dict]] = field(default_factory=dict)
     # in-flight ONLINE RESCALE state (None = not rescaling):
     # {"to": target modulus, "split": sorted old-bucket ids already split}.
     # While set, bucket assignment is MIXED: a key whose OLD bucket
@@ -356,7 +369,15 @@ class Manifest:
     rescale: dict | None = None
 
     def hwm(self) -> dict[int, int]:
-        return {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
+        """Per-bucket high watermark across the base AND its merge-on-read
+        deltas — the dedup filter, delta metrics and delete-entry lsn
+        snapshots must all see the true newest committed lsn."""
+        out = {int(b): info["hwm_lsn"] for b, info in self.buckets.items()}
+        for b, entries in self.deltas.items():
+            ib = int(b)
+            for e in entries:
+                out[ib] = max(out.get(ib, -1), e["hwm_lsn"])
+        return out
 
     def data_dirs(self, lake_dir: str) -> list[str]:
         """One directory per live (txn, bucket) — input paths for read."""
@@ -378,6 +399,7 @@ def _manifest_from_dict(d: dict) -> Manifest:
         num_buckets=d.get("num_buckets", 0),
         metrics=d.get("metrics", {}),
         deletes=d.get("deletes", []),
+        deltas=d.get("deltas", {}),
         rescale=d.get("rescale"),
     )
 
@@ -493,6 +515,7 @@ def _publish(
         "num_buckets": m.num_buckets,
         "metrics": m.metrics,
         "deletes": m.deletes,
+        "deltas": m.deltas,
         "rescale": m.rescale,
         "committed_at": time.time(),
     }
@@ -644,6 +667,7 @@ def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Ma
         num_buckets=b.num_buckets,
         metrics=b.metrics,
         deletes=b.deletes,
+        deltas=b.deltas,
         rescale=b.rescale,
     )
     _publish(lake_dir, merged, store=store)
@@ -660,9 +684,29 @@ def commit_txn(
     num_buckets: int | None = None,
     record_metrics: bool = True,
     branch: str | None = None,
+    merge_on_read: bool = False,
+    empty_buckets: "dict[str, int] | None" = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
+
+    ``merge_on_read=True`` commits the rows as DELTA entries against
+    buckets that already hold a base (manifest ``deltas``; readers merge
+    base + deltas LWW at scan time) instead of replacing the bucket —
+    O(delta) write cost regardless of bucket size. Buckets written for
+    the first time still commit as base entries. The winners must be the
+    micro-batch's OWN LWW winners (tombstones included); they must NOT
+    have been merged against prior state (that would duplicate carried
+    rows into the delta chain).
+
+    ``empty_buckets`` ({bucket: hwm_lsn}) declares buckets whose REWRITTEN
+    state is legitimately empty (e.g. a fold over a bucket a predicate
+    delete wiped clean): the write produces no file for them, so without
+    the declaration the old entry — and its delta chain and active delete
+    entries — would survive. Declared buckets the write DID produce data
+    for are ignored; the rest commit as an explicit empty entry
+    (``rows: 0, files: []``) preserving the watermark, so hwm dedup still
+    drops re-deliveries of the wiped rows.
 
     Idempotent: if ``txn_id`` is already committed, returns the current
     manifest untouched (re-delivered batch = no-op, the exactly-once
@@ -722,8 +766,26 @@ def commit_txn(
             f"manifest moved from v{expected_version} to v{manifest.version} "
             "since the merge began — re-read and re-merge"
         )
+    if merge_on_read and manifest.rescale:
+        # mid-rescale the mixed rule moves keys between bucket ids as
+        # splits land; a delta entry appended under a pre-split id would
+        # detach from its base when the split rewrites it. Deltas and
+        # in-flight rescales are mutually exclusive by construction
+        # (rescale_start refuses while deltas exist, and vice versa here).
+        raise ValueError(
+            "merge-on-read commit refused while an online rescale is in "
+            "flight — finish the rescale (or compact) first"
+        )
 
     bucket_stats = _write_txn_data(lake_dir, txn_id, winners, store=store)
+    for b, w in (empty_buckets or {}).items():
+        if b not in bucket_stats:
+            bucket_stats[b] = {
+                "txn_id": txn_id,
+                "hwm_lsn": int(w),
+                "rows": 0,
+                "files": [],
+            }
 
     metrics = dict(manifest.metrics)
     if record_metrics:
@@ -738,7 +800,26 @@ def commit_txn(
     # commit point: version+1 in the BRANCH's own manifest-file namespace —
     # two writers racing on the same head claim the same filename, and
     # claim_with_content arbitrates exactly one winner (the loser retries)
-    new_buckets = {**manifest.buckets, **bucket_stats}
+    if merge_on_read:
+        # MOR commit: buckets already holding a base keep it untouched and
+        # gain a delta entry (readers merge LWW at scan time); buckets
+        # this txn writes FIRST commit as ordinary base entries, keeping
+        # the invariant deltas.keys() <= buckets.keys()
+        base_new = {b: st for b, st in bucket_stats.items() if b not in manifest.buckets}
+        new_buckets = {**manifest.buckets, **base_new}
+        new_deltas = {b: list(es) for b, es in manifest.deltas.items()}
+        for b, st in bucket_stats.items():
+            if b in manifest.buckets:
+                new_deltas.setdefault(b, []).append(st)
+    else:
+        new_buckets = {**manifest.buckets, **bucket_stats}
+        # a copy-on-write rewrite merged the bucket's deltas in (read_lake
+        # is the merge input), so its delta list clears here
+        new_deltas = {
+            b: list(es)
+            for b, es in manifest.deltas.items()
+            if b not in bucket_stats
+        }
     new = Manifest(
         version=manifest.version + 1,
         buckets=new_buckets,
@@ -752,6 +833,7 @@ def commit_txn(
         deletes=[
             e for e in manifest.deletes if _active_delete_buckets(e, new_buckets)
         ],
+        deltas=new_deltas,
         # an in-flight online rescale rides through ordinary applies
         # untouched — the apply bucketed its winners with the mixed rule
         rescale=manifest.rescale,
@@ -846,6 +928,14 @@ def delete_where(
             "owners": {
                 b: info["txn_id"] for b, info in manifest.buckets.items()
             },
+            # per-bucket lsn snapshot at delete time (base AND deltas):
+            # the delete applies only to rows with lsn <= this bound, so
+            # a LATER merge-on-read upsert of a matching key survives
+            # even though the bucket's base owner never changes. Rows a
+            # COW bucket holds are always <= its snapshot, so this is a
+            # no-op narrowing for copy-on-write lakes (legacy entries
+            # without the key behave exactly as before).
+            "hwms": {str(b): w for b, w in manifest.hwm().items()},
         }
         new = Manifest(
             version=manifest.version + 1,
@@ -861,6 +951,7 @@ def delete_where(
                 if _active_delete_buckets(e, manifest.buckets)
             ]
             + [entry],
+            deltas=manifest.deltas,
             rescale=manifest.rescale,
         )
         try:
@@ -1225,7 +1316,9 @@ def read_lake(
     if buckets is not None:
         keep = {str(int(b)) for b in buckets}
         m = dataclasses.replace(
-            m, buckets={k: v for k, v in m.buckets.items() if k in keep}
+            m,
+            buckets={k: v for k, v in m.buckets.items() if k in keep},
+            deltas={k: v for k, v in m.deltas.items() if k in keep},
         )
     # predicate-delete files still active under THIS manifest (version
     # pinning gives each snapshot its own consistent delete set)
@@ -1266,6 +1359,23 @@ def read_lake(
                 )
             sch = pa.schema([sch.field(c) for c in columns])
         return rd.from_arrow(sch.empty_table())
+    # MERGE-ON-READ split: buckets carrying delta entries must be merged
+    # LWW (base + deltas) before any row-level predicate can apply — a
+    # predicate pushed into their file reads could drop the WINNING
+    # version of a key and let a stale base row through. They are read
+    # through the merge branch below; every other bucket takes the plain
+    # pruned-scan path untouched. The merge cost is bounded by the
+    # uncompacted delta-bucket volume — checkpoint.compact_deltas is the
+    # fold that returns a bucket to the plain path.
+    delta_ids = sorted((b for b, es in m.deltas.items() if es), key=int)
+    m_plain = m
+    if delta_ids:
+        dset = set(delta_ids)
+        m_plain = dataclasses.replace(
+            m,
+            buckets={b: v for b, v in m.buckets.items() if b not in dset},
+            deltas={},
+        )
     # ray.data.read_parquet expands a single dir but treats LIST entries as
     # files — enumerate the data files explicitly, from the MANIFEST's
     # per-file stats when recorded (zero LIST requests against storage; at
@@ -1273,7 +1383,7 @@ def read_lake(
     # cost), falling back to a dir listing for legacy manifests.  With
     # ``ranges``, _plan_scan additionally prunes buckets/files whose
     # manifest stats cannot overlap.
-    planned, _scan_acct = _plan_scan(m, lake_dir, ranges)
+    planned, _scan_acct = _plan_scan(m_plain, lake_dir, ranges)
     files = []
     for p in planned:
         if p.endswith("*"):  # legacy bucket without file stats: LIST it
@@ -1289,7 +1399,7 @@ def read_lake(
         expr = _ranges_expression(ranges)
         if expr is not None:
             filter = expr if filter is None else (filter & expr)
-        if not files:
+        if not files and not delta_ids:
             # every file pruned from metadata: empty result with the
             # selected schema, zero storage reads
             import pyarrow as pa
@@ -1313,7 +1423,18 @@ def read_lake(
             read_cols.append("op")
         if active_deletes:
             need = {"repo", "path"} | {e["column"] for e, _ in active_deletes}
+            if any("hwms" in e for e, _ in active_deletes):
+                # lsn-scoped deletes (merge-on-read sequencing) compare
+                # row lsn against the entry's per-bucket snapshot
+                need.add("lsn")
             for extra in sorted(need):
+                if extra not in read_cols:
+                    read_cols.append(extra)
+        if delta_ids:
+            # the LWW merge of base + delta files needs the key columns
+            # and the full (lsn, op, commit) ordering contract regardless
+            # of selection; strip() re-narrows to the caller's columns
+            for extra in ("repo", "path", "lsn", "op", "commit"):
                 if extra not in read_cols:
                     read_cols.append(extra)
     read_kwargs = {}
@@ -1326,9 +1447,94 @@ def read_lake(
         # partitions — measured 2x slower sparse applies at 32 CPUs than
         # at 8. Large scans keep Ray's default splitting untouched.
         read_kwargs["override_num_blocks"] = max(1, -(-pb // _SMALL_SCAN_BYTES))
-    ds = rd.read_parquet(
-        files, filesystem=store.fs, columns=read_cols, filter=filter, **read_kwargs
-    )
+    parts = []
+    if files:
+        parts.append(
+            rd.read_parquet(
+                files,
+                filesystem=store.fs,
+                columns=read_cols,
+                filter=filter,
+                **read_kwargs,
+            )
+        )
+    if delta_ids:
+        from .merge import _group_winners
+
+        mfiles: list[str] = []
+        mbytes: int | None = 0
+        for b in delta_ids:
+            base = m.buckets.get(b)
+            chain = ([base] if base is not None else []) + list(m.deltas[b])
+            for entry in chain:
+                d = os.path.join(
+                    lake_dir, DATA_DIR, entry["txn_id"], f"bucket={b}"
+                )
+                fstats = entry.get("files")
+                if fstats is None:  # legacy base without file stats
+                    mfiles += [
+                        os.path.join(d, fn)
+                        for fn in store.listdir(d)
+                        if fn.endswith(".parquet")
+                    ]
+                    mbytes = None
+                else:
+                    for f in fstats:
+                        mfiles.append(os.path.join(d, f["name"]))
+                        if mbytes is not None:
+                            fb = f.get("bytes")
+                            mbytes = None if fb is None else mbytes + int(fb)
+        mkwargs = {}
+        if mbytes is not None and mbytes <= 2 * _SMALL_SCAN_BYTES:
+            mkwargs["override_num_blocks"] = max(1, -(-mbytes // _SMALL_SCAN_BYTES))
+        # NO predicate pushdown here: every version of a key must reach
+        # the LWW reduce before any row filter — the caller's predicate
+        # (including the exact ranges expression already folded into
+        # ``filter``) applies to the merged winners below.
+        # the hive 'bucket' partition column only surfaces under an
+        # explicit selection if asked for — the groupby below needs it
+        mcols = None if read_cols is None else [*read_cols, "bucket"]
+        merged = rd.read_parquet(
+            mfiles, filesystem=store.fs, columns=mcols, **mkwargs
+        )
+        if read_cols is None:
+            merged = merged.groupby("bucket").map_groups(
+                lambda g: _group_winners(g, ["repo", "path"]),
+                batch_format="pyarrow",
+            )
+        else:
+            # align with the plain branch's schema for the union (an
+            # explicit selection suppresses hive inference there); strip
+            # recomputes the bucket from the key hash where it needs it
+            merged = merged.groupby("bucket").map_groups(
+                lambda g: _group_winners(g, ["repo", "path"]).drop_columns(
+                    ["bucket"]
+                ),
+                batch_format="pyarrow",
+            )
+        if filter is not None:
+            post_filter = filter
+
+            def _apply_filter(t):
+                import pyarrow.dataset as pads
+
+                return pads.dataset(t).to_table(filter=post_filter)
+
+            merged = merged.map_batches(_apply_filter, batch_format="pyarrow")
+        parts.append(merged)
+    if not parts:
+        # every manifest entry is an explicit empty bucket (rows wiped by
+        # a materialized predicate delete): empty result, zero reads
+        import pyarrow as pa
+
+        from .schemas import LAKE_SCHEMA
+
+        fields = list(LAKE_SCHEMA) + [pa.field("op", pa.string())]
+        sch = pa.schema(fields)
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     num_buckets_hint = m.num_buckets or (
         max((int(b) for b in m.buckets), default=0) + 1
     )
@@ -1353,6 +1559,26 @@ def read_lake(
                     pc.is_in(bvals, value_set=pa.array(ab, type=pa.string())),
                     _delete_predicate_mask(t, e),
                 )
+                hwms = e.get("hwms") or {}
+                if hwms and "lsn" in t.column_names:
+                    # lsn-scoped delete (see delete_where): only rows at
+                    # or below the entry's per-bucket snapshot die — a
+                    # later merge-on-read upsert of a matching key
+                    # survives. Active buckets without a recorded bound
+                    # (legacy entries) keep the unscoped behavior.
+                    import numpy as np
+
+                    ib = pc.cast(bvals, pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    size = int(ib.max()) + 1 if len(ib) else 1
+                    bound = np.full(size, np.iinfo(np.int64).max)
+                    for bb in ab:
+                        w = hwms.get(str(bb))
+                        if w is not None and int(bb) < size:
+                            bound[int(bb)] = w
+                    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+                    d = pc.and_(d, pa.array(lsn <= bound[ib]))
                 drop = d if drop is None else pc.or_(drop, d)
             t = t.filter(pc.invert(drop))
         # hive-partition inference re-adds 'bucket' from the dir name;
@@ -1406,38 +1632,45 @@ def read_key(
     # rule shared with every writer — see bucket_ids_mixed)
     bucket = int(bucket_ids_mixed(h, num_buckets, m.rescale)[0])
     info = m.buckets.get(str(bucket))
-    if info is None:
+    dchain = m.deltas.get(str(bucket), [])
+    if info is None and not dchain:
         return None
-    bdir = os.path.join(lake_dir, DATA_DIR, info["txn_id"], f"bucket={bucket}")
-    fstats = info.get("files")
-    if fstats is not None:
-        # manifest-recorded per-file key ranges + key bloom: name the
-        # candidate files and prune by column-wise (repo, path) bounds,
-        # then by bloom membership, WITHOUT touching storage — no dir
-        # listing, no footer opens for pruned files. The bounds are
-        # COLUMN-WISE (conservative): a (repo, path) pair can sit inside
-        # both ranges yet not exist in the file; the bloom prunes exactly
-        # those, so a lookup of an ABSENT key normally touches zero
-        # storage at all (fpr ~1% at 10 bits/key).
-        hk = int(h[0])
-        names = [
-            f["name"]
-            for f in fstats
-            if ("repo_min" not in f or f["repo_min"] <= repo <= f["repo_max"])
-            and ("path_min" not in f or f["path_min"] <= path <= f["path_max"])
-            and _bloom_maybe_contains(f.get("key_bloom"), hk)
-        ]
-    else:  # legacy manifest without file stats: list the bucket dir
-        if not store.isdir(bdir):
-            return None
-        names = [fn for fn in store.listdir(bdir) if fn.endswith(".parquet")]
+    # candidate files across the bucket's base AND its merge-on-read
+    # delta chain — each entry carries the same per-file stats, so the
+    # range + bloom pruning below applies uniformly; a key absent from
+    # the whole chain still normally touches zero storage.
+    hk = int(h[0])
     flt = [("repo", "==", repo), ("path", "==", path)]
     rows = []
-    for fn in names:
-        with store.fs.open_input_file(os.path.join(bdir, fn)) as f:
-            t = pq.read_table(f, filters=flt)
-        if t.num_rows:
-            rows.append(t)
+    for entry in ([info] if info is not None else []) + list(dchain):
+        bdir = os.path.join(
+            lake_dir, DATA_DIR, entry["txn_id"], f"bucket={bucket}"
+        )
+        fstats = entry.get("files")
+        if fstats is not None:
+            # manifest-recorded per-file key ranges + key bloom: name the
+            # candidate files and prune by column-wise (repo, path)
+            # bounds, then by bloom membership, WITHOUT touching storage —
+            # no dir listing, no footer opens for pruned files. The
+            # bounds are COLUMN-WISE (conservative): a (repo, path) pair
+            # can sit inside both ranges yet not exist in the file; the
+            # bloom prunes exactly those (fpr ~1% at 10 bits/key).
+            names = [
+                f["name"]
+                for f in fstats
+                if ("repo_min" not in f or f["repo_min"] <= repo <= f["repo_max"])
+                and ("path_min" not in f or f["path_min"] <= path <= f["path_max"])
+                and _bloom_maybe_contains(f.get("key_bloom"), hk)
+            ]
+        else:  # legacy manifest without file stats: list the bucket dir
+            if not store.isdir(bdir):
+                continue
+            names = [fn for fn in store.listdir(bdir) if fn.endswith(".parquet")]
+        for fn in names:
+            with store.fs.open_input_file(os.path.join(bdir, fn)) as f:
+                t = pq.read_table(f, filters=flt)
+            if t.num_rows:
+                rows.append(t)
     if not rows:
         return None
     t = pa.concat_tables(rows, promote_options="permissive")
@@ -1447,13 +1680,18 @@ def read_key(
         return None
     out = {c: w[c][0].as_py() for c in w.column_names}
     # predicate-delete files (merge-on-read) hide the row from point
-    # lookups exactly like from scans — same bucket-owner scoping
+    # lookups exactly like from scans — same bucket-owner scoping plus
+    # the lsn snapshot (a later MOR upsert of a matching key survives)
     for e in m.deletes:
         if (
-            e.get("owners", {}).get(str(bucket)) == info["txn_id"]
+            info is not None
+            and e.get("owners", {}).get(str(bucket)) == info["txn_id"]
             and e["column"] in out
             and _delete_predicate_mask(w, e)[0].as_py()
         ):
+            bound = (e.get("hwms") or {}).get(str(bucket))
+            if bound is not None and out.get("lsn", 0) > bound:
+                continue  # row upserted after the delete's snapshot
             return None
     return out
 
@@ -1682,6 +1920,14 @@ def expire_snapshots(
             continue
         d = json.loads(store.read_text(os.path.join(mdir, fn)))
         owned |= {(info["txn_id"], b) for b, info in d.get("buckets", {}).items()}
+        # merge-on-read delta entries reference their txn dirs exactly
+        # like bucket owners do — a retained snapshot needs its whole
+        # base + delta chain readable
+        owned |= {
+            (e["txn_id"], b)
+            for b, es in d.get("deltas", {}).items()
+            for e in es
+        }
     live = {t for t, _ in owned}
     data_root = os.path.join(lake_dir, DATA_DIR)
     if store.isdir(data_root):
