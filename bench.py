@@ -74,6 +74,8 @@ SECONDARY = [
     "mm_feature_extract",
     "corpus_contamination_ngram",
     "cdc_replay_committed",  # the exactly-once sink write path
+    "cdc_mor_apply",  # merge-on-read delta commits (O(delta) writes)
+    "cdc_mor_compact",  # ... plus the bucket-local delta fold
     "cdc_change_feed",  # CDF read with pre/post images
     "cdc_predicate_delete",  # metadata-only merge-on-read delete
     "cdc_rescale_online",  # online bucket-modulus rescale, mixed-modulus reads
@@ -718,6 +720,125 @@ def run_sustained() -> dict:
     }
 
 
+def run_mor() -> dict:
+    """Merge-on-read vs copy-on-write SPARSE-apply cost on a FAT-bucket
+    lake — the claim under test: a cow micro-batch apply reads + rewrites
+    every touched bucket (cost grows with bucket size), a mor apply
+    writes only its own winners (cost independent of bucket size).
+    Build one committed lake per mode from the same BENCH_EPOCHS binlog
+    at MOR_BUCKETS buckets (few buckets => fat buckets, the 100 TB shape
+    in miniature), run MOR_APPLIES sparse 8-key applies in each mode, and
+    report per-apply wall, per-txn committed bytes (from the manifest's
+    recorded file stats — hard evidence of the write amplification), the
+    full-scan read-back before/after (the mor read tax), and the fold."""
+    meter = _HostMeter()
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.checkpoint import apply_incremental, compact_deltas
+    from ray_cdc_lake.pipeline import compiled_log
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+    from ray_cdc_lake.sink import read_lake, read_manifest
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    n_buckets = int(os.environ.get("MOR_BUCKETS", "16"))
+    applies = int(os.environ.get("MOR_APPLIES", "8"))
+    sparse_keys = 8
+    ev = compiled_log(SF_DIR, BENCH_EPOCHS).materialize()  # untimed source
+
+    def scan_sec(lake: str) -> float:
+        t0 = time.perf_counter()
+        _consume(read_lake(lake))
+        return time.perf_counter() - t0
+
+    out_q: dict = {}
+    for mode in ("cow", "mor"):
+        lake = f"/tmp/ray_cdc_bench_mor/{mode}"
+        shutil.rmtree(lake, ignore_errors=True)
+        apply_incremental(
+            lake, "base", ev, num_buckets=n_buckets,
+            events_schema=COMPILED_SCHEMA,
+        )  # untimed: both modes share an identical fat base
+        m0 = read_manifest(lake)
+        base_lsn = max(i["hwm_lsn"] for i in m0.buckets.values()) + 1
+        keys = read_lake(lake, columns=["repo", "path"]).take(sparse_keys)
+        out_q[f"{mode}_scan_before_sec"] = round(scan_sec(lake), 3)
+        walls, txn_bytes = [], []
+        for j in range(applies):
+            rows = [
+                (base_lsn + j * sparse_keys + k, r["repo"], r["path"])
+                for k, r in enumerate(keys)
+            ]
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], type=pa.int64()),
+                    pa.array(["update"] * len(rows), type=pa.string()),
+                    pa.array([r[1] for r in rows], type=pa.string()),
+                    pa.array([r[2] for r in rows], type=pa.string()),
+                    pa.array([f"c{r[0]:08d}" for r in rows], type=pa.string()),
+                    pa.array(["py"] * len(rows), type=pa.string()),
+                    pa.array(
+                        [f"sparse-{j}-{r[0]}" for r in rows],
+                        type=pa.large_string(),
+                    ),
+                ],
+                schema=COMPILED_SCHEMA,
+            )
+            txn = f"sparse-{j:04d}"
+            t0 = time.perf_counter()
+            apply_incremental(
+                lake, txn, rd.from_arrow(tbl),
+                events_schema=COMPILED_SCHEMA, mode=mode,
+            )
+            walls.append(time.perf_counter() - t0)
+            mj = read_manifest(lake)
+            entries = [
+                i for i in mj.buckets.values() if i["txn_id"] == txn
+            ] + [e for es in mj.deltas.values() for e in es if e["txn_id"] == txn]
+            txn_bytes.append(
+                sum(f.get("bytes", 0) for e in entries for f in e.get("files", []))
+            )
+        out_q[f"{mode}_apply_min_sec"] = round(min(walls), 3)
+        out_q[f"{mode}_apply_avg_sec"] = round(sum(walls) / len(walls), 3)
+        out_q[f"{mode}_txn_bytes_avg"] = int(sum(txn_bytes) / len(txn_bytes))
+        out_q[f"{mode}_scan_after_sec"] = round(scan_sec(lake), 3)
+        if mode == "mor":
+            t0 = time.perf_counter()
+            compact_deltas(lake)
+            out_q["mor_fold_sec"] = round(time.perf_counter() - t0, 3)
+            out_q["mor_scan_after_fold_sec"] = round(scan_sec(lake), 3)
+
+    ray.shutdown()
+    speedup = out_q["cow_apply_avg_sec"] / max(out_q["mor_apply_avg_sec"], 1e-9)
+    return {
+        "metric": "mor_sparse_apply_speedup",
+        "value": round(speedup, 2),
+        "unit": "x (cow avg / mor avg, fat-bucket sparse applies)",
+        "queries": out_q,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "mor_buckets": n_buckets,
+        "applies": applies,
+        "host": meter.snapshot(),
+    }
+
+
 def run_sustained_maintained() -> dict:
     """Sustained committed tail WITH LIVE MAINTENANCE — the regime a
     100 TB lake actually lives in: a long micro-batch chain (default 64
@@ -858,6 +979,8 @@ if __name__ == "__main__":
         print(json.dumps(run_stress()))
     elif "--stats" in sys.argv:
         run_stats()
+    elif "--mor" in sys.argv:
+        print(json.dumps(run_mor()))
     elif "--sustained-maintained" in sys.argv:
         print(json.dumps(run_sustained_maintained()))
     elif "--sustained" in sys.argv:
