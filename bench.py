@@ -652,12 +652,27 @@ def run_sustained() -> dict:
             t.drop_columns(["segment"]) if "segment" in t.column_names else t
         )
 
+    # SUSTAINED_MODE=mor commits every window after the first as
+    # merge-on-read deltas (O(window) writes, prior buckets never read),
+    # with a bucket-local fold every SUSTAINED_FOLD_EVERY windows to
+    # bound the scan-time chain length — the maintenance a mor tail
+    # actually runs, timed inside the loop like the maintained bench.
+    mode = os.environ.get("SUSTAINED_MODE", "cow")
+    fold_every = int(os.environ.get("SUSTAINED_FOLD_EVERY", "8"))
+    fold_wall = 0.0
+    if mode == "mor":
+        from ray_cdc_lake.checkpoint import compact_deltas
+
     t0 = time.perf_counter()
-    for i, files, _n in segments:
+    for n_applied, (i, files, _n) in enumerate(segments, start=1):
         win = rd.read_parquet(files).map_batches(drop_seg, batch_format="pyarrow")
         apply_incremental(
-            lake, f"tail-{i:04d}", win, events_schema=COMPILED_SCHEMA
+            lake, f"tail-{i:04d}", win, events_schema=COMPILED_SCHEMA, mode=mode
         )
+        if mode == "mor" and n_applied % fold_every == 0:
+            f0 = time.perf_counter()
+            compact_deltas(lake)
+            fold_wall += time.perf_counter() - f0
     tail_wall = time.perf_counter() - t0
 
     # ---- phase 2: sparse-delta steady state ----
@@ -688,7 +703,7 @@ def run_sustained() -> dict:
         t0 = time.perf_counter()
         apply_incremental(
             lake, f"sparse-{j:04d}", rd.from_arrow(tbl),
-            events_schema=COMPILED_SCHEMA,
+            events_schema=COMPILED_SCHEMA, mode=mode,
         )
         sparse_walls.append(time.perf_counter() - t0)
         mj = read_manifest(lake)
@@ -705,6 +720,8 @@ def run_sustained() -> dict:
         "queries": {
             "tail_wall_sec": round(tail_wall, 3),
             "tail_windows": len(segments),
+            "mode": mode,
+            "fold_wall_sec": round(fold_wall, 3),
             "sparse_apply_avg_sec": round(sum(sparse_walls) / len(sparse_walls), 3),
             "sparse_apply_min_sec": round(min(sparse_walls), 3),
             "sparse_buckets_rewritten_avg": round(
