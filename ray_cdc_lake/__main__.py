@@ -88,9 +88,33 @@ def cmd_tail(a) -> int:
     _ray_up()
     txns = tail_replay(
         a.lake, a.sf_dir, epochs=a.epochs, micro_batches=a.micro_batches,
-        num_buckets=a.buckets,
+        num_buckets=a.buckets, mode=a.mode,
     )
-    print(json.dumps({"lake": a.lake, "committed": txns}))
+    print(json.dumps({"lake": a.lake, "committed": txns, "mode": a.mode}))
+    return 0
+
+
+def cmd_fold(a) -> int:
+    from .checkpoint import compact_deltas
+    from .sink import read_manifest
+
+    _ray_up()
+    m = compact_deltas(a.lake, min_deltas=a.min_deltas)
+    if m is None:
+        m = read_manifest(a.lake)
+        folded = False
+    else:
+        folded = True
+    print(
+        json.dumps(
+            {
+                "lake": a.lake,
+                "folded": folded,
+                "version": m.version,
+                "buckets_with_deltas": sum(1 for es in m.deltas.values() if es),
+            }
+        )
+    )
     return 0
 
 
@@ -243,7 +267,26 @@ def main(argv: list[str] | None = None) -> int:
     common(sp, sf=True)
     sp.add_argument("--epochs", type=int, default=4)
     sp.add_argument("--micro-batches", type=int, default=4)
+    sp.add_argument(
+        "--mode",
+        choices=("cow", "mor"),
+        default="cow",
+        help="mor = merge-on-read delta commits (O(window) writes; pair "
+        "with 'fold' to bound scan-time chain length)",
+    )
     sp.set_defaults(fn=cmd_tail)
+
+    sp = sub.add_parser(
+        "fold",
+        help="fold merge-on-read delta chains into their buckets' bases "
+        "(bucket-local minor compaction)",
+    )
+    common(sp)
+    sp.add_argument(
+        "--min-deltas", type=int, default=1,
+        help="only fold buckets whose chain is at least this long",
+    )
+    sp.set_defaults(fn=cmd_fold)
 
     sp = sub.add_parser("compact", help="major compaction + vacuum")
     common(sp)

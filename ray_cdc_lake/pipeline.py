@@ -156,6 +156,7 @@ def tail_replay(
     epochs: int = DEFAULT_EPOCHS,
     micro_batches: int = 4,
     num_buckets: int | None = None,
+    mode: str = "cow",
 ) -> list[str]:
     """Binlog-tail simulation: consume the event log as ``micro_batches``
     consecutive LSN windows, each applied as one exactly-once transaction
@@ -163,6 +164,10 @@ def tail_replay(
     window k re-applies only window k (txn idempotence) and later windows
     skip already-applied events via the per-bucket high watermark — the
     NiFi infinite-flow delivery model (SURVEY.md §2.9) made explicit.
+
+    ``mode="mor"`` commits every window after the first as merge-on-read
+    delta entries (checkpoint.apply_incremental) — pair with periodic
+    compact_deltas / maybe_compact(max_deltas=) to bound chain length.
 
     Returns the committed txn ids in order.
     """
@@ -197,7 +202,7 @@ def tail_replay(
         txn_id = f"tail-{i:04d}"
         apply_incremental(
             lake_dir, txn_id, win, num_buckets=num_buckets,
-            events_schema=COMPILED_SCHEMA,
+            events_schema=COMPILED_SCHEMA, mode=mode,
         )
         txns.append(txn_id)
     return txns

@@ -77,3 +77,42 @@ def test_cli_expire(tmp_path, capsys):
     assert out["manifests_removed"] == ["manifest-000001.json"]
     assert read_manifest(lake).version == 2
     assert read_lake(lake).count() == before
+
+
+def test_cli_tail_mor_and_fold(tmp_path, capsys):
+    lake = str(tmp_path / "morlake")
+    assert (
+        main(
+            [
+                "tail", "--sf-dir", SF, "--lake", lake,
+                "--micro-batches", "3", "--mode", "mor",
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "mor" and len(out["committed"]) == 3
+
+    from ray_cdc_lake.sink import read_manifest
+
+    assert any(read_manifest(lake).deltas.values())
+
+    assert main(["fold", "--lake", lake]) == 0
+    f = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert f["folded"] is True and f["buckets_with_deltas"] == 0
+
+    # idempotent: nothing left to fold
+    assert main(["fold", "--lake", lake]) == 0
+    f2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert f2["folded"] is False
+
+    # the mor tail + fold converges to the same state as a cow tail
+    cow = str(tmp_path / "cowlake")
+    assert main(["tail", "--sf-dir", SF, "--lake", cow, "--micro-batches", "3"]) == 0
+    capsys.readouterr()
+    from ray_cdc_lake.sink import read_lake
+
+    key = ["repo", "path", "lsn"]
+    a = sorted(map(tuple, read_lake(lake).to_pandas()[key].values.tolist()))
+    b = sorted(map(tuple, read_lake(cow).to_pandas()[key].values.tolist()))
+    assert a == b

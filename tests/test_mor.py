@@ -270,6 +270,54 @@ def test_mor_replicates_exactly(tmp_path):
     assert state(dst) == state(src)
 
 
+def test_mor_retry_recomputes_split_after_conflict(tmp_path, monkeypatch):
+    """A mor apply whose commit loses the manifest race must re-read and
+    re-commit against the NEW manifest — including recomputing which
+    buckets get base entries vs delta entries (the racing writer may have
+    created buckets that were new when the loser first merged)."""
+    import ray.data as rd
+
+    import ray_cdc_lake.checkpoint as cp
+    from ray_cdc_lake.sink import CommitConflict
+
+    mor = build(tmp_path, "mor", "mor")
+    real_commit = cp.commit_txn
+    races = {"conflicts": 0}
+
+    def racy_commit(lake_dir, txn_id, winners, **kw):
+        if txn_id == "t-race" and races["conflicts"] == 0:
+            races["conflicts"] += 1
+            # concurrent writer lands between the loser's merge and commit
+            apply_incremental(
+                lake_dir,
+                "t-other",
+                ev_ds([(30, "insert", "rX", "other.py", "O1")]),
+                events_schema=COMPILED_SCHEMA,
+                mode="mor",
+            )
+            raise CommitConflict("injected")
+        return real_commit(lake_dir, txn_id, winners, **kw)
+
+    monkeypatch.setattr(cp, "commit_txn", racy_commit)
+    # _apply_mor_once imports commit_txn lazily from sink — patch there too
+    import ray_cdc_lake.sink as sk
+
+    monkeypatch.setattr(sk, "commit_txn", racy_commit)
+    apply_incremental(
+        mor,
+        "t-race",
+        ev_ds([(31, "insert", "rY", "race.py", "R1")]),
+        events_schema=COMPILED_SCHEMA,
+        mode="mor",
+    )
+    assert races["conflicts"] == 1
+    rows = state(mor)
+    assert ("rX", "other.py", 30, "O1") in rows
+    assert ("rY", "race.py", 31, "R1") in rows
+    m = read_manifest(mor)
+    assert set(m.deltas) <= set(m.buckets)
+
+
 def test_mor_first_commit_is_base(tmp_path):
     lake = str(tmp_path / "fresh")
     apply_seg(lake, "t1", SEG_A, "mor", num_buckets=4)
