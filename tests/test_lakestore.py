@@ -975,3 +975,36 @@ def test_expire_snapshots_reclaims_superseded_bucket_dirs(tmp_path):
     assert before.equals(after)
     assert read_key(lake, "r", "a", num_buckets=4)["lsn"] == 5
     # keep_last=2 would have pinned manifest v1 and its bucket ownership
+
+
+def test_objectstore_merge_on_read_end_to_end(tmp_path):
+    """Merge-on-read over object-store-legal verbs only: delta commits,
+    merged reads, point lookup through the chain, and the fold — results
+    identical to the local-rename backend (the mor protocol adds no new
+    store verbs: delta files publish through the same staged-write +
+    conditional-PUT manifest claim)."""
+    from ray_cdc_lake.checkpoint import apply_incremental, compact_deltas
+    from ray_cdc_lake.sink import ObjectStoreLakeStore, read_key, read_manifest
+
+    store = ObjectStoreLakeStore()
+    lake = str(tmp_path / "bucket" / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4, store=store)
+    apply_incremental(
+        lake, "txn-2", _seg(SEG2), num_buckets=4, store=store, mode="mor"
+    )
+    assert any(read_manifest(lake, store=store).deltas.values())
+
+    st = _live(lake, store=store)
+    assert st[("r1", "a.py")] == (3, "A2")
+    assert ("r2", "c.py") in st and ("r1", "b.py") in st
+    assert read_key(lake, "r1", "a.py", store=store)["content"] == "A2"
+
+    m = compact_deltas(lake, store=store)
+    assert m is not None and not any(m.deltas.values())
+    assert _live(lake, store=store) == st
+
+    # local-backend control run: same events/modes, same final state
+    lake2 = str(tmp_path / "local" / "lake")
+    apply_incremental(lake2, "txn-1", _seg(SEG1), num_buckets=4)
+    apply_incremental(lake2, "txn-2", _seg(SEG2), num_buckets=4, mode="mor")
+    assert _live(lake2) == st

@@ -328,3 +328,24 @@ def test_mor_first_commit_is_base(tmp_path):
     apply_seg(lake, "t2", SEG_B, "mor")
     m = read_manifest(lake)
     assert set(m.deltas) <= set(m.buckets)
+
+
+def test_mor_on_branch_and_merge(tmp_path):
+    from ray_cdc_lake.sink import create_branch, merge_branch
+
+    mor = str(tmp_path / "branched")
+    apply_seg(mor, "t1", SEG_A, "cow", num_buckets=4)
+    main_before = state(mor)
+    create_branch(mor, "dev")
+    apply_seg(mor, "t2", SEG_B, "mor", branch="dev")
+    # branch commit invisible on main; visible (merged) on the branch
+    assert state(mor) == main_before
+    dev = state(mor, branch="dev")
+    assert ("r1", "d.py", 7, "D1") in dev
+    m = read_manifest(mor, branch="dev")
+    assert any(m.deltas.values())
+    # fast-forward merge carries the delta chain to main intact
+    merge_branch(mor, "dev")
+    assert state(mor) == dev
+    assert any(read_manifest(mor).deltas.values())
+    assert read_key(mor, "r1", "d.py")["content"] == "D1"
