@@ -202,6 +202,11 @@ def cmd_metrics(a) -> int:
                 "num_buckets": m.num_buckets,
                 "lineage": m.buckets,
                 "txn_metrics": m.metrics,
+                # merge-on-read chain depth per bucket (scan-time merge
+                # cost indicator; 'fold' returns a bucket to depth 0)
+                "delta_chain_depth": {
+                    b: len(es) for b, es in m.deltas.items() if es
+                },
             },
             indent=1,
             sort_keys=True,

@@ -753,6 +753,7 @@ def write_audit_publish(
     events_schema: "pa.Schema | None" = None,
     num_buckets: int | None = None,
     store: "LakeStore | None" = None,
+    mode: str = "cow",
 ) -> Manifest:
     """Write-audit-publish: stage a transaction on an isolated branch,
     run ``audit`` against the branch's COMMITTED state, and fast-forward
@@ -800,6 +801,7 @@ def write_audit_publish(
             events_schema=events_schema,
             branch=branch,
             store=store,
+            mode=mode,
         )
         try:
             verdict = audit(read_lake(lake_dir, branch=branch, store=store))
