@@ -395,11 +395,33 @@ def _apply_mor_once(
                 (n, str(t)) for n, t in zip(s.names, s.types) if n != "bucket"
             }
         old_fields = {(f.name, str(f.type)) for f in lake_schema}
-        if new_fields != old_fields:
+        if new_fields < old_fields:
+            # old-shape events arriving AFTER a column add (the normal CDC
+            # regime post-evolution): null-backfill the evolved columns
+            # map-side, exactly as the cow path's conform does, so delta
+            # files keep the one committed lake schema
+            names = [f.name for f in lake_schema if f.name != "bucket"]
+            types = {f.name: f.type for f in lake_schema}
+
+            def _backfill(batch: pa.Table) -> pa.Table:
+                cols = [
+                    batch[n].cast(types[n])
+                    if n in batch.column_names
+                    else pa.nulls(batch.num_rows, types[n])
+                    for n in names
+                ]
+                out = pa.Table.from_arrays(cols, names=names)
+                if "bucket" in batch.column_names:
+                    out = out.append_column("bucket", batch["bucket"])
+                return out
+
+            ds = ds.map_batches(_backfill, batch_format="pyarrow")
+        elif new_fields != old_fields:
             raise ValueError(
                 "merge-on-read apply requires the events schema to match "
-                f"the committed lake schema (lake {sorted(old_fields)}, "
-                f"events {sorted(new_fields)}) — schema evolution goes "
+                "(or be a null-backfillable subset of) the committed lake "
+                f"schema (lake {sorted(old_fields)}, events "
+                f"{sorted(new_fields)}) — new or retyped columns go "
                 "through mode='cow', which rewrites to one unified schema"
             )
     combined = ds.map_batches(partial_lww, batch_format="pyarrow").materialize()

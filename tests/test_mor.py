@@ -250,6 +250,41 @@ def test_mor_schema_evolution_refused(tmp_path):
         )
 
 
+def test_mor_backfills_old_shape_events_after_column_add(tmp_path):
+    """After a cow column add, old-shape events (the normal post-evolution
+    CDC regime) apply in mor mode with the evolved column null-backfilled
+    — while a RETYPE is still refused."""
+    import pandas as pd
+    import ray.data as rd
+
+    lake = build(tmp_path, "cow", "mor-evolved")
+    evolved = ev_table([(11, "insert", "r4", "f.py", "F1")]).append_column(
+        "stars", pa.array([3], type=pa.int64())
+    )
+    apply_incremental(
+        lake, "t-evolve", rd.from_arrow(evolved), events_schema=evolved.schema
+    )
+    # old-shape micro-batch in mor mode: accepted, stars backfilled null
+    apply_seg(lake, "t-old-shape", [(12, "insert", "r5", "g.py", "G1")], "mor")
+    df = read_lake(lake).to_pandas().set_index(["repo", "path"])
+    assert df.loc[("r4", "f.py"), "stars"] == 3
+    assert pd.isna(df.loc[("r5", "g.py"), "stars"])
+    # retype of an existing column still goes through cow only
+    retyped = ev_table([(13, "insert", "r6", "h.py", "H1")])
+    idx = retyped.column_names.index("lsn")
+    retyped = retyped.set_column(
+        idx, "lsn", retyped["lsn"].cast(pa.int32())
+    )
+    with pytest.raises(ValueError, match="retyped"):
+        apply_incremental(
+            lake,
+            "t-retype",
+            rd.from_arrow(retyped),
+            events_schema=retyped.schema,
+            mode="mor",
+        )
+
+
 def test_mor_replicates_exactly(tmp_path):
     from ray_cdc_lake.replicate import replicate
 
