@@ -1074,6 +1074,32 @@ def q_cdc_scan_ranges(sf_dir: str):
     ).map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_scan_payload(sf_dir: str):
+    """Range predicate on a PAYLOAD column (sink.read_lake ranges= over
+    ``lang``): commits record Iceberg-style truncated min/max bounds for
+    every top-level column — not just the (repo, path, lsn) key columns —
+    so a scan filtered on any column can prune whole files from manifest
+    metadata before the exact per-row predicate applies. Result: the live
+    final state restricted to lang in ['de', 'es'] (both bounds
+    exercised; 'en'/'es' inside, 'fr'/'zh' above, nulls excluded).
+    Truncation contract: lower bounds are prefixes, upper bounds are
+    rounded UP past the truncation point or dropped — always
+    conservative, never wrong."""
+    from .sink import read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "twotxn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    # version pinned for the same sharing-contract reason as
+    # cdc_scan_ranges: the delete-prefix query later mutates this lake
+    return read_lake(
+        lake, version=2, ranges={"lang": ("de", "es")}
+    ).map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_delete_prefix(sf_dir: str):
     """Delete-by-prefix as a maintenance txn (S2,
     DeleteAllS3ObjectsByPrefix.kt:25-129 incl. the sibling-prefix guard):
@@ -1443,6 +1469,16 @@ CDC_SQL: dict[str, str] = {
         FROM ranked
         WHERE rn = 1 AND op <> 'delete'
           AND lsn >= 3*{STRIDE_SQL} AND lsn < 4*{STRIDE_SQL}""",
+    # live winners with lang in ['de','es'] — what the payload-column
+    # ranges= scan (truncated manifest bounds + exact row predicate)
+    # must return
+    "cdc_scan_payload": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND lang >= 'de' AND lang <= 'es'""",
     "cdc_lake_diff": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         old_ranked AS (
@@ -3751,6 +3787,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_lake_diff": q_cdc_lake_diff,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_scan_ranges": q_cdc_scan_ranges,
+        "cdc_scan_payload": q_cdc_scan_payload,
         "cdc_predicate_delete": q_cdc_predicate_delete,
         "cdc_write_audit_publish": q_cdc_write_audit_publish,
         "cdc_multi_lake_txn": q_cdc_multi_lake_txn,

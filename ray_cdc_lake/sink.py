@@ -58,6 +58,42 @@ MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 DATA_DIR = "data"
 
+# payload-column bounds recorded in the manifest are truncated to this
+# many characters (Iceberg's truncate(16) analog) — long enough to prune
+# commit-hash / language / prefix predicates, short enough that per-file
+# stats stay O(bytes) however wide the payload is
+_BOUND_TRUNC = 16
+
+
+def _bound_lower(v):
+    """Manifest-safe LOWER bound for a payload column min: a string prefix
+    sorts <= the full value, so truncation alone stays conservative.
+    Non-JSON-safe scalars (bytes, decimals, ...) record no bound."""
+    if isinstance(v, str):
+        return v[:_BOUND_TRUNC]
+    if isinstance(v, (int, float, bool)):
+        return v
+    return None
+
+
+def _bound_upper(v):
+    """Manifest-safe UPPER bound: a truncated string must be rounded UP
+    past the truncation point (increment the last incrementable char) or
+    the bound is dropped — a bare prefix would sort BELOW the value and
+    prune files that actually match."""
+    if isinstance(v, (int, float, bool)) and not isinstance(v, str):
+        return v
+    if not isinstance(v, str):
+        return None
+    if len(v) <= _BOUND_TRUNC:
+        return v
+    t = v[:_BOUND_TRUNC]
+    for i in range(len(t) - 1, -1, -1):
+        o = ord(t[i]) + 1
+        if o <= 0x10FFFF and not (0xD800 <= o <= 0xDFFF):
+            return t[:i] + chr(o)
+    return None  # every char at the cap — no finite upper bound
+
 
 def _bloom_build(h) -> dict:
     """Bloom filter over a file's 64-bit key hashes, sized to ~10 bits per
@@ -1118,17 +1154,32 @@ def _write_txn_data(
                     if c.path_in_schema == "lsn" and c.statistics is not None:
                         hwm = max(hwm, c.statistics.max)
                     if (
-                        c.path_in_schema in ("repo", "path", "lsn")
+                        "." not in c.path_in_schema  # top-level columns only
                         and c.statistics is not None
                         and c.statistics.has_min_max
                     ):
                         n, st = c.path_in_schema, c.statistics
                         mins[n] = st.min if n not in mins else min(mins[n], st.min)
                         maxs[n] = st.max if n not in maxs else max(maxs[n], st.max)
-            for n in ("repo", "path", "lsn"):
-                if n in mins:  # column-wise bounds (conservative prune)
+            for n in mins:  # column-wise bounds (conservative prune)
+                if n in ("repo", "path", "lsn"):
+                    # key/watermark columns: exact bounds (short by
+                    # construction; read_key's range probe needs them)
                     fstat[f"{n}_min"] = mins[n]
                     fstat[f"{n}_max"] = maxs[n]
+                else:
+                    # payload columns (commit, lang, evolved adds, even
+                    # content): Iceberg-style truncated bounds — lower
+                    # is a prefix (<= value), upper is rounded UP past
+                    # the truncation point, else dropped. Keeps manifest
+                    # entries O(16 chars) per column while every scan
+                    # ranges= predicate on any column can file-prune.
+                    lo = _bound_lower(mins[n])
+                    hi = _bound_upper(maxs[n])
+                    if lo is not None:
+                        fstat[f"{n}_min"] = lo
+                    if hi is not None:
+                        fstat[f"{n}_max"] = hi
             if {"repo", "path"} <= set(md.schema.names) and md.num_rows:
                 # per-file key bloom: one key-columns-only read per staged
                 # file at commit time (content bytes never move) buys

@@ -723,6 +723,57 @@ def test_manifest_file_stats_prune_point_lookup(tmp_path):
     }
 
 
+def test_payload_column_bounds_truncated_and_prune(tmp_path):
+    """Commits record Iceberg-style truncated min/max for PAYLOAD columns
+    (commit, lang, content, evolved adds) — lower bound a prefix, upper
+    bound rounded up past the truncation point — so scan ``ranges=`` on
+    any column can file-prune, while key columns keep exact bounds."""
+    from ray_cdc_lake.sink import (
+        _bound_upper,
+        _plan_scan,
+        read_manifest as _rm,
+    )
+
+    # pure-function bound semantics first
+    assert _bound_upper("short") == "short"
+    assert _bound_upper("a" * 40) == "a" * 15 + "b"  # rounded UP at the cap
+    assert _bound_upper(chr(0x10FFFF) * 40) is None  # nothing to round to
+    assert _bound_upper(7) == 7
+
+    rows = [(i + 1, "insert", f"r{i}", f"f{i}.py", "x" * 40) for i in range(8)]
+    rows.append((100, "insert", "rHI", "hi.py", "HI"))
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(rows), num_buckets=4)
+
+    m = read_manifest(lake)
+    low_only = 0
+    for info in m.buckets.values():
+        for f in info["files"]:
+            # payload bounds present and truncated; key bounds exact
+            assert f["lang_min"] == "py" and f["lang_max"] == "py"
+            assert len(f["content_min"]) <= 16 and f["content_min"] == f[
+                "content_min"
+            ][:16]
+            if f["content_max"].startswith("x"):
+                assert f["content_max"] == "x" * 15 + "y"  # rounded up
+            assert f["commit_min"].startswith("c")
+            if f["commit_max"] < "c00000100":
+                low_only += 1
+    assert low_only >= 1, "expected at least one bucket without the hi row"
+
+    # file pruning on a payload column: the commit range selecting only
+    # the high row skips every low-only file with zero storage reads
+    _, acct = _plan_scan(m, lake, {"commit": ("c00000100", None)})
+    assert acct["files_pruned"] == low_only
+
+    df = read_lake(lake, ranges={"commit": ("c00000100", None)}).to_pandas()
+    assert set(df["repo"]) == {"rHI"}
+    # conservative despite truncation: an exact long-content probe still
+    # finds its row (the rounded-up upper bound keeps the file)
+    df = read_lake(lake, ranges={"content": ("x" * 40, "x" * 40)}).to_pandas()
+    assert len(df) == 8 and set(df["content"]) == {"x" * 40}
+
+
 def test_touched_bucket_pruning_skips_untouched(tmp_path):
     """An incremental apply rewrites ONLY the buckets its micro-batch
     lands in: untouched buckets keep their previous manifest entry
