@@ -162,7 +162,7 @@ def cmd_consumers(a) -> int:
 def cmd_vacuum(a) -> int:
     from .sink import vacuum
 
-    dropped = vacuum(a.lake)
+    dropped = vacuum(a.lake, grace_s=a.grace_s)
     print(json.dumps({"lake": a.lake, "dropped": dropped}))
     return 0
 
@@ -321,6 +321,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sp = sub.add_parser("vacuum", help="drop unreferenced txn data")
     common(sp, buckets=False)
+    sp.add_argument(
+        "--grace-s",
+        type=float,
+        default=86400.0,
+        help="orphan age threshold in seconds; unreferenced dirs younger "
+        "than this are kept (a concurrent commit may be mid-flight). "
+        "0 = unconditional reclaim (single-writer maintenance window)",
+    )
     sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser(

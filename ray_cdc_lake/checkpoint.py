@@ -934,5 +934,8 @@ def compact(
         metrics=_retain_metrics(m.metrics),
     )
     _publish(lake_dir, final, store=store)
-    vacuum(lake_dir, store=store)
+    # reclaim the txns THIS commit provably superseded without waiting
+    # out vacuum's orphan grace window; anything else (a concurrent
+    # writer mid-commit, foreign staging) stays age-gated
+    vacuum(lake_dir, store=store, reclaim=set(m.txns))
     return final

@@ -220,6 +220,20 @@ class LakeStore:
         with self.fs.open_input_file(path) as f:
             return pq.ParquetFile(f).metadata
 
+    def newest_mtime(self, path: str) -> float | None:
+        """Newest file mtime (epoch seconds) under ``path``, recursive —
+        vacuum's orphan-age probe. None when the store reports no mtimes
+        (callers must then treat the dir as too young to reclaim)."""
+        from pyarrow.fs import FileSelector, FileType
+
+        infos = self.fs.get_file_info(FileSelector(path, recursive=True))
+        ts = [
+            i.mtime.timestamp()
+            for i in infos
+            if i.type == FileType.File and i.mtime is not None
+        ]
+        return max(ts) if ts else None
+
     # ---- atomic primitives (store-specific) --------------------------
     def replace_file(self, src: str, dst: str) -> None:
         """Atomic file replace (CURRENT pointer flip). Local os.replace;
@@ -1747,9 +1761,33 @@ def read_key(
     return out
 
 
-def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
-    """Remove unreferenced txn dirs and leftover staging dirs (safe any
-    time: the manifest is the source of truth)."""
+def vacuum(
+    lake_dir: str,
+    store: LakeStore | None = None,
+    grace_s: float = 86400.0,
+    reclaim: "set[str] | None" = None,
+) -> list[str]:
+    """Remove unreferenced txn dirs and leftover staging dirs.
+
+    ``grace_s`` is the orphan-removal age threshold (Iceberg's
+    remove_orphan_files ``older_than`` analog): an unreferenced dir
+    younger than it — or whose age the store cannot report — is KEPT.
+    A committing writer is unreferenced on purpose between its data
+    move and its manifest publish, and a staging dir is unreferenced
+    while its txn stages; vacuuming either mid-flight would let the
+    writer publish a manifest pointing at deleted files. Reference
+    analog: the swap-safety rule that originals which are also finals
+    must not be deleted (RenameS3Utils.kt:124-127) — never reclaim
+    what a concurrent commit may still be about to reference.
+    ``grace_s=0`` restores unconditional reclaim (single-writer
+    maintenance windows, tests).
+
+    ``reclaim`` names txn ids KNOWN superseded by the caller (compact
+    passes the txn list its commit just replaced): those skip the age
+    gate — their manifest race is already decided — but never override
+    the live set."""
+    import time as _time
+
     store = store or _DEFAULT_STORE
     m = read_manifest(lake_dir, store=store)
     removed = []
@@ -1757,17 +1795,29 @@ def vacuum(lake_dir: str, store: LakeStore | None = None) -> list[str]:
     for name in list_branches(lake_dir, store=store):
         if name != "main":
             live |= set(read_manifest(lake_dir, store=store, branch=name).txns)
+
+    def _old_enough(path: str) -> bool:
+        if grace_s <= 0:
+            return True
+        ts = store.newest_mtime(path)
+        if ts is None:
+            return False  # age unknown — keep (store without mtimes)
+        return (_time.time() - ts) >= grace_s
+
     data_root = os.path.join(lake_dir, DATA_DIR)
     if store.isdir(data_root):
         for t in store.listdir(data_root):
-            if t not in live:
+            if t in live:
+                continue
+            if t in (reclaim or ()) or _old_enough(os.path.join(data_root, t)):
                 store.rmtree(os.path.join(data_root, t))
                 removed.append(f"data/{t}")
     stage_root = os.path.join(lake_dir, STAGING_DIR)
     if store.isdir(stage_root):
         for t in store.listdir(stage_root):
-            store.rmtree(os.path.join(stage_root, t))
-            removed.append(f"_staging/{t}")
+            if _old_enough(os.path.join(stage_root, t)):
+                store.rmtree(os.path.join(stage_root, t))
+                removed.append(f"_staging/{t}")
     return removed
 
 

@@ -132,7 +132,12 @@ def test_vacuum_removes_unreferenced(tmp_path):
         )
     except RuntimeError:
         pass
-    removed = vacuum(lake)
+    # the fresh orphan sits inside the grace window: default vacuum keeps
+    # it (it is indistinguishable from a commit between data move and
+    # manifest publish); grace_s=0 — the single-writer maintenance
+    # window — reclaims it
+    assert vacuum(lake) == []
+    removed = vacuum(lake, grace_s=0)
     assert any("txn-x" in r for r in removed)
     assert lake_state(lake) == EXPECT_A
 
@@ -648,7 +653,10 @@ def test_write_audit_publish_pass_and_fail(tmp_path):
     assert lake_state(lake) == EXPECT_AB
     assert read_manifest(lake).version == published.version
     assert list(list_branches(lake)) == ["main"]
-    assert any("t3" in d for d in vacuum(lake))  # staged files dropped
+    # default vacuum KEEPS the fresh leftovers (orphan grace window —
+    # they could be a concurrent writer mid-stage); grace_s=0 reclaims
+    assert vacuum(lake) == []
+    assert any("t3" in d for d in vacuum(lake, grace_s=0))  # staged files dropped
 
     # audit that RAISES is a fail too, with the same guarantees
     def exploding(ds):
