@@ -462,6 +462,82 @@ def q_cdc_mor_compact(sf_dir: str):
     return _mor_lake_state(sf_dir, fold=True)
 
 
+def q_cdc_mor_evolution(sf_dir: str):
+    """Schema evolution ACROSS the cow/mor mode boundary: two cow base
+    windows, then a cow window WITH an added int64 column ``stars`` =
+    lsn % 97 (the column-add rewrite, Arrow schema unification per the
+    north star), then the rename/delete tail committed as a MERGE-ON-READ
+    delta in the ORIGINAL pre-evolution shape — the normal
+    post-evolution CDC regime, null-backfilled map-side against the
+    evolved lake schema (checkpoint._apply_mor_once), with the tail's
+    tombstones traveling the delta chain. The committed read must equal
+    the one-shot replay oracle with ``stars`` present exactly on winners
+    the evolution window committed (343 at sf0.01) and null on
+    pre-evolution rows and on the mor tail's winners (100)."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake, read_manifest
+
+    lake = f"/tmp/ray_cdc_lake_morevo/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+
+    def add_stars(t: pa.Table) -> pa.Table:
+        stars = t["lsn"].to_numpy(zero_copy_only=False) % 97
+        return t.append_column("stars", pa.array(stars, type=pa.int64()))
+
+    ev = compiled_log(sf_dir, E).materialize()
+    windows = [
+        (0, 2 * STRIDE),  # cow base (epochs 1-2)
+        (2 * STRIDE, 3 * STRIDE),  # cow
+        (3 * STRIDE, 4 * STRIDE),  # cow + evolved column
+        (4 * STRIDE, None),  # rename/delete tail, OLD SHAPE, mor
+    ]
+    for i, (lo, hi) in enumerate(windows):
+        if hi is None:
+            seg = ev.map_batches(
+                lambda t, lo=lo: t.filter(pc.greater_equal(t["lsn"], lo)),
+                batch_format="pyarrow",
+            )
+        else:
+            seg = ev.map_batches(
+                lambda t, lo=lo, hi=hi: t.filter(
+                    pc.and_(pc.greater_equal(t["lsn"], lo), pc.less(t["lsn"], hi))
+                ),
+                batch_format="pyarrow",
+            )
+        if i == 2:
+            seg = seg.map_batches(add_stars, batch_format="pyarrow")
+        apply_incremental(
+            lake,
+            f"txn-{i:04d}",
+            seg,
+            # the evolved window's schema is inferred (conform unifies);
+            # the mor tail declares the ORIGINAL shape on purpose
+            events_schema=None if i == 2 else COMPILED_SCHEMA,
+            mode="mor" if i == 3 else "cow",
+        )
+    if not any(read_manifest(lake).deltas.values()):
+        raise RuntimeError("expected merge-on-read delta entries after mor applies")
+    out = read_lake(lake)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(
+            ["repo", "path", "commit", "lang", "content", "lsn", "stars"]
+        )
+        t = add_sha256(t, column="content", out="content_sha256")
+        return t.select(
+            [
+                "repo", "path", "commit", "lang", "content",
+                "content_sha256", "lsn", "stars",
+            ]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_rescale_online(sf_dir: str):
     """ONLINE bucket rescale under live ingest (rescale.py): commit txn 1
     at the base modulus, start a 2x rescale and split only HALF the old
@@ -1656,6 +1732,17 @@ CDC_SQL: dict[str, str] = {
     "cdc_replay_committed": FINAL_STATE_SQL,
     "cdc_mor_apply": FINAL_STATE_SQL,
     "cdc_mor_compact": FINAL_STATE_SQL,
+    # final state with the evolved column present exactly on winners
+    # committed by the evolution window [STRIDE, 2*STRIDE) — pre-
+    # evolution cow rows and post-evolution old-shape mor rows read
+    # back null-backfilled
+    "cdc_mor_evolution": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn,
+               CASE WHEN lsn >= 3*{STRIDE_SQL} AND lsn < 4*{STRIDE_SQL}
+                    THEN lsn % 97 END AS stars
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
     "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
     "cdc_compiled_changes": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
@@ -3766,6 +3853,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_replay_committed": q_cdc_replay_committed,
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_mor_compact": q_cdc_mor_compact,
+        "cdc_mor_evolution": q_cdc_mor_evolution,
         "cdc_compiled_changes": q_cdc_compiled_changes,
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,
