@@ -462,6 +462,44 @@ def q_cdc_mor_compact(sf_dir: str):
     return _mor_lake_state(sf_dir, fold=True)
 
 
+def q_cdc_asof_join(sf_dir: str):
+    """Temporal as-of join (asof.asof_join): for every epoch-3 change
+    event, look up the key's image as of ``lsn - 1`` — the previous
+    state the change acted on, at an ARBITRARY time point rather than a
+    version boundary (the generalization of the change feed's
+    update_preimage). One hash(repo, path)-bucketed shuffle co-locates
+    probes and the full compiled history; the per-bucket kernel is a
+    vectorized lexsort + running-maximum scan. Probes whose key had no
+    prior history (epoch-3 inserts of new keys) come back LEFT-join
+    null. Reference analog: ReorderFiles.kt:149-185's 'current image of
+    this changed file' lookup, at any lsn."""
+    from .asof import asof_join
+    from .events import STRIDE
+
+    hist = compiled_log(sf_dir, E)
+    probes = (
+        compiled_log(sf_dir, E)
+        .map_batches(
+            # epoch 3 AND the rename tail: rename-minted paths have no
+            # prior history, so the LEFT-join null path is exercised too
+            lambda t: t.filter(pc.greater_equal(t["lsn"], 2 * STRIDE)),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["repo"].combine_chunks(),
+                    t["path"].combine_chunks(),
+                    pc.subtract(t["lsn"], 1).combine_chunks(),
+                ],
+                names=["repo", "path", "qlsn"],
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return asof_join(probes, hist, keys=("repo", "path"), left_on="qlsn")
+
+
 def q_cdc_mor_evolution(sf_dir: str):
     """Schema evolution ACROSS the cow/mor mode boundary: two cow base
     windows, then a cow window WITH an added int64 column ``stars`` =
@@ -1743,6 +1781,29 @@ CDC_SQL: dict[str, str] = {
                CASE WHEN lsn >= 3*{STRIDE_SQL} AND lsn < 4*{STRIDE_SQL}
                     THEN lsn % 97 END AS stars
         FROM ranked WHERE rn = 1 AND op <> 'delete'""",
+    # backward-inclusive temporal lookup: for each epoch-3 change, the
+    # key's image as of lsn - 1 (LWW rank at equal lsn), LEFT-join null
+    # when no history precedes the probe
+    "cdc_asof_join": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE},
+        probes AS (
+          SELECT repo, path, lsn - 1 AS qlsn FROM normalized
+          WHERE lsn >= 2*{STRIDE_SQL}),
+        pairs AS (
+          SELECT p.repo, p.path, p.qlsn,
+                 h.lsn AS asof_lsn, h.op AS asof_op,
+                 h."commit" AS asof_commit, h.lang AS asof_lang,
+                 h.content AS asof_content,
+                 row_number() OVER (PARTITION BY p.repo, p.path, p.qlsn
+                     ORDER BY h.lsn DESC, (h.op <> 'delete') DESC,
+                              h."commit" DESC) AS rn
+          FROM probes p JOIN normalized h
+            ON p.repo = h.repo AND p.path = h.path AND h.lsn <= p.qlsn)
+        SELECT p.repo, p.path, p.qlsn,
+               x.asof_lsn, x.asof_op, x.asof_commit, x.asof_lang,
+               x.asof_content
+        FROM probes p LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) x
+          ON p.repo = x.repo AND p.path = x.path AND p.qlsn = x.qlsn""",
     "cdc_compile_events": f"WITH {EVENTS_CTE} SELECT * FROM ev",
     "cdc_compiled_changes": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE}
@@ -3854,6 +3915,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_mor_apply": q_cdc_mor_apply,
         "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_mor_evolution": q_cdc_mor_evolution,
+        "cdc_asof_join": q_cdc_asof_join,
         "cdc_compiled_changes": q_cdc_compiled_changes,
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,
