@@ -57,6 +57,7 @@ def asof_join(
     left_on: str = "qlsn",
     right_on: str = "lsn",
     num_buckets: int = 64,
+    salt_mod: int = 0,
 ) -> "ray.data.Dataset":
     """Backward as-of join (inclusive): for every left row, attach the
     right row with the greatest ``right_on <= left_on`` among equal
@@ -65,7 +66,15 @@ def asof_join(
     all their columns with null asof_* (LEFT join semantics).
 
     Both inputs stream through ONE bucketed groupby; the per-bucket
-    kernel is O(n log n) vectorized numpy."""
+    kernel is O(n log n) vectorized numpy.
+
+    ``salt_mod > 0`` is the hot-key answer (same shape as
+    merge.salted_lww_merge): probes spread across ``salt_mod``
+    sub-buckets by their ordinate, and the HISTORY side is replicated
+    into every sub-bucket map-side — probes of one scorching key then
+    process on ``salt_mod`` workers instead of one, at the cost of
+    history x salt_mod shuffle bytes. Results are identical to the
+    unsalted join (each sub-bucket sees the key's full history)."""
     import ray.data  # noqa: F401
 
     left_schema = left.schema()
@@ -111,6 +120,19 @@ def asof_join(
             cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
         out = pa.Table.from_arrays(cols, names=names)
         b = _bucket_of(_joined_keys(out, keys), num_buckets)
+        if salt_mod > 0:
+            if side == 1:
+                # probes fan across sub-buckets by ordinate
+                ordv = out["_ord"].to_numpy(zero_copy_only=False)
+                b = b * salt_mod + (ordv % salt_mod)
+                return out.append_column("bucket", pa.array(b))
+            # history replicates into EVERY sub-bucket of its key
+            idx = np.repeat(np.arange(out.num_rows, dtype=np.int64), salt_mod)
+            rep = out.take(pa.array(idx))
+            sub = np.repeat(b, salt_mod) * salt_mod + np.tile(
+                np.arange(salt_mod, dtype=np.int64), out.num_rows
+            )
+            return rep.append_column("bucket", pa.array(sub))
         return out.append_column("bucket", pa.array(b))
 
     lefts = left.map_batches(

@@ -71,6 +71,106 @@ def test_asof_join_semantics():
         assert got[(repo, path, q)] == (elsn, eop, econtent), (repo, path, q)
 
 
+def test_asof_join_salted_equals_unsalted():
+    """Hot-key salting (probes spread by ordinate, history replicated
+    into every sub-bucket) must be output-invariant."""
+    hist = _ds(
+        HIST,
+        ["repo", "path", "lsn", "op", "commit", "content"],
+        [pa.string(), pa.string(), pa.int64(), pa.string(), pa.string(), pa.string()],
+    )
+    # 90% of probes hammer one key
+    rows = [("r1", "a", q) for q in range(2, 20)] + [("r1", "b", 8), ("r2", "a", 9)]
+    probes = _ds(
+        rows, ["repo", "path", "qlsn"], [pa.string(), pa.string(), pa.int64()]
+    )
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return (
+            df[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+            .to_dict("records")
+        )
+
+    plain = asof_join(probes, hist, num_buckets=4).to_pandas()
+    salted = asof_join(probes, hist, num_buckets=4, salt_mod=3).to_pandas()
+    assert norm(plain) == norm(salted)
+
+
+def test_asof_join_matches_bruteforce_model():
+    """Randomized histories/probes vs a brute-force model (hypothesis)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    hist_st = st.lists(
+        st.tuples(
+            st.sampled_from(["r1", "r2"]),
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=9),
+            st.sampled_from(["insert", "update", "delete"]),
+            st.text(alphabet="xy", min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+    probe_st = st.lists(
+        st.tuples(
+            st.sampled_from(["r1", "r2", "r9"]),
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(hist_st, probe_st)
+    def run(hist_rows, probe_rows):
+        hist_rows = [
+            (r, p, l, op, f"c{l}{op}{c}", None if op == "delete" else c)
+            for r, p, l, op, c in hist_rows
+        ]
+        hist = _ds(
+            hist_rows,
+            ["repo", "path", "lsn", "op", "commit", "content"],
+            [pa.string(), pa.string(), pa.int64(), pa.string(), pa.string(), pa.string()],
+        )
+        probes = _ds(
+            probe_rows,
+            ["repo", "path", "qlsn"],
+            [pa.string(), pa.string(), pa.int64()],
+        )
+        out = asof_join(probes, hist, num_buckets=4).to_pandas()
+        got = sorted(
+            (
+                r.repo,
+                r.path,
+                int(r.qlsn),
+                None if pd.isna(r.asof_lsn) else int(r.asof_lsn),
+                None if (r.asof_commit is None or pd.isna(r.asof_commit)) else r.asof_commit,
+            )
+            for r in out.itertuples()
+        )
+        expect = []
+        for r, p, q in probe_rows:
+            cands = [
+                h for h in hist_rows if h[0] == r and h[1] == p and h[2] <= q
+            ]
+            if not cands:
+                expect.append((r, p, q, None, None))
+            else:
+                w = max(cands, key=lambda h: (h[2], h[3] != "delete", h[4]))
+                expect.append((r, p, q, w[2], w[4]))
+        assert got == sorted(expect)
+
+    run()
+
+
 def test_asof_join_rejects_asof_prefixed_left():
     import pytest
 
