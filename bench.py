@@ -80,6 +80,9 @@ SECONDARY = [
     "cdc_predicate_delete",  # metadata-only merge-on-read delete
     "cdc_rescale_online",  # online bucket-modulus rescale, mixed-modulus reads
     "cdc_replicate",  # cross-lake incremental replication + no-op convergence
+    "cdc_asof_join",  # temporal as-of join over the compiled history
+    "cdc_mor_evolution",  # column add, then old-shape mor tail (backfill)
+    "cdc_scan_payload",  # payload-column ranges= scan (truncated bounds)
 ]
 
 

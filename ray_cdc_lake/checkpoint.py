@@ -80,6 +80,66 @@ def _bucket_assigner(manifest: Manifest, num_buckets: int):
     return fn
 
 
+VALID_OPS = ("insert", "update", "delete")
+
+
+def _invalid_mask(t: "pa.Table"):
+    """True where an event row cannot be applied: null key column, null
+    lsn, or an op outside the compiled vocabulary."""
+    import pyarrow.compute as pc
+
+    ok = pc.is_valid(t["repo"])
+    ok = pc.and_(ok, pc.is_valid(t["path"]))
+    ok = pc.and_(ok, pc.is_valid(t["lsn"]))
+    ok = pc.and_(ok, pc.is_in(t["op"], value_set=pa.array(list(VALID_OPS))))
+    return pc.invert(pc.fill_null(ok, False))
+
+
+def _gate_invalid(ds: "ray.data.Dataset", on_invalid: str):
+    """The ingest validation gate (the reference's 'failure relationship'
+    reborn at the sink: Jhove.kt routes unparseable inputs to a failure
+    output instead of poisoning the batch). Returns (gated_ds,
+    extra_metrics | None). 'raise' fails the apply loudly with a key
+    sample; 'drop' filters invalid rows out and counts them — the count
+    costs ONE extra pass over the micro-batch (deterministic across
+    crash retries, so idempotent re-publishes still compare equal)."""
+    import pyarrow.compute as pc
+
+    if on_invalid == "raise":
+
+        def check(t: pa.Table) -> pa.Table:
+            bad = _invalid_mask(t)
+            nbad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            if nbad:
+                keycols = [c for c in ("lsn", "op", "repo", "path") if c in t.column_names]
+                sample = t.filter(bad).select(keycols).slice(0, 3).to_pylist()
+                raise ValueError(
+                    f"{nbad} invalid event rows in batch (null key/lsn or "
+                    f"op not in {VALID_OPS}); sample: {sample}"
+                )
+            return t
+
+        return ds.map_batches(check, batch_format="pyarrow"), None
+    if on_invalid == "drop":
+
+        def count_bad(t: pa.Table) -> pa.Table:
+            n = pc.sum(pc.cast(_invalid_mask(t), pa.int64())).as_py() or 0
+            return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
+
+        n_bad = int(
+            ds.map_batches(count_bad, batch_format="pyarrow").sum("n") or 0
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(_invalid_mask(t)))
+
+        gated = ds.map_batches(keep, batch_format="pyarrow")
+        return gated, ({"applied_invalid_dropped": n_bad} if n_bad else None)
+    raise ValueError(
+        f"on_invalid must be None, 'raise' or 'drop', got {on_invalid!r}"
+    )
+
+
 def apply_incremental(
     lake_dir: str,
     txn_id: str,
@@ -92,6 +152,7 @@ def apply_incremental(
     branch: str | None = None,
     store: "LakeStore | None" = None,
     mode: str = "cow",
+    on_invalid: str | None = None,
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -124,11 +185,22 @@ def apply_incremental(
     Identical final read state to ``mode="cow"`` (tested); requires the
     events schema to match the committed lake schema (evolution goes
     through a cow apply) and no in-flight online rescale.
+
+    ``on_invalid`` gates malformed events (null key/lsn, unknown op)
+    BEFORE they can poison the merge: ``"raise"`` fails the apply with
+    a sample, ``"drop"`` filters them out and records
+    ``applied_invalid_dropped`` in the txn's ingest metrics (costs one
+    extra pass over the micro-batch for the count). Default ``None``
+    adds zero cost and trusts the compiler's output — the right setting
+    when events come from this engine's own ``compile_changes``.
     """
     from .sink import CommitConflict
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    extra_metrics = None
+    if on_invalid is not None:
+        compiled_events, extra_metrics = _gate_invalid(compiled_events, on_invalid)
     last: CommitConflict | None = None
     for _ in range(max_attempts):
         try:
@@ -143,6 +215,7 @@ def apply_incremental(
                 branch=branch,
                 store=store,
                 mode=mode,
+                extra_metrics=extra_metrics,
             )
         except CommitConflict as exc:
             last = exc
@@ -160,6 +233,7 @@ def _apply_incremental_once(
     branch: str | None = None,
     store: "LakeStore | None" = None,
     mode: str = "cow",
+    extra_metrics: dict | None = None,
 ) -> Manifest:
     manifest = read_manifest(lake_dir, branch=branch, store=store)
     if num_buckets is None:  # follow the lake's committed modulus
@@ -202,6 +276,7 @@ def _apply_incremental_once(
             events_schema=events_schema,
             branch=branch,
             store=store,
+            extra_metrics=extra_metrics,
         )
     if manifest.buckets:
         prior = read_lake(lake_dir, live_only=False, branch=branch, store=store)
@@ -301,6 +376,7 @@ def _apply_incremental_once(
                     num_buckets=num_buckets,
                     branch=branch,
                     store=store,
+                    extra_metrics=extra_metrics,
                 )
             if hit != committed:
                 prior = read_lake(
@@ -334,6 +410,7 @@ def _apply_incremental_once(
         num_buckets=num_buckets,
         branch=branch,
         store=store,
+        extra_metrics=extra_metrics,
     )
 
 
@@ -370,6 +447,7 @@ def _apply_mor_once(
     events_schema: "pa.Schema | None",
     branch: str | None,
     store: "LakeStore | None",
+    extra_metrics: dict | None = None,
 ) -> Manifest:
     """Merge-on-read apply: combine the micro-batch LWW map-side, coalesce
     to its post-combine size, reduce to its OWN winners (tombstones kept —
@@ -437,6 +515,7 @@ def _apply_mor_once(
         expected_version=manifest.version,
         num_buckets=num_buckets,
         branch=branch,
+        extra_metrics=extra_metrics,
         store=store,
         merge_on_read=True,
     )

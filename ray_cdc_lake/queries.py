@@ -462,6 +462,69 @@ def q_cdc_mor_compact(sf_dir: str):
     return _mor_lake_state(sf_dir, fold=True)
 
 
+def q_cdc_invalid_events(sf_dir: str):
+    """Ingest validation gate (apply_incremental(on_invalid='drop'), the
+    reference's failure-relationship routing reborn at the sink,
+    Jhove.kt's unparseable-input path): the second txn's window is
+    POISONED with events no apply can honor — null key, null lsn, an op
+    outside the vocabulary — which are filtered out and counted in the
+    txn's ingest metrics instead of failing the batch or corrupting the
+    merge. The committed final state must equal the clean one-shot
+    replay oracle: the poison leaves no trace in the data."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake, read_manifest
+
+    lake = f"/tmp/ray_cdc_lake_invalid/{sf_dir.strip('/').replace('/', '_')}"
+    shutil.rmtree(lake, ignore_errors=True)
+    cut = 2 * STRIDE
+
+    poison = pa.Table.from_arrays(
+        [
+            pa.array([None, 10**9, 10**9 + 1], type=pa.int64()),
+            pa.array(["insert", "frobnicate", "insert"], type=pa.string()),
+            pa.array(["poison", "poison", None], type=pa.string()),
+            pa.array(["p0", "p1", "p2"], type=pa.string()),
+            pa.array(["cP0", "cP1", "cP2"], type=pa.string()),
+            pa.array(["py"] * 3, type=pa.string()),
+            pa.array(["X0", "X1", "X2"], type=pa.large_string()),
+        ],
+        schema=COMPILED_SCHEMA,
+    )
+
+    ev = compiled_log(sf_dir, E).materialize()
+    seg1 = ev.map_batches(
+        lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    seg2 = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["lsn"], cut)), batch_format="pyarrow"
+    )
+    import ray.data as rd
+
+    apply_incremental(lake, "txn-0001", seg1, events_schema=COMPILED_SCHEMA)
+    apply_incremental(
+        lake,
+        "txn-0002",
+        seg2.union(rd.from_arrow(poison)),
+        events_schema=COMPILED_SCHEMA,
+        on_invalid="drop",
+    )
+    dropped = read_manifest(lake).metrics["txn-0002"].get(
+        "applied_invalid_dropped"
+    )
+    if dropped != 3:
+        raise RuntimeError(f"expected 3 dropped invalid events, got {dropped}")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
 def q_cdc_asof_join(sf_dir: str):
     """Temporal as-of join (asof.asof_join): for every epoch-3 change
     event, look up the key's image as of ``lsn - 1`` — the previous
@@ -1770,6 +1833,9 @@ CDC_SQL: dict[str, str] = {
     "cdc_replay_committed": FINAL_STATE_SQL,
     "cdc_mor_apply": FINAL_STATE_SQL,
     "cdc_mor_compact": FINAL_STATE_SQL,
+    # the poison rows are dropped by the gate, so the committed state is
+    # exactly the clean replay
+    "cdc_invalid_events": FINAL_STATE_SQL,
     # final state with the evolved column present exactly on winners
     # committed by the evolution window [STRIDE, 2*STRIDE) — pre-
     # evolution cow rows and post-evolution old-shape mor rows read
@@ -3916,6 +3982,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_mor_compact": q_cdc_mor_compact,
         "cdc_mor_evolution": q_cdc_mor_evolution,
         "cdc_asof_join": q_cdc_asof_join,
+        "cdc_invalid_events": q_cdc_invalid_events,
         "cdc_compiled_changes": q_cdc_compiled_changes,
         "cdc_lww_latest": q_cdc_lww_latest,
         "cdc_final_state": q_cdc_final_state,

@@ -736,6 +736,7 @@ def commit_txn(
     branch: str | None = None,
     merge_on_read: bool = False,
     empty_buckets: "dict[str, int] | None" = None,
+    extra_metrics: "dict | None" = None,
 ) -> Manifest:
     """Write the winners dataset (must contain 'bucket' and 'op' columns)
     as transaction ``txn_id`` and atomically publish the new manifest.
@@ -842,6 +843,11 @@ def commit_txn(
         metrics[txn_id] = _txn_delta_metrics(
             lake_dir, txn_id, manifest.hwm(), store
         )
+        if extra_metrics:
+            # caller-supplied per-txn counters (e.g. the validation
+            # gate's applied_invalid_dropped) — must be deterministic
+            # across crash retries like everything else in the manifest
+            metrics[txn_id] = {**metrics[txn_id], **extra_metrics}
     metrics = _retain_metrics(metrics)
 
     if fail_before_publish:

@@ -731,6 +731,48 @@ def test_manifest_file_stats_prune_point_lookup(tmp_path):
     }
 
 
+def test_on_invalid_gate_drop_and_raise(tmp_path):
+    """The ingest validation gate: malformed events (null key/lsn,
+    unknown op) either fail the apply loudly or are dropped and counted
+    in the txn's ingest metrics; valid rows apply unchanged."""
+    import ray.data as rd
+
+    poison = pa.Table.from_arrays(
+        [
+            pa.array([100, None, 102, 103], type=pa.int64()),
+            pa.array(["insert", "insert", "frobnicate", "insert"], type=pa.string()),
+            pa.array(["rp", "rp", "rp", None], type=pa.string()),
+            pa.array(["p0", "p1", "p2", "p3"], type=pa.string()),
+            pa.array(["cA", "cB", "cC", "cD"], type=pa.string()),
+            pa.array(["py"] * 4, type=pa.string()),
+            pa.array(["P0", "P1", "P2", "P3"], type=pa.large_string()),
+        ],
+        schema=COMPILED_SCHEMA,
+    )
+    mixed = pa.concat_tables([ev_table(SEG_A), poison])
+
+    lake = str(tmp_path / "strict")
+    with pytest.raises(Exception, match="invalid event rows"):
+        apply_incremental(
+            lake, "t1", rd.from_arrow(mixed), num_buckets=4, on_invalid="raise"
+        )
+
+    lake = str(tmp_path / "dlq")
+    apply_incremental(
+        lake, "t1", rd.from_arrow(mixed), num_buckets=4, on_invalid="drop"
+    )
+    state = lake_state(lake)
+    assert state == {**EXPECT_A, ("rp", "p0"): (100, "P0")}  # valid rows in
+    m = read_manifest(lake)
+    assert m.metrics["t1"]["applied_invalid_dropped"] == 3
+    assert m.metrics["t1"]["applied_rows"] == len(state)
+
+    # default (None): trusts the input, records no gate metric
+    lake2 = str(tmp_path / "trusting")
+    apply_incremental(lake2, "t1", ev_ds(SEG_A), num_buckets=4)
+    assert "applied_invalid_dropped" not in read_manifest(lake2).metrics["t1"]
+
+
 def test_payload_column_bounds_truncated_and_prune(tmp_path):
     """Commits record Iceberg-style truncated min/max for PAYLOAD columns
     (commit, lang, content, evolved adds) — lower bound a prefix, upper
