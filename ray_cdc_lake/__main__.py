@@ -88,7 +88,7 @@ def cmd_tail(a) -> int:
     _ray_up()
     txns = tail_replay(
         a.lake, a.sf_dir, epochs=a.epochs, micro_batches=a.micro_batches,
-        num_buckets=a.buckets, mode=a.mode,
+        num_buckets=a.buckets, mode=a.mode, on_invalid=a.on_invalid,
     )
     print(json.dumps({"lake": a.lake, "committed": txns, "mode": a.mode}))
     return 0
@@ -278,6 +278,14 @@ def main(argv: list[str] | None = None) -> int:
         default="cow",
         help="mor = merge-on-read delta commits (O(window) writes; pair "
         "with 'fold' to bound scan-time chain length)",
+    )
+    sp.add_argument(
+        "--on-invalid",
+        choices=("raise", "drop"),
+        default=None,
+        help="ingest validation gate: fail the window or drop-and-count "
+        "malformed events (null key/lsn, unknown op); default trusts "
+        "the compiler's output",
     )
     sp.set_defaults(fn=cmd_tail)
 

@@ -157,6 +157,7 @@ def tail_replay(
     micro_batches: int = 4,
     num_buckets: int | None = None,
     mode: str = "cow",
+    on_invalid: str | None = None,
 ) -> list[str]:
     """Binlog-tail simulation: consume the event log as ``micro_batches``
     consecutive LSN windows, each applied as one exactly-once transaction
@@ -168,6 +169,8 @@ def tail_replay(
     ``mode="mor"`` commits every window after the first as merge-on-read
     delta entries (checkpoint.apply_incremental) — pair with periodic
     compact_deltas / maybe_compact(max_deltas=) to bound chain length.
+    ``on_invalid`` is the ingest validation gate ('raise' / 'drop' /
+    None), forwarded to every window's apply.
 
     Returns the committed txn ids in order.
     """
@@ -202,7 +205,7 @@ def tail_replay(
         txn_id = f"tail-{i:04d}"
         apply_incremental(
             lake_dir, txn_id, win, num_buckets=num_buckets,
-            events_schema=COMPILED_SCHEMA, mode=mode,
+            events_schema=COMPILED_SCHEMA, mode=mode, on_invalid=on_invalid,
         )
         txns.append(txn_id)
     return txns
