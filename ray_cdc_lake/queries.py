@@ -564,8 +564,8 @@ def q_cdc_asof_join(sf_dir: str):
 
 
 def q_cdc_mor_evolution(sf_dir: str):
-    """Schema evolution ACROSS the cow/mor mode boundary: two cow base
-    windows, then a cow window WITH an added int64 column ``stars`` =
+    """Schema evolution ACROSS the cow/mor mode boundary: a cow base
+    window, then a cow window WITH an added int64 column ``stars`` =
     lsn % 97 (the column-add rewrite, Arrow schema unification per the
     north star), then the rename/delete tail committed as a MERGE-ON-READ
     delta in the ORIGINAL pre-evolution shape — the normal
@@ -591,11 +591,11 @@ def q_cdc_mor_evolution(sf_dir: str):
 
     ev = compiled_log(sf_dir, E).materialize()
     windows = [
-        (0, 2 * STRIDE),  # cow base (epochs 1-2)
-        (2 * STRIDE, 3 * STRIDE),  # cow
+        (0, 3 * STRIDE),  # cow base (epochs 1-3)
         (3 * STRIDE, 4 * STRIDE),  # cow + evolved column
         (4 * STRIDE, None),  # rename/delete tail, OLD SHAPE, mor
     ]
+    evolve_i, mor_i = 1, 2
     for i, (lo, hi) in enumerate(windows):
         if hi is None:
             seg = ev.map_batches(
@@ -609,7 +609,7 @@ def q_cdc_mor_evolution(sf_dir: str):
                 ),
                 batch_format="pyarrow",
             )
-        if i == 2:
+        if i == evolve_i:
             seg = seg.map_batches(add_stars, batch_format="pyarrow")
         apply_incremental(
             lake,
@@ -617,8 +617,8 @@ def q_cdc_mor_evolution(sf_dir: str):
             seg,
             # the evolved window's schema is inferred (conform unifies);
             # the mor tail declares the ORIGINAL shape on purpose
-            events_schema=None if i == 2 else COMPILED_SCHEMA,
-            mode="mor" if i == 3 else "cow",
+            events_schema=None if i == evolve_i else COMPILED_SCHEMA,
+            mode="mor" if i == mor_i else "cow",
         )
     if not any(read_manifest(lake).deltas.values()):
         raise RuntimeError("expected merge-on-read delta entries after mor applies")
