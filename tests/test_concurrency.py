@@ -107,6 +107,7 @@ import ray
 import ray.data as rd
 
 lake, seg, txn, go = sys.argv[1:5]
+mode = sys.argv[5] if len(sys.argv) > 5 else "cow"
 ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
@@ -120,7 +121,7 @@ while not os.path.exists(go):  # start barrier: maximize overlap
 # independent writers with unrelated LSN ranges: hwm dedup is a
 # single-ordered-log contract, so it is OFF here (txn idempotence + LWW
 # provide the multi-writer guarantees)
-apply_incremental(lake, txn, ds, events_schema=COMPILED_SCHEMA, dedup_below_hwm=False)
+apply_incremental(lake, txn, ds, events_schema=COMPILED_SCHEMA, dedup_below_hwm=False, mode=mode)
 ray.shutdown()
 """
 
@@ -171,3 +172,67 @@ def test_two_processes_commit_concurrently(tmp_path):
     assert set(got["path"]) == {f"a{i}" for i in range(50)} | {
         f"b{i}" for i in range(50)
     }
+
+
+@pytest.mark.slow
+def test_two_processes_commit_mor_deltas_concurrently(tmp_path):
+    """Two OS processes commit MERGE-ON-READ deltas against the same
+    committed base at the same time: optimistic retry must land both as
+    delta entries (no lost update, no duplicated carry-over), and the
+    merged read is base + both deltas."""
+    import ray.data as rd
+
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.schemas import COMPILED_SCHEMA
+    from ray_cdc_lake.sink import read_lake, read_manifest
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(
+        lake,
+        "txn-base",
+        rd.from_arrow(_events("base", 20, 0)),
+        events_schema=COMPILED_SCHEMA,
+        num_buckets=4,
+    )
+
+    seg_a = str(tmp_path / "a.parquet")
+    seg_b = str(tmp_path / "b.parquet")
+    pq.write_table(_events("a", 30, 2000), seg_a)
+    pq.write_table(_events("b", 30, 3000), seg_b)
+    go = str(tmp_path / "go")
+    script = str(tmp_path / "child.py")
+    with open(script, "w") as f:
+        f.write(CHILD % {"repo": REPO})
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, lake, seg, txn, go, "mor"],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for seg, txn in ((seg_a, "txn-a"), (seg_b, "txn-b"))
+    ]
+    time.sleep(1)
+    with open(go, "w") as f:
+        f.write("go")
+    errs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        if p.returncode != 0:
+            errs.append(err.decode()[-2000:])
+    assert not errs, errs
+
+    m = read_manifest(lake)
+    assert sorted(m.txns) == ["txn-a", "txn-b", "txn-base"]
+    delta_txns = {e["txn_id"] for es in m.deltas.values() for e in es}
+    assert delta_txns == {"txn-a", "txn-b"}  # both landed as deltas
+    got = read_lake(lake).to_pandas()
+    assert len(got) == 80
+    assert set(got["path"]) == (
+        {f"base{i}" for i in range(20)}
+        | {f"a{i}" for i in range(30)}
+        | {f"b{i}" for i in range(30)}
+    )
