@@ -1084,6 +1084,29 @@ def q_cdc_time_travel(sf_dir: str):
     return read_lake(lake, version=1).map_batches(finish, batch_format="pyarrow")
 
 
+def q_cdc_time_travel_lsn(sf_dir: str):
+    """Time travel by LOG POSITION (sink.version_at_lsn + read_lake
+    asof_lsn=): the consumer names a binlog offset, not the sink's commit
+    counter — the engine binary-searches the manifest chain's monotone
+    watermarks (O(log V) metadata reads) to the snapshot that had
+    consumed exactly that much of the log. ``asof_lsn = cut - 1`` must
+    resolve to version 1 of the two-txn lake, so the result equals the
+    truncated LWW replay — byte-identical to cdc_time_travel's, by a
+    different coordinate."""
+    from .events import STRIDE
+    from .sink import read_lake
+
+    lake, cut = _two_txn_lake(sf_dir, "twotxn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake, asof_lsn=cut - 1).map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
 def q_cdc_branch_isolation(sf_dir: str):
     """Branch = a writable named pointer over the immutable manifest chain
     (time travel's primitive, made writable — Nessie/Delta-branch shape):
@@ -1607,6 +1630,21 @@ CDC_SQL: dict[str, str] = {
                max(lsn)
         FROM w2""",
     "cdc_time_travel": f"""
+        WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
+        normalized AS (
+          SELECT lsn, op, repo, path, "commit", lang,
+                 nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                                       chr(13), chr(10))) AS content
+          FROM compiled WHERE lsn < 2*{STRIDE_SQL}),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized)
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""",
+    # identical truncated replay, addressed by log position
+    "cdc_time_travel_lsn": f"""
         WITH {EVENTS_CTE}, {COMPILED_ONLY_CTE},
         normalized AS (
           SELECT lsn, op, repo, path, "commit", lang,
@@ -3998,6 +4036,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_schema_widening": q_cdc_schema_widening,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_time_travel_lsn": q_cdc_time_travel_lsn,
         "cdc_ingest_metrics": q_cdc_ingest_metrics,
         "cdc_table_stats": q_cdc_table_stats,
         "cdc_delete_prefix": q_cdc_delete_prefix,

@@ -1340,6 +1340,43 @@ def _ranges_expression(ranges: dict[str, tuple]):
     return expr
 
 
+def version_at_lsn(
+    lake_dir: str,
+    lsn: int,
+    store: LakeStore | None = None,
+    branch: str | None = None,
+) -> int:
+    """Resolve a LOG POSITION to a manifest version: the largest committed
+    version whose maximum per-bucket watermark (delta chains included) is
+    at or below ``lsn`` — i.e. the snapshot that had consumed the binlog
+    exactly up to that point. Committed watermarks are monotone in the
+    version chain (every apply only raises them), so this is a binary
+    search over O(log V) manifest reads — metadata only, no data touched.
+    Raises ValueError when even version 1 is past ``lsn``. The
+    CDC-native time-travel coordinate: consumers think in offsets, not
+    in the sink's commit counter."""
+    store = store or _DEFAULT_STORE
+    head = read_manifest(lake_dir, store=store, branch=branch)
+
+    def hmax(v: int) -> int:
+        m = read_manifest(lake_dir, store=store, version=v, branch=branch)
+        hw = m.hwm()
+        return max(hw.values()) if hw else -1
+
+    if hmax(1) > lsn:
+        raise ValueError(
+            f"no committed version of {lake_dir} is at or below lsn {lsn}"
+        )
+    lo, hi = 1, head.version  # invariant: hmax(lo) <= lsn
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if hmax(mid) <= lsn:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
 def read_lake(
     lake_dir: str,
     live_only: bool = True,
@@ -1350,11 +1387,14 @@ def read_lake(
     branch: str | None = None,
     ranges: dict[str, tuple] | None = None,
     buckets: "set[int] | None" = None,
+    asof_lsn: int | None = None,
 ) -> "ray.data.Dataset":
     """Read the committed lake state (only files referenced by the current
     manifest — uncommitted/crashed txn files are invisible). Pass
     ``version`` to time-travel to a historical snapshot (see
-    read_manifest for the retention caveat).
+    read_manifest for the retention caveat), or ``asof_lsn`` to time
+    travel by LOG POSITION (resolved via ``version_at_lsn`` — a binary
+    search over the manifest chain's monotone watermarks).
 
     ``columns`` prunes at the parquet read (only those columns leave
     storage — at 100 TB a consumer that needs (repo, lsn) must not ship
@@ -1383,6 +1423,11 @@ def read_lake(
     import ray.data as rd
 
     store = store or _DEFAULT_STORE
+    if asof_lsn is not None:
+        # time travel by LOG POSITION instead of commit counter
+        if version is not None:
+            raise ValueError("pass version= or asof_lsn=, not both")
+        version = version_at_lsn(lake_dir, asof_lsn, store=store, branch=branch)
     m = read_manifest(lake_dir, store=store, version=version, branch=branch)
     if buckets is not None:
         keep = {str(int(b)) for b in buckets}

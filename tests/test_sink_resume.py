@@ -731,6 +731,41 @@ def test_manifest_file_stats_prune_point_lookup(tmp_path):
     }
 
 
+def test_version_at_lsn_binary_search(tmp_path):
+    """Log-position time travel: version_at_lsn resolves an lsn to the
+    largest version whose watermark is at or below it; read_lake
+    asof_lsn= returns that snapshot."""
+    import pytest
+    import ray.data as rd
+
+    from ray_cdc_lake.sink import version_at_lsn
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t1", ev_ds(SEG_A), num_buckets=4)  # hwm 4
+    apply_incremental(lake, "t2", ev_ds(SEG_B), num_buckets=4)  # hwm 7
+    apply_incremental(
+        lake,
+        "t3",
+        ev_ds([(9, "insert", "r3", "z.py", "Z")]),
+        num_buckets=4,
+    )  # hwm 9
+
+    assert version_at_lsn(lake, 4) == 1
+    assert version_at_lsn(lake, 6) == 1  # mid-window: t2 is already past
+    assert version_at_lsn(lake, 7) == 2
+    assert version_at_lsn(lake, 8) == 2
+    assert version_at_lsn(lake, 10**9) == 3
+    with pytest.raises(ValueError, match="at or below"):
+        version_at_lsn(lake, 3)
+
+    df = read_lake(lake, asof_lsn=7).to_pandas()
+    assert set(zip(df["repo"], df["path"])) == {
+        ("r1", "a.py"), ("r2", "c.py"), ("r1", "d.py"),
+    }
+    with pytest.raises(ValueError, match="not both"):
+        read_lake(lake, version=1, asof_lsn=7)
+
+
 def test_on_invalid_gate_drop_and_raise(tmp_path):
     """The ingest validation gate: malformed events (null key/lsn,
     unknown op) either fail the apply loudly or are dropped and counted
