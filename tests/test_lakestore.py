@@ -1008,3 +1008,31 @@ def test_objectstore_merge_on_read_end_to_end(tmp_path):
     apply_incremental(lake2, "txn-1", _seg(SEG1), num_buckets=4)
     apply_incremental(lake2, "txn-2", _seg(SEG2), num_buckets=4, mode="mor")
     assert _live(lake2) == st
+
+
+def test_objectstore_vacuum_grace_window(tmp_path):
+    """The orphan age gate works over object-store verbs too: a fresh
+    crashed-before-publish txn dir is KEPT by a default vacuum (it is
+    indistinguishable from a commit between data move and manifest
+    publish) and reclaimed at grace_s=0."""
+    from ray_cdc_lake.checkpoint import apply_incremental
+    from ray_cdc_lake.sink import ObjectStoreLakeStore, vacuum
+
+    store = ObjectStoreLakeStore()
+    lake = str(tmp_path / "bucket" / "lake")
+    apply_incremental(lake, "txn-1", _seg(SEG1), num_buckets=4, store=store)
+    try:
+        apply_incremental(
+            lake, "txn-x", _seg(SEG2), num_buckets=4, store=store,
+            fail_before_publish=True,
+        )
+    except RuntimeError:
+        pass
+    assert vacuum(lake, store=store) == []  # inside the grace window
+    removed = vacuum(lake, store=store, grace_s=0)
+    assert any("txn-x" in r for r in removed)
+    # committed state is txn-1 only — the crashed txn never published
+    assert _live(lake, store=store) == {
+        ("r1", "a.py"): (1, "A1"),
+        ("r1", "b.py"): (2, "B1"),
+    }
