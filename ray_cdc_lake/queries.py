@@ -1093,7 +1093,6 @@ def q_cdc_time_travel_lsn(sf_dir: str):
     resolve to version 1 of the two-txn lake, so the result equals the
     truncated LWW replay — byte-identical to cdc_time_travel's, by a
     different coordinate."""
-    from .events import STRIDE
     from .sink import read_lake
 
     lake, cut = _two_txn_lake(sf_dir, "twotxn")
