@@ -1363,11 +1363,25 @@ def version_at_lsn(
         hw = m.hwm()
         return max(hw.values()) if hw else -1
 
-    if hmax(1) > lsn:
+    # the chain may be TRIMMED by expire_snapshots: search only the
+    # retained versions (one listdir; expired history raises explicitly
+    # below, never resolves silently to a later snapshot)
+    mdir = os.path.join(lake_dir, MANIFEST_DIR)
+    retained = sorted(
+        v
+        for fn in store.listdir(mdir)
+        for parsed in [_parse_manifest_name(fn)]
+        if parsed is not None and parsed[0] == (branch or "main")
+        for v in [parsed[1]]
+        if v <= head.version
+    )
+    first = retained[0] if retained else 1
+    if hmax(first) > lsn:
         raise ValueError(
-            f"no committed version of {lake_dir} is at or below lsn {lsn}"
+            f"no retained version of {lake_dir} is at or below lsn {lsn}"
+            + (" (older history expired)" if first > 1 else "")
         )
-    lo, hi = 1, head.version  # invariant: hmax(lo) <= lsn
+    lo, hi = first, head.version  # invariant: hmax(lo) <= lsn
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if hmax(mid) <= lsn:

@@ -765,6 +765,15 @@ def test_version_at_lsn_binary_search(tmp_path):
     with pytest.raises(ValueError, match="not both"):
         read_lake(lake, version=1, asof_lsn=7)
 
+    # a TRIMMED chain (expire_snapshots) resolves within the retained
+    # window and refuses expired offsets explicitly
+    from ray_cdc_lake.sink import expire_snapshots
+
+    expire_snapshots(lake, keep_last=2)  # versions 2..3 retained
+    assert version_at_lsn(lake, 8) == 2
+    with pytest.raises(ValueError, match="expired"):
+        version_at_lsn(lake, 5)
+
 
 def test_on_invalid_gate_drop_and_raise(tmp_path):
     """The ingest validation gate: malformed events (null key/lsn,
