@@ -81,6 +81,7 @@ SECONDARY = [
     "cdc_rescale_online",  # online bucket-modulus rescale, mixed-modulus reads
     "cdc_replicate",  # cross-lake incremental replication + no-op convergence
     "cdc_asof_join",  # temporal as-of join over the compiled history
+    "join_interval_overlap",  # tiled interval-overlap join over events
     "cdc_mor_evolution",  # column add, then old-shape mor tail (backfill)
     "cdc_scan_payload",  # payload-column ranges= scan (truncated bounds)
 ]

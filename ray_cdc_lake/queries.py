@@ -3296,6 +3296,71 @@ def q_asof_purchase_view(sf_dir: str):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
 
 
+# interval-overlap join windows: a view opens a 6h attention window, a
+# purchase a 3h attribution window (microseconds; tiles sized to the
+# larger window so the replication fan-out is <= 2 per row)
+VIEW_WIN_US = 6 * 3600 * 1_000_000
+PURCHASE_WIN_US = 3 * 3600 * 1_000_000
+
+
+def q_join_interval_overlap(sf_dir: str):
+    """INTERVAL-OVERLAP JOIN (custom operator per the build brief): pair
+    every view/purchase of the same user whose windows intersect —
+    views project a [ts, ts+6h] window, purchases [ts, ts+3h].  Tiled
+    replication + one (tile, key-bucket) groupby + vectorized per-cell
+    pairing; each pair attributed to exactly one tile (intervals.py).
+    Oracle: the equivalent DuckDB inequality join."""
+    from .intervals import interval_join
+
+    ev = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def side(etype: str, win_us: int, id_name: str):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], etype))
+            s = t["ts"].cast(pa.int64())
+            return pa.Table.from_arrays(
+                [
+                    t["user_id"].combine_chunks(),
+                    t["event_id"].combine_chunks(),
+                    s.combine_chunks(),
+                    pc.add(s, win_us).combine_chunks(),
+                ],
+                names=["user_id", id_name, f"{id_name[0]}s", f"{id_name[0]}e"],
+            )
+
+        return ev.map_batches(prep, batch_format="pyarrow")
+
+    views = side("view", VIEW_WIN_US, "view_id")
+    purchases = side("purchase", PURCHASE_WIN_US, "purchase_id")
+    joined = interval_join(
+        views,
+        purchases,
+        keys=("user_id",),
+        left_span=("vs", "ve"),
+        right_span=("ps", "pe"),
+        tile_width=VIEW_WIN_US,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ov = pc.subtract(
+            pc.min_element_wise(t["ve"], t["r_pe"]),
+            pc.max_element_wise(t["vs"], t["r_ps"]),
+        )
+        return pa.Table.from_arrays(
+            [
+                t["user_id"].combine_chunks(),
+                t["view_id"].combine_chunks(),
+                t["r_purchase_id"].combine_chunks(),
+                ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov,
+            ],
+            names=["user_id", "view_id", "purchase_id", "overlap_us"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 # quantity bands for the broadcast range join (inline VALUES on the SQL side)
 QTY_BANDS = [(0, 10, "low"), (10, 25, "mid"), (25, 40, "high"), (40, 100, "max")]
 
@@ -3905,6 +3970,18 @@ REL_SQL: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts < p.ts""",
+    "join_interval_overlap": """
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               least(epoch_us(v.ts) + 21600000000,
+                     epoch_us(p.ts) + 10800000000)
+                 - greatest(epoch_us(v.ts), epoch_us(p.ts)) AS overlap_us
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) <= epoch_us(v.ts) + 21600000000
+         AND epoch_us(v.ts) <= epoch_us(p.ts) + 10800000000""",
     "range_join_quantity": """
         WITH bands(lo, hi, band) AS (
           VALUES (0, 10, 'low'), (10, 25, 'mid'), (25, 40, 'high'), (40, 100, 'max'))
@@ -4079,6 +4156,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_seq_assign": q_doc_seq_assign,
         "q1_lineitem": q_q1_lineitem,
         "asof_purchase_view": q_asof_purchase_view,
+        "join_interval_overlap": q_join_interval_overlap,
         "shuffle_join_revenue": q_shuffle_join_revenue,
         "suppliers_by_region": q_suppliers_by_region,
         "parts_by_brand": q_parts_by_brand,
