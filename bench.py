@@ -84,6 +84,7 @@ SECONDARY = [
     "join_interval_overlap",  # tiled interval-overlap join over events
     "cdc_mor_evolution",  # column add, then old-shape mor tail (backfill)
     "cdc_scan_payload",  # payload-column ranges= scan (truncated bounds)
+    "cdc_zorder_scan",  # z-order clustering compaction + 2-column pruned scan
 ]
 
 

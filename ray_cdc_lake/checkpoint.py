@@ -953,6 +953,7 @@ def compact(
     num_buckets: int | None = None,
     store: "LakeStore | None" = None,
     sort: bool = False,
+    zorder: "tuple[str, ...] | None" = None,
 ) -> Manifest:
     """Rewrite the whole lake as ONE transaction and drop superseded files.
     ``num_buckets`` defaults to the lake's committed modulus; passing a
@@ -977,6 +978,16 @@ def compact(
     and row-group pushdown inside a file prunes by the same order. A
     range shuffle, not a per-bucket map_groups: a whole bucket never has
     to fit in one worker's heap, so it holds at 100 TB buckets.
+
+    ``zorder=(colA, colB, ...)`` is MULTI-COLUMN clustering (the Delta
+    OPTIMIZE ZORDER analog, zorder.py): rows sort by the Morton
+    interleave of the named columns' sample-ranked positions, so every
+    output file covers a small hyper-rectangle of the combined space and
+    ``read_lake(ranges=)`` predicates on ANY of the z columns prune
+    files from manifest metadata alone. Costs one extra bounded
+    sampling pass (columns= pruned, O(blocks x 512) values to the
+    driver) on top of the same single range-partitioned sort
+    ``sort=True`` pays; mutually exclusive with ``sort``.
     """
     from .sink import Manifest as _Manifest
     from .sink import _publish, _retain_metrics, _write_txn_data, read_manifest, vacuum
@@ -990,10 +1001,25 @@ def compact(
             num_buckets = m.rescale["to"]
         else:
             num_buckets = m.num_buckets or DEFAULT_NUM_BUCKETS
+    if sort and zorder:
+        raise ValueError("sort and zorder are mutually exclusive")
     txn = f"compact-{m.version + 1:06d}"
     ds = read_lake(lake_dir, live_only=False, store=store)  # tombstones kept
     ds = ds.map_batches(lambda b: add_bucket(b, num_buckets), batch_format="pyarrow")
-    if sort:
+    if zorder:
+        from .zorder import apply_zorder, sample_bounds
+
+        cols = list(zorder)
+        # bounded sampling pass over ONLY the z columns (pruned read)
+        bounds = sample_bounds(
+            read_lake(lake_dir, live_only=False, store=store, columns=cols),
+            cols,
+        )
+        ds = apply_zorder(ds, cols, bounds)
+        ds = ds.sort(["bucket", "_z"]).map_batches(
+            lambda t: t.drop_columns(["_z"]), batch_format="pyarrow"
+        )
+    elif sort:
         ds = ds.sort(["bucket", "repo", "path"])
     # write the compact txn's data files WITHOUT publishing, then publish
     # exactly ONE manifest referencing only the compact txn — no

@@ -749,6 +749,37 @@ def q_cdc_compact_state(sf_dir: str):
 _COMPACTED: dict = {}
 
 
+def q_cdc_zorder_scan(sf_dir: str):
+    """Z-ORDER clustering compaction + multi-column pruned scan
+    (checkpoint.compact(zorder=...), zorder.py — the Delta OPTIMIZE
+    ZORDER analog): the lake is rewritten clustered by the Morton
+    interleave of (path, lsn) sample ranks, so per-file manifest bounds
+    are tight on BOTH columns and a scan constrained on both prunes
+    files from metadata alone. Result: live docs/en/* winners below the
+    rename epoch — a strict subset on each axis. Own scratch lake
+    (compaction vacuums history the shared fixture's consumers pin)."""
+    from .checkpoint import compact
+    from .events import STRIDE
+    from .sink import read_lake
+
+    lake, _ = _two_txn_lake(sf_dir, "zorderq")
+    if not _ZORDERED.get(lake):
+        compact(lake, zorder=("path", "lsn"))
+        _ZORDERED[lake] = True
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(
+        lake,
+        ranges={"path": ("docs/en", "docs/ep"), "lsn": (None, 4 * STRIDE - 1)},
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+_ZORDERED: dict = {}
+
+
 def q_cdc_change_batch_compile(sf_dir: str):
     """The reference's NATIVE input path (M2, ReorderFiles.kt:304-327):
     change-batch JSON documents -> rename instructions. One batch per
@@ -1693,6 +1724,16 @@ CDC_SQL: dict[str, str] = {
         FROM ranked
         WHERE rn = 1 AND op <> 'delete'
           AND lang >= 'de' AND lang <= 'es'""",
+    # live winners under docs/en/* below the rename epoch — what the
+    # z-ordered two-column pruned scan must return
+    "cdc_zorder_scan": f"""
+        WITH {EVENTS_CTE}, {COMPILED_CTE}
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked
+        WHERE rn = 1 AND op <> 'delete'
+          AND path >= 'docs/en' AND path <= 'docs/ep'
+          AND lsn <= 4*{STRIDE_SQL} - 1""",
     "cdc_lake_diff": f"""
         WITH {EVENTS_CTE}, {COMPILED_CTE},
         old_ranked AS (
@@ -4103,6 +4144,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_final_state_spill": q_cdc_final_state_spill,
         "cdc_compact_state": q_cdc_compact_state,
+        "cdc_zorder_scan": q_cdc_zorder_scan,
         "cdc_rescale_online": q_cdc_rescale_online,
         "cdc_replicate": q_cdc_replicate,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,
