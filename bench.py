@@ -70,6 +70,9 @@ SECONDARY = [
     "cdc_incremental_view",
     "cdc_merge_into",
     "text_tfidf",
+    "text_bpe_train",  # distributed BPE tokenizer training to convergence
+    "text_bpe_encode",  # encode with the trained merge table
+    "text_classify_nb",  # distributed NB train + vectorized predict
     "mm_resize",
     "mm_feature_extract",
     "corpus_contamination_ngram",

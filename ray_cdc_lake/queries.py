@@ -4223,9 +4223,27 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     # training-data extensions (registered lazily so a bug in one module
     # doesn't break the core registry)
-    from . import cdc_views, dedup, similarity, textstats, multimodal, curation
+    from . import (
+        bpe,
+        cdc_views,
+        classify,
+        curation,
+        dedup,
+        multimodal,
+        similarity,
+        textstats,
+    )
 
-    for mod in (cdc_views, dedup, similarity, textstats, multimodal, curation):
+    for mod in (
+        cdc_views,
+        dedup,
+        similarity,
+        textstats,
+        multimodal,
+        curation,
+        bpe,
+        classify,
+    ):
         q, s = mod.registry()
         queries.update(q)
         sql.update(s)
