@@ -52,6 +52,7 @@ SECONDARY = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "dedup_incremental",
+    "dedup_index_probe",  # persisted LSH index: exactly-once append + probe
     "corpus_curation",
     "corpus_recipe",
     "text_quality",
@@ -73,6 +74,7 @@ SECONDARY = [
     "text_bpe_train",  # distributed BPE tokenizer training to convergence
     "text_bpe_encode",  # encode with the trained merge table
     "text_classify_nb",  # distributed NB train + vectorized predict
+    "corpus_route_nb",  # classifier-driven keep/quarantine routing
     "mm_resize",
     "mm_feature_extract",
     "corpus_contamination_ngram",

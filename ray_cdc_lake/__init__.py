@@ -36,15 +36,20 @@ def enable_self_contained_pickling() -> None:
     from ray import cloudpickle
 
     from . import (  # noqa: F401 — force-import all submodules first
+        asof,
+        bpe,
         change_batches,
         checkpoint,
+        classify,
         dedup,
         events,
+        intervals,
         jsonpaths,
         kernels,
         merge,
         multi,
         multimodal,
+        nearindex,
         pipeline,
         queries,
         schemas,
@@ -57,6 +62,7 @@ def enable_self_contained_pickling() -> None:
         textstats,
         transforms,
         validate,
+        zorder,
     )
 
     for name, mod in list(sys.modules.items()):

@@ -122,7 +122,8 @@ def cmd_compact(a) -> int:
     from .checkpoint import compact
 
     _ray_up()
-    m = compact(a.lake, num_buckets=a.buckets, sort=a.sort)
+    zorder = tuple(a.zorder.split(",")) if a.zorder else None
+    m = compact(a.lake, num_buckets=a.buckets, sort=a.sort, zorder=zorder)
     print(json.dumps({"lake": a.lake, "version": m.version, "txns": m.txns}))
     return 0
 
@@ -308,6 +309,15 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="sort-order compaction: range-sort (bucket, repo, path) so "
         "per-file key ranges are disjoint (exact manifest pruning)",
+    )
+    sp.add_argument(
+        "--zorder",
+        default=None,
+        metavar="COL,COL[,...]",
+        help="z-order clustering compaction: Morton-interleave the named "
+        "columns' sample ranks so per-file manifest bounds are tight on "
+        "every listed column (multi-column scan pruning); mutually "
+        "exclusive with --sort",
     )
     sp.set_defaults(fn=cmd_compact)
 

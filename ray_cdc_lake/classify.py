@@ -139,9 +139,11 @@ def nb_predict(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "predicted_lang",
+    keep_cols: tuple[str, ...] = (),
 ) -> "ray.data.Dataset":
     """Score + argmax per document (ties -> smallest label).  The model
-    rides in the task closure — broadcast once, vectorized per batch."""
+    rides in the task closure — broadcast once, vectorized per batch.
+    ``keep_cols`` pass through verbatim next to the prediction."""
     labels, vocab = model.labels, model.vocab
     log_prior, log_like, log_unseen = (
         model.log_prior,
@@ -178,11 +180,10 @@ def nb_predict(
         pred = labels[np.argmax(scores, axis=1)]  # argmax takes FIRST max
         # labels sorted ascending -> first max IS the smallest label
         return pa.Table.from_arrays(
-            [
-                t[id_col].combine_chunks(),
-                pa.array(pred.astype(str), type=pa.string()),
-            ],
-            names=[id_col, out_col],
+            [t[id_col].combine_chunks()]
+            + [t[c].combine_chunks() for c in keep_cols]
+            + [pa.array(pred.astype(str), type=pa.string())],
+            names=[id_col, *keep_cols, out_col],
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
@@ -245,7 +246,51 @@ NB_SQL = """
       FROM scores) WHERE rn = 1"""
 
 
+def q_corpus_route_nb(sf_dir: str):
+    """Classifier-driven corpus routing (the label-noise / quality gate
+    of a curation pipeline, A1's verdict routing with a LEARNED
+    verdict): every document is scored by the trained NB model and
+    routed ``keep`` when the prediction agrees with its recorded lang,
+    ``quarantine`` otherwise — the standard agreement filter before
+    training-data export. Pure composition: the broadcast model scores
+    in the same stateless pass that assigns the route column."""
+    from .sources import read_table
+
+    model = _NB_CACHE.get(sf_dir)
+    if model is None:
+        model = nb_train(
+            read_table(sf_dir, "documents", columns=["lang", "text"]), "lang"
+        )
+        _NB_CACHE[sf_dir] = model
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    scored = nb_predict(docs, model, keep_cols=("lang",))
+
+    def route(t: pa.Table) -> pa.Table:
+        agree = pc.equal(t["predicted_lang"], t["lang"])
+        r = pc.if_else(agree, "keep", "quarantine")
+        return t.append_column("route", r)
+
+    return scored.map_batches(route, batch_format="pyarrow")
+
+
+ROUTE_SQL = (
+    NB_SQL.replace(
+        "SELECT doc_id, lang AS predicted_lang FROM (",
+        """SELECT p.doc_id, d.lang, p.lang AS predicted_lang,
+           CASE WHEN p.lang = d.lang THEN 'keep' ELSE 'quarantine' END AS route
+    FROM (""",
+    ).replace(
+        "FROM scores) WHERE rn = 1",
+        "FROM scores) p JOIN documents d USING (doc_id) WHERE p.rn = 1",
+    )
+)
+
+
 def registry():
-    return {"text_classify_nb": q_text_classify_nb}, {
-        "text_classify_nb": NB_SQL
+    return {
+        "text_classify_nb": q_text_classify_nb,
+        "corpus_route_nb": q_corpus_route_nb,
+    }, {
+        "text_classify_nb": NB_SQL,
+        "corpus_route_nb": ROUTE_SQL,
     }

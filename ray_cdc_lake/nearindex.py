@@ -1,0 +1,335 @@
+"""Persisted MinHash-LSH signature index + incremental near-dup probe —
+the production shape of near-duplicate deduplication for a corpus that
+GROWS: the corpus lake accumulates documents in micro-batches, and each
+new batch must be checked against everything already committed without
+re-running LSH over the whole history.
+
+This is the near-dup twin of ``dedup.q_dedup_incremental`` (exact
+bloom + anti-join) and composes the same machinery the CDC lake is
+built from:
+
+* The index is a partitioned parquet table of exploded band rows
+  ``(band_key, doc_id, sig)`` under ``data/{txn}/bucket={B}/`` where
+  ``B = band_key % NUM_PAIR_BUCKETS`` — the SAME coarse shuffle key the
+  batch LSH uses, so probe and index co-partition by construction.
+* Appends are EXACTLY-ONCE via the lake's own staged-write + atomic
+  manifest-claim protocol (LakeStore.claim_with_content): data files
+  stay invisible until a manifest lists their txn; a crashed append
+  leaves reclaimable orphans; re-running a committed txn id is a no-op.
+* A probe reads ONLY the bucket partitions its band keys name — at
+  10^10 indexed docs a small update batch touches its own buckets'
+  files, never the index's full breadth — then ONE groupby co-locates
+  index and probe rows and the signature-agreement verification runs
+  group-locally (the signature travels with the band row; no second
+  join), exactly like dedup.q_dedup_minhash's kernel.
+
+New-batch semantics: a new doc is a duplicate when some INDEXED doc, or
+an earlier doc of the same batch (smaller doc_id — deterministic),
+shares a band and agrees on >= threshold of signature positions.
+Reference analog: the pre-apply key-existence probe
+(S3Utils.kt:27-33) lifted from exact keys to near-duplicate content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import NUM_HASHES, NUM_PAIR_BUCKETS, _runs, minhash_lsh_fn
+from .kernels import import_polars as _pl
+
+DATA_DIR = "data"
+STAGING_DIR = "_staging"
+MANIFEST_DIR = "_manifests"
+
+
+@dataclass
+class IndexManifest:
+    version: int = 0
+    txns: list[str] = field(default_factory=list)
+
+
+def _store(store):
+    if store is not None:
+        return store
+    from .sink import _DEFAULT_STORE
+
+    return _DEFAULT_STORE
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, MANIFEST_DIR, f"manifest-{version:06d}.json")
+
+
+def read_index_manifest(root: str, store=None) -> IndexManifest | None:
+    store = _store(store)
+    mdir = os.path.join(root, MANIFEST_DIR)
+    if not store.isdir(mdir):
+        return None
+    versions = [
+        int(f[len("manifest-") : -len(".json")])
+        for f in store.listdir(mdir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    ]
+    if not versions:
+        return None
+    v = max(versions)
+    d = json.loads(store.read_text(_manifest_path(root, v)))
+    return IndexManifest(version=d["version"], txns=list(d["txns"]))
+
+
+def index_append(
+    root: str, txn_id: str, docs, store=None
+) -> IndexManifest:
+    """Explode ``docs`` (doc_id, text) into band rows and commit them to
+    the index under ``txn_id`` — exactly-once: already-committed txn ids
+    return immediately; a crash before the manifest claim leaves the
+    data dir unreferenced (invisible to probes, safe to redo)."""
+    store = _store(store)
+    m = read_index_manifest(root, store) or IndexManifest()
+    if txn_id in m.txns:
+        return m
+
+    staging = os.path.join(root, STAGING_DIR, txn_id)
+    final = os.path.join(root, DATA_DIR, txn_id)
+    for d in (staging, final):
+        store.rmtree(d)
+    store.makedirs(staging)
+    rows = docs.map_batches(minhash_lsh_fn, batch_format="pyarrow")
+    rows.write_parquet(
+        staging,
+        partition_cols=["bucket"],
+        filesystem=store.fs,
+        compression="zstd",
+    )
+    store.makedirs(os.path.dirname(final))
+    store.replace_dir(staging, final)
+
+    # optimistic manifest claim (retry on conflict; idempotent re-check)
+    while True:
+        m = read_index_manifest(root, store) or IndexManifest()
+        if txn_id in m.txns:
+            return m
+        new = IndexManifest(version=m.version + 1, txns=[*m.txns, txn_id])
+        store.makedirs(os.path.join(root, MANIFEST_DIR))
+        tmp = os.path.join(root, MANIFEST_DIR, f".tmp-{txn_id}-{new.version}")
+        store.write_text(
+            tmp, json.dumps({"version": new.version, "txns": new.txns})
+        )
+        try:
+            store.claim_with_content(tmp, _manifest_path(root, new.version))
+            return new
+        except FileExistsError:
+            continue  # someone else advanced the chain; re-read and retry
+        finally:
+            try:
+                store.delete_file(tmp)
+            except OSError:
+                pass
+
+
+def _probe_files(
+    root: str, m: IndexManifest, buckets: set[int], store
+) -> list[str]:
+    """The committed index files in exactly the probe's buckets — pruned
+    by PARTITION PATH, no listing outside those directories."""
+    files: list[str] = []
+    for txn in m.txns:
+        for b in sorted(buckets):
+            d = os.path.join(root, DATA_DIR, txn, f"bucket={b}")
+            if not store.isdir(d):
+                continue
+            files += [
+                os.path.join(d, f)
+                for f in store.listdir(d)
+                if f.endswith(".parquet")
+            ]
+    return files
+
+
+def index_probe(root: str, docs, threshold: float = 0.5, store=None):
+    """Check a new batch against the committed index (and itself).
+    Returns one row per duplicate new doc: (doc_id, dup_of,
+    jaccard_est) with the smallest matching partner (ties: highest
+    estimate wins first, then smallest id — deterministic)."""
+    import ray.data as rd
+
+    store = _store(store)
+    m = read_index_manifest(root, store) or IndexManifest()
+    new_rows = docs.map_batches(
+        minhash_lsh_fn, batch_format="pyarrow"
+    ).materialize()
+    # the probe's bucket set: tiny (<= NUM_PAIR_BUCKETS ints) — names
+    # which index partitions must be read at all
+    probe_buckets: set[int] = set()
+    for b in new_rows.select_columns(["bucket"]).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        probe_buckets.update(
+            np.unique(b["bucket"].to_numpy(zero_copy_only=False)).tolist()
+        )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["band_key", "bucket", "doc_id", "sig"])
+            # hive partition values parse back as strings
+            t = t.set_column(
+                t.schema.get_field_index("bucket"),
+                "bucket",
+                t["bucket"].cast(pa.int64()),
+            )
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    probe = new_rows.map_batches(tag(1), batch_format="pyarrow")
+    files = _probe_files(root, m, probe_buckets, store)
+    if files:
+        idx = rd.read_parquet(
+            files,
+            columns=["band_key", "bucket", "doc_id", "sig"],
+            filesystem=store.fs,
+        ).map_batches(tag(0), batch_format="pyarrow")
+        both = probe.union(idx)
+    else:
+        both = probe
+
+    def verify(group: pa.Table) -> pa.Table:
+        keys = group["band_key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys = keys[order]
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order]
+        side = group["side"].to_numpy(zero_copy_only=False)[order]
+        sc = group["sig"]
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        sig_all = (
+            sc.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(sc), NUM_HASHES)
+        )[order]
+        out_d, out_p, out_j = [], [], []
+        for s, e in _runs(keys):
+            if e - s < 2:
+                continue
+            # one row per distinct (doc, side) in the run
+            pairkey = ids[s:e] * 2 + side[s:e]
+            uk, first = np.unique(pairkey, return_index=True)
+            uids = ids[s:e][first]
+            uside = side[s:e][first]
+            if not (uside == 1).any():
+                continue
+            sig = sig_all[s:e][first]
+            iu, ju = np.triu_indices(len(uk), k=1)
+            est = (sig[iu] == sig[ju]).mean(axis=1)
+            a_id, b_id = uids[iu], uids[ju]
+            a_s, b_s = uside[iu], uside[ju]
+            # orient each pair as (new doc, partner); a valid partner is
+            # an indexed doc or an EARLIER new doc (smaller id)
+            for new_first in (True, False):
+                if new_first:
+                    nmask = (a_s == 1) & (
+                        (b_s == 0) | ((b_s == 1) & (b_id < a_id))
+                    )
+                    d, p = a_id[nmask], b_id[nmask]
+                    j = est[nmask]
+                else:
+                    nmask = (b_s == 1) & (
+                        (a_s == 0) | ((a_s == 1) & (a_id < b_id))
+                    )
+                    d, p = b_id[nmask], a_id[nmask]
+                    j = est[nmask]
+                hit = j >= threshold
+                out_d.append(d[hit])
+                out_p.append(p[hit])
+                out_j.append(j[hit])
+        dd = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
+        pp = np.concatenate(out_p) if out_p else np.empty(0, dtype=np.int64)
+        jj = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(dd.astype(np.int64)),
+                pa.array(pp.astype(np.int64)),
+                pa.array(jj.astype(np.float64)),
+            ],
+            names=["doc_id", "dup_of", "jaccard_est"],
+        )
+
+    cands = both.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+    # one verdict per duplicate doc: best estimate, then smallest partner
+    def best_per_doc(group: pa.Table) -> pa.Table:
+        pl = _pl()
+        return (
+            pl.from_arrow(group)
+            .sort(["doc_id", "jaccard_est", "dup_of"], descending=[False, True, False])
+            .group_by("doc_id", maintain_order=True)
+            .first()
+            .to_arrow()
+        )
+
+    def add_db(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "db", pa.array((d % 64).astype(np.int64))
+        )
+
+    return (
+        cands.map_batches(add_db, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(best_per_doc, batch_format="pyarrow")
+        .drop_columns(["db"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry surface
+
+_INDEX_BUILT: dict = {}
+
+
+def q_dedup_index_probe(sf_dir: str):
+    """Incremental NEAR-dup dedup against the persisted signature index:
+    the planted-duplicate corpus splits into an existing corpus
+    (doc_id % 3 != 0, committed to the index exactly-once as txn
+    ``base``) and a new micro-batch (doc_id % 3 == 0) probed against it.
+    Output: one verdict row per duplicate new doc (doc_id, dup_of,
+    jaccard_est). MinHash estimates have no exact SQL form (the same
+    no-oracle class as dedup_minhash); tests/test_nearindex.py pins the
+    semantics against direct signature math and the planted exact
+    copies."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from .dedup import corpus_ds
+
+    root = f"/tmp/ray_cdc_sigindex/{sf_dir.strip('/').replace('/', '_')}"
+    corpus = corpus_ds(sf_dir)
+
+    def third(match: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 3) == 0
+            return t.filter(pa.array(m if match else ~m))
+
+        return fn
+
+    if not _INDEX_BUILT.get(root):
+        shutil.rmtree(root, ignore_errors=True)
+        index_append(
+            root, "base", corpus.map_batches(third(False), batch_format="pyarrow")
+        )
+        _INDEX_BUILT[root] = True
+    new = corpus.map_batches(third(True), batch_format="pyarrow")
+    return index_probe(root, new)
+
+
+def registry():
+    return {"dedup_index_probe": q_dedup_index_probe}, {}

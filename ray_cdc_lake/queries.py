@@ -4230,6 +4230,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         curation,
         dedup,
         multimodal,
+        nearindex,
         similarity,
         textstats,
     )
@@ -4243,6 +4244,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         curation,
         bpe,
         classify,
+        nearindex,
     ):
         q, s = mod.registry()
         queries.update(q)

@@ -86,3 +86,24 @@ def test_multi_space_and_null_text():
     assert list(m.vocab) == ["cat", "dog"]
     got = nb_predict(_ds(rows), m).take_all()
     assert len(got) == 2
+
+
+def test_keep_cols_pass_through_and_routing():
+    train = [
+        {"doc_id": 1, "lang": "en", "text": "cat dog cat"},
+        {"doc_id": 2, "lang": "en", "text": "dog cat"},
+        {"doc_id": 3, "lang": "de", "text": "katze hund"},
+    ]
+    m = nb_train(_ds(train), "lang")
+    test = [
+        {"doc_id": 10, "lang": "en", "text": "cat cat"},
+        {"doc_id": 11, "lang": "de", "text": "cat dog"},  # mislabeled
+    ]
+    got = {
+        r["doc_id"]: (r["lang"], r["predicted_lang"])
+        for r in nb_predict(_ds(test), m, keep_cols=("lang",)).iter_rows()
+    }
+    # the recorded label passes through untouched while the prediction
+    # disagrees on the mislabeled doc — the corpus_route_nb quarantine case
+    assert got[10] == ("en", "en")
+    assert got[11] == ("de", "en")

@@ -116,3 +116,15 @@ def test_cli_tail_mor_and_fold(tmp_path, capsys):
     a = sorted(map(tuple, read_lake(lake).to_pandas()[key].values.tolist()))
     b = sorted(map(tuple, read_lake(cow).to_pandas()[key].values.tolist()))
     assert a == b
+
+
+def test_cli_compact_zorder(tmp_path, capsys):
+    from ray_cdc_lake.sink import read_lake
+
+    lake = str(tmp_path / "lake")
+    assert main(["replay", "--sf-dir", SF, "--lake", lake]) == 0
+    before = read_lake(lake).count()
+    assert main(["compact", "--lake", lake, "--zorder", "path,lsn"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["txns"] == [f"compact-{out['version']:06d}"]
+    assert read_lake(lake).count() == before

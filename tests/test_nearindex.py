@@ -1,0 +1,178 @@
+"""Persisted LSH signature index (ray_cdc_lake/nearindex.py).
+
+Bar: probe verdicts equal a transparent brute-force model (band
+candidacy + signature-agreement threshold + the orientation rule
+"indexed doc or earlier new doc", best partner by highest estimate then
+smallest id); appends are exactly-once and crash-safe (data without a
+manifest entry is invisible); probes read only the probe's bucket
+partitions; the index grows micro-batch by micro-batch."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ray_cdc_lake.dedup import BANDS, NUM_HASHES, ROWS_PER_BAND, minhash_signature
+from ray_cdc_lake.nearindex import (
+    index_append,
+    index_probe,
+    read_index_manifest,
+)
+
+THRESHOLD = 0.5
+
+
+def _docs_ds(d: dict[int, str]):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_arrays(
+            [
+                pa.array(list(d.keys()), type=pa.int64()),
+                pa.array(list(d.values()), type=pa.string()),
+            ],
+            names=["doc_id", "text"],
+        )
+    )
+
+
+def _expected(existing: dict[int, str], new: dict[int, str]):
+    """Brute-force model: LSH band candidacy, then agreement >= 0.5;
+    partner must be indexed or an earlier (smaller-id) new doc; best
+    partner = max estimate, ties to smallest id."""
+    sigs = {i: minhash_signature(t) for i, t in {**existing, **new}.items()}
+
+    def bands(s):
+        return {tuple(s.reshape(BANDS, ROWS_PER_BAND)[b]) + (b,) for b in range(BANDS)}
+
+    bnd = {i: bands(s) for i, s in sigs.items()}
+    out = {}
+    for d in new:
+        best = None
+        for p in list(existing) + [x for x in new if x < d]:
+            if not (bnd[d] & bnd[p]):
+                continue
+            est = float((sigs[d] == sigs[p]).mean())
+            if est < THRESHOLD:
+                continue
+            if best is None or est > best[1] or (est == best[1] and p < best[0]):
+                best = (p, est)
+        if best:
+            out[d] = best
+    return out
+
+
+def _verdicts(root, new):
+    got = index_probe(root, _docs_ds(new), threshold=THRESHOLD).to_pandas()
+    return {
+        int(r.doc_id): (int(r.dup_of), float(r.jaccard_est))
+        for r in got.itertuples()
+    }
+
+
+def _mk_corpus(rng, n, vocab, n_words=10):
+    return {
+        i: " ".join(rng.choice(vocab, n_words)) for i in range(n)
+    }
+
+
+def test_probe_matches_bruteforce(tmp_path):
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(40)], dtype=object)
+    existing = _mk_corpus(rng, 30, vocab)
+    # new batch: fresh docs + exact copies of indexed docs + near copies
+    # + an intra-batch duplicate pair
+    new = {100 + i: " ".join(rng.choice(vocab, 10)) for i in range(10)}
+    new[120] = existing[3]  # exact copy of indexed
+    new[121] = existing[7] + " extra"  # near copy of indexed
+    new[122] = new[100]  # intra-batch exact copy (later id)
+    new[123] = existing[3]  # second copy: indexed partner preferred over 120?
+    root = str(tmp_path / "sigidx")
+    index_append(root, "base", _docs_ds(existing))
+    got = _verdicts(root, new)
+    want = _expected(existing, new)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0], (d, got[d], want[d])
+        assert got[d][1] == pytest.approx(want[d][1])
+    # sanity: the planted exact copies are found with estimate 1.0
+    assert got[120] == (3, 1.0)
+    assert got[122][0] == 100 and got[122][1] == 1.0
+
+
+def test_append_idempotent_and_crash_safe(tmp_path):
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    existing = _mk_corpus(rng, 10, vocab)
+    root = str(tmp_path / "sigidx")
+    m1 = index_append(root, "base", _docs_ds(existing))
+    m2 = index_append(root, "base", _docs_ds(existing))  # same txn id: no-op
+    assert m1.version == m2.version == 1 and m2.txns == ["base"]
+
+    # simulate a crashed append: data dir present, no manifest entry
+    orphan = os.path.join(root, "data", "crashed")
+    os.makedirs(os.path.join(orphan, "bucket=0"), exist_ok=True)
+    import pyarrow.parquet as pq
+
+    sig = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.zeros(NUM_HASHES, dtype=np.uint64)), NUM_HASHES
+    )
+    pq.write_table(
+        pa.Table.from_arrays(
+            [
+                pa.array([0], type=pa.int64()),
+                pa.array([0], type=pa.int64()),
+                pa.array([999], type=pa.int64()),
+                sig,
+            ],
+            names=["band_key", "bucket", "doc_id", "sig"],
+        ),
+        os.path.join(orphan, "bucket=0", "part.parquet"),
+    )
+    assert read_index_manifest(root).txns == ["base"]
+    # a probe of an exact copy of an existing doc still works and the
+    # orphan's doc 999 never surfaces as a partner
+    got = _verdicts(root, {200: existing[0]})
+    assert got[200][0] != 999 and got[200][1] == 1.0
+
+
+def test_incremental_growth(tmp_path):
+    rng = np.random.default_rng(9)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    b1 = _mk_corpus(rng, 8, vocab)
+    root = str(tmp_path / "sigidx")
+    index_append(root, "batch-1", _docs_ds(b1))
+    # batch 2: one dup of batch 1, one fresh
+    b2 = {50: b1[2], 51: " ".join(rng.choice(vocab, 10))}
+    got = _verdicts(root, b2)
+    assert 50 in got and got[50] == (2, 1.0)
+    assert 51 not in got
+    m = index_append(root, "batch-2", _docs_ds({51: b2[51]}))
+    assert m.txns == ["batch-1", "batch-2"]
+    # batch 3 now sees batch 2's survivor as indexed
+    got3 = _verdicts(root, {60: b2[51]})
+    assert got3[60] == (51, 1.0)
+
+
+def test_probe_reads_only_probe_buckets(tmp_path):
+    from ray_cdc_lake.nearindex import _probe_files, _store
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    root = str(tmp_path / "sigidx")
+    index_append(root, "base", _docs_ds(_mk_corpus(rng, 40, vocab)))
+    m = read_index_manifest(root)
+    store = _store(None)
+    all_buckets = {
+        int(e.split("=", 1)[1])
+        for e in store.listdir(os.path.join(root, "data", "base"))
+    }
+    some = set(list(sorted(all_buckets))[:3])
+    files = _probe_files(root, m, some, store)
+    assert files, "pruned probe must still find its buckets' files"
+    for f in files:
+        b = int(f.split("bucket=")[1].split(os.sep)[0])
+        assert b in some
