@@ -192,6 +192,17 @@ def cmd_delete_where(a) -> int:
     return 0
 
 
+def cmd_fsck(a) -> int:
+    from .fsck import fsck
+
+    if a.data:
+        _ray_up()  # the bucket-assignment check scans key columns
+    report = fsck(a.lake, data=a.data)
+    rows = report.to_pylist()
+    print(json.dumps({"lake": a.lake, "report": rows}))
+    return 0 if all(r["status"] != "fail" for r in rows) else 1
+
+
 def cmd_metrics(a) -> int:
     from .sink import read_manifest
 
@@ -398,6 +409,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("op", choices=["==", "prefix"])
     sp.add_argument("value")
     sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser(
+        "fsck",
+        help="lake integrity audit: manifest chain, referenced files, "
+        "footer-vs-manifest rows, watermark monotonicity, mor invariant; "
+        "--data adds the distributed bucket-assignment scan. Exit 1 on "
+        "any failed check",
+    )
+    common(sp, buckets=False)
+    sp.add_argument("--data", action="store_true")
+    sp.set_defaults(fn=cmd_fsck)
 
     sp = sub.add_parser("metrics", help="print lineage + ingest metrics")
     common(sp, buckets=False)

@@ -927,6 +927,7 @@ def maybe_compact(
     num_buckets: int | None = None,
     store: "LakeStore | None" = None,
     max_deltas: int | None = None,
+    zorder: "tuple[str, ...] | None" = None,
 ) -> "Manifest | None":
     """Auto-compaction trigger for a long-running tail: once the
     committed txn list exceeds ``max_txns`` (each incremental apply adds
@@ -939,13 +940,18 @@ def maybe_compact(
     ``max_deltas`` (opt-in) additionally folds any bucket whose
     merge-on-read delta chain reaches that length (compact_deltas —
     bucket-local, far cheaper than the full rewrite); the fold runs first
-    so a full compaction triggered in the same call sees folded state."""
+    so a full compaction triggered in the same call sees folded state.
+
+    ``zorder`` (opt-in) makes the triggered full compaction a z-order
+    clustering rewrite (compact(zorder=...)) — a tail that periodically
+    compacts keeps its multi-column pruning layout without a separate
+    maintenance pass."""
     if max_deltas is not None:
         compact_deltas(lake_dir, min_deltas=max_deltas, store=store)
     m = read_manifest(lake_dir, store=store)
     if len(m.txns) <= max_txns:
         return None
-    return compact(lake_dir, num_buckets=num_buckets, store=store)
+    return compact(lake_dir, num_buckets=num_buckets, store=store, zorder=zorder)
 
 
 def compact(

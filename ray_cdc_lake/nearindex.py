@@ -100,6 +100,12 @@ def index_append(
         store.rmtree(d)
     store.makedirs(staging)
     rows = docs.map_batches(minhash_lsh_fn, batch_format="pyarrow")
+    # range-sort by bucket so the partitioned write emits ~1 file per
+    # bucket per txn instead of blocks x buckets tiny files (measured
+    # 8184 -> ~130 files at sf0.1; probe read planning was dominated by
+    # file count). One all-to-all over band rows — index-sized, not
+    # corpus-sized.
+    rows = rows.sort("bucket")
     rows.write_parquet(
         staging,
         partition_cols=["bucket"],
@@ -149,6 +155,41 @@ def _probe_files(
                 if f.endswith(".parquet")
             ]
     return files
+
+
+def index_vacuum(
+    root: str, store=None, grace_s: float = 86400.0
+) -> list[str]:
+    """Reclaim unreferenced index txn dirs and stale staging dirs — the
+    index's remove_orphan_files, with the SAME age gate as the lake's
+    vacuum (sink.vacuum): an unreferenced dir younger than ``grace_s``
+    may be a committing appender between its data move and manifest
+    claim, so it is kept; ``grace_s=0`` restores unconditional reclaim
+    for single-writer maintenance windows."""
+    import time as _time
+
+    store = _store(store)
+    m = read_index_manifest(root, store) or IndexManifest()
+    live = set(m.txns)
+    removed: list[str] = []
+
+    def _old_enough(path: str) -> bool:
+        if grace_s <= 0:
+            return True
+        ts = store.newest_mtime(path)
+        return ts is not None and (_time.time() - ts) > grace_s
+
+    for base in (DATA_DIR, STAGING_DIR):
+        d = os.path.join(root, base)
+        if not store.isdir(d):
+            continue
+        for entry in store.listdir(d):
+            p = os.path.join(d, entry)
+            if (base == DATA_DIR and entry in live) or not _old_enough(p):
+                continue
+            store.rmtree(p)
+            removed.append(p)
+    return removed
 
 
 def index_probe(root: str, docs, threshold: float = 0.5, store=None):

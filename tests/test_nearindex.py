@@ -176,3 +176,23 @@ def test_probe_reads_only_probe_buckets(tmp_path):
     for f in files:
         b = int(f.split("bucket=")[1].split(os.sep)[0])
         assert b in some
+
+
+def test_index_vacuum_age_gated(tmp_path):
+    rng = np.random.default_rng(2)
+    vocab = np.array([f"w{i}" for i in range(20)], dtype=object)
+    root = str(tmp_path / "sigidx")
+    index_append(root, "base", _docs_ds(_mk_corpus(rng, 6, vocab)))
+    orphan = os.path.join(root, "data", "crashed", "bucket=0")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "x.parquet"), "wb") as f:
+        f.write(b"junk")
+    from ray_cdc_lake.nearindex import index_vacuum
+
+    # inside the grace window the orphan is kept (could be an appender
+    # between data move and manifest claim)
+    assert index_vacuum(root) == []
+    removed = index_vacuum(root, grace_s=0)
+    assert any("crashed" in r for r in removed)
+    assert read_index_manifest(root).txns == ["base"]
+    assert os.path.isdir(os.path.join(root, "data", "base"))

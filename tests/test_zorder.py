@@ -138,3 +138,21 @@ def test_sample_bounds_are_bounded_and_sorted(tmp_path):
     for c in ("a", "b"):
         assert 1 <= len(bounds[c]) <= 63
         assert (np.sort(bounds[c]) == bounds[c]).all()
+
+
+def test_maybe_compact_zorder_passthrough(tmp_path):
+    from ray_cdc_lake.checkpoint import maybe_compact
+
+    lake = str(tmp_path / "lake")
+    rows = _rows()[:40]
+    for i in range(3):
+        from ray_cdc_lake.checkpoint import apply_incremental as ai
+
+        seg = [
+            (r[0] + 1000 * i, r[1], r[2], r[3], r[4]) for r in rows[i * 10 : i * 10 + 10]
+        ]
+        ai(lake, f"txn-{i}", ev_ds(seg), num_buckets=2)
+    before = lake_state(lake)
+    m = maybe_compact(lake, max_txns=2, zorder=("path", "lsn"))
+    assert m is not None and m.txns[0].startswith("compact-")
+    assert lake_state(lake) == before
