@@ -996,9 +996,112 @@ def run_sustained_maintained() -> dict:
     }
 
 
+def run_index_frontier() -> dict:
+    """Signature-index scale evidence: build the persisted LSH index
+    over 1x / 4x / 16x replicas of the sf corpus (distinct doc_ids per
+    replica), probe the SAME fixed batch each time, and report probe
+    seconds per index size. The design claim under test: probe cost
+    follows the PROBE's bucket partitions (per-bucket density), not the
+    index's total breadth — growth should be strongly sublinear in
+    index size. Env: INDEX_REPLICAS ("1,4,16")."""
+    meter = _HostMeter()
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+
+    from ray_cdc_lake import enable_self_contained_pickling, tune_data_context
+    from ray_cdc_lake.dedup import corpus_ds
+    from ray_cdc_lake.nearindex import index_append, index_probe
+
+    enable_self_contained_pickling()
+    tune_data_context()
+
+    replicas = [
+        int(x)
+        for x in os.environ.get("INDEX_REPLICAS", "1,4,16").split(",")
+    ]
+    corpus = corpus_ds(SF_DIR).materialize()
+    n_docs = corpus.count()
+
+    def replicate(k: int):
+        # replica 0 is the corpus verbatim (the probe's true partners);
+        # replicas j>0 rewrite every word with a j-tag so they are
+        # textually UNRELATED filler — the index grows k-fold without
+        # planting k-cliques of duplicates (that would measure the
+        # verify kernel's worst case, not index growth)
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            reps = [t]
+            for j in range(1, k):
+                tagged = pc.replace_substring_regex(
+                    t["text"], r"(^| )", f"\\1r{j}x"
+                )
+                reps.append(
+                    pa.Table.from_arrays(
+                        [pa.array(ids + j * 10_000_000), tagged.combine_chunks()],
+                        names=["doc_id", "text"],
+                    )
+                )
+            return pa.concat_tables(reps)
+
+        return corpus.map_batches(fn, batch_format="pyarrow")
+
+    def probe_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids % 29) == 0))
+
+    probe = corpus.map_batches(probe_batch, batch_format="pyarrow").materialize()
+    n_probe = probe.count()
+
+    out = {}
+    for k in replicas:
+        root = f"/tmp/ray_cdc_idx_frontier/{k}x"
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.time()
+        index_append(root, "base", replicate(k))
+        build_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            n = _consume(index_probe(root, probe))
+            times.append(round(time.time() - t0, 3))
+        out[f"{k}x"] = {
+            "indexed_docs": n_docs * k,
+            "build_sec": round(build_s, 3),
+            "probe_sec_min": min(times),
+            "probe_runs": times,
+            "verdicts": n,
+        }
+    ray.shutdown()
+    return {
+        "metric": "index_probe_frontier",
+        "probe_docs": n_probe,
+        "levels": out,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "host": meter.snapshot(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--index-frontier" in sys.argv:
+        print(json.dumps(run_index_frontier()))
     elif "--stress-corpus" in sys.argv:
         print(json.dumps(run_stress_corpus(
             replicate=int(os.environ.get("STRESS_REPLICATE", "20")))))

@@ -45,6 +45,10 @@ from .kernels import import_polars as _pl
 DATA_DIR = "data"
 STAGING_DIR = "_staging"
 MANIFEST_DIR = "_manifests"
+# probe band_key sets beyond this ride-along size stop paying for
+# themselves (the filter ships with every read task); fall back to the
+# full bucket-partition scan
+PROBE_KEY_PUSHDOWN_MAX = 4_000_000
 
 
 @dataclass
@@ -100,12 +104,14 @@ def index_append(
         store.rmtree(d)
     store.makedirs(staging)
     rows = docs.map_batches(minhash_lsh_fn, batch_format="pyarrow")
-    # range-sort by bucket so the partitioned write emits ~1 file per
-    # bucket per txn instead of blocks x buckets tiny files (measured
-    # 8184 -> ~130 files at sf0.1; probe read planning was dominated by
-    # file count). One all-to-all over band rows — index-sized, not
-    # corpus-sized.
-    rows = rows.sort("bucket")
+    # range-sort by (bucket, band_key): the partitioned write then
+    # emits ~1 file per bucket per txn instead of blocks x buckets tiny
+    # files (measured 8184 -> ~130 at sf0.1; probe read planning was
+    # dominated by file count), and WITHIN each file rows are
+    # band_key-ordered so row-group stats are tight band_key ranges —
+    # the probe's isin() pushdown prunes row groups from footer stats.
+    # One all-to-all over band rows — index-sized, not corpus-sized.
+    rows = rows.sort(["bucket", "band_key"])
     rows.write_parquet(
         staging,
         partition_cols=["bucket"],
@@ -136,6 +142,83 @@ def index_append(
                 store.delete_file(tmp)
             except OSError:
                 pass
+
+
+def index_compact(root: str, store=None) -> IndexManifest:
+    """Fold every committed txn's band rows into ONE compact txn — the
+    index's read-fan-in bound (probe cost per bucket is files-per-bucket
+    footer opens; a long append chain grows it linearly; compaction
+    returns it to 1).  Concurrent-append-safe: the manifest claim loop
+    carries FORWARD any txn committed after the fold's snapshot (the
+    fold covers exactly the snapshot's txns, newcomers stay listed), so
+    no append is ever silently dropped.  Superseded dirs are reclaimed
+    immediately (their manifest race is decided); crash before the
+    claim leaves the fold dir unreferenced and age-gated vacuumable."""
+    import ray.data as rd
+
+    store = _store(store)
+    m = read_index_manifest(root, store) or IndexManifest()
+    if len(m.txns) <= 1:
+        return m
+    base = list(m.txns)
+    txn = f"compact-{m.version + 1:06d}"
+    staging = os.path.join(root, STAGING_DIR, txn)
+    final = os.path.join(root, DATA_DIR, txn)
+    for d in (staging, final):
+        store.rmtree(d)
+    store.makedirs(staging)
+    files: list[str] = []
+    for t in base:
+        tdir = os.path.join(root, DATA_DIR, t)
+        if not store.isdir(tdir):
+            continue
+        for entry in store.listdir(tdir):
+            bdir = os.path.join(tdir, entry)
+            files += [
+                os.path.join(bdir, f)
+                for f in store.listdir(bdir)
+                if f.endswith(".parquet")
+            ]
+    rows = rd.read_parquet(files, filesystem=store.fs)
+
+    def fix_bucket(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("bucket"),
+            "bucket",
+            t["bucket"].cast(pa.int64()),
+        )
+
+    rows = rows.map_batches(fix_bucket, batch_format="pyarrow").sort(
+        ["bucket", "band_key"]
+    )
+    rows.write_parquet(
+        staging, partition_cols=["bucket"], filesystem=store.fs, compression="zstd"
+    )
+    store.makedirs(os.path.dirname(final))
+    store.replace_dir(staging, final)
+
+    base_set = set(base)
+    while True:
+        cur = read_index_manifest(root, store) or IndexManifest()
+        carried = [t for t in cur.txns if t not in base_set]
+        new = IndexManifest(version=cur.version + 1, txns=[txn, *carried])
+        tmp = os.path.join(root, MANIFEST_DIR, f".tmp-{txn}-{new.version}")
+        store.write_text(
+            tmp, json.dumps({"version": new.version, "txns": new.txns})
+        )
+        try:
+            store.claim_with_content(tmp, _manifest_path(root, new.version))
+            break
+        except FileExistsError:
+            continue
+        finally:
+            try:
+                store.delete_file(tmp)
+            except OSError:
+                pass
+    for t in base:
+        store.rmtree(os.path.join(root, DATA_DIR, t))
+    return new
 
 
 def _probe_files(
@@ -204,15 +287,25 @@ def index_probe(root: str, docs, threshold: float = 0.5, store=None):
     new_rows = docs.map_batches(
         minhash_lsh_fn, batch_format="pyarrow"
     ).materialize()
-    # the probe's bucket set: tiny (<= NUM_PAIR_BUCKETS ints) — names
-    # which index partitions must be read at all
+    # the probe's bucket set (<= NUM_PAIR_BUCKETS ints) names which
+    # index partitions are read at all, and its band_key set (16 ints
+    # per probe doc) drives the ROW-LEVEL pushdown below — an index row
+    # whose band_key no probe doc carries can never pair, so it must
+    # not reach the shuffle. Both sets are probe-sized driver state.
     probe_buckets: set[int] = set()
-    for b in new_rows.select_columns(["bucket"]).iter_batches(
+    key_parts: list[np.ndarray] = []
+    for b in new_rows.select_columns(["bucket", "band_key"]).iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
         probe_buckets.update(
             np.unique(b["bucket"].to_numpy(zero_copy_only=False)).tolist()
         )
+        key_parts.append(b["band_key"].to_numpy(zero_copy_only=False))
+    probe_keys = (
+        np.unique(np.concatenate(key_parts))
+        if key_parts
+        else np.empty(0, dtype=np.int64)
+    )
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -232,10 +325,27 @@ def index_probe(root: str, docs, threshold: float = 0.5, store=None):
     probe = new_rows.map_batches(tag(1), batch_format="pyarrow")
     files = _probe_files(root, m, probe_buckets, store)
     if files:
+        import pyarrow.dataset as pads
+
+        # band_key membership pushdown: files are band_key-sorted within
+        # each bucket, so the isin() predicate prunes row groups from
+        # footer stats and only MATCHING index rows are decoded and
+        # shuffled — probe cost tracks matches, not index breadth.
+        # Guarded for huge probe batches (the filter ships with every
+        # read task); past the cap the full-bucket scan is cheaper.
+        flt = None
+        if 0 < len(probe_keys) <= PROBE_KEY_PUSHDOWN_MAX:
+            flt = pads.field("band_key").isin(pa.array(probe_keys))
+        # bound read blocks: one block PER FILE would hand the bucket
+        # groupby hundreds of tiny sort tasks (measured: 12.8 s of task
+        # overhead sorting 8k rows across 446 blocks); post-filter rows
+        # are match-sized, so a few dozen blocks is plenty
         idx = rd.read_parquet(
             files,
             columns=["band_key", "bucket", "doc_id", "sig"],
             filesystem=store.fs,
+            filter=flt,
+            override_num_blocks=min(len(files), 48),
         ).map_batches(tag(0), batch_format="pyarrow")
         both = probe.union(idx)
     else:
