@@ -90,6 +90,7 @@ SECONDARY = [
     "cdc_mor_evolution",  # column add, then old-shape mor tail (backfill)
     "cdc_scan_payload",  # payload-column ranges= scan (truncated bounds)
     "cdc_zorder_scan",  # z-order clustering compaction + 2-column pruned scan
+    "cdc_constraints",  # CHECK-constraint gated ingest (drop-and-count)
 ]
 
 

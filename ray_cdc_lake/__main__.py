@@ -192,6 +192,25 @@ def cmd_delete_where(a) -> int:
     return 0
 
 
+def cmd_constraint(a) -> int:
+    from .sink import drop_constraint, read_manifest, set_constraint
+
+    if a.set:
+        name, column, op = a.set
+        value = json.loads(a.value) if a.value is not None else None
+        m = set_constraint(a.lake, name, column, op, value)
+    elif a.drop:
+        m = drop_constraint(a.lake, a.drop)
+    else:
+        m = read_manifest(a.lake)
+    print(
+        json.dumps(
+            {"lake": a.lake, "version": m.version, "constraints": m.constraints}
+        )
+    )
+    return 0
+
+
 def cmd_fsck(a) -> int:
     from .fsck import fsck
 
@@ -409,6 +428,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("op", choices=["==", "prefix"])
     sp.add_argument("value")
     sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser(
+        "constraint",
+        help="list / set / drop declarative CHECK constraints "
+        "(metadata-only commits; enforced on every apply)",
+    )
+    common(sp, buckets=False)
+    sp.add_argument(
+        "--set", nargs=3, metavar=("NAME", "COLUMN", "OP"), default=None
+    )
+    sp.add_argument(
+        "--value", default=None, help="JSON value for the op (e.g. '[\"de\"]')"
+    )
+    sp.add_argument("--drop", metavar="NAME", default=None)
+    sp.set_defaults(fn=cmd_constraint)
 
     sp = sub.add_parser(
         "fsck",

@@ -140,6 +140,105 @@ def _gate_invalid(ds: "ray.data.Dataset", on_invalid: str):
     )
 
 
+def _constraint_mask(t: "pa.Table", constraints: list[dict]):
+    """True where a non-delete event row violates some registered CHECK
+    constraint. SQL three-valued logic for value ops (NULL passes);
+    ``not_null`` is the null catcher; a column absent from the batch is
+    all-null. Delete events are exempt (their payload is null by
+    construction — a tombstone must never be blocked by a content
+    constraint)."""
+    import pyarrow.compute as pc
+
+    viol = pa.array(np.zeros(t.num_rows, dtype=bool))
+    for c in constraints:
+        col = (
+            t[c["column"]]
+            if c["column"] in t.column_names
+            else pa.nulls(t.num_rows)
+        )
+        op = c["op"]
+        if op == "not_null":
+            bad = pc.is_null(col)
+        elif op == "in":
+            vs = pa.array(c["value"])
+            bad = pc.and_(
+                pc.invert(pc.fill_null(pc.is_in(col, value_set=vs), False)),
+                pc.is_valid(col),
+            )
+        elif op == "<=":
+            bad = pc.fill_null(pc.greater(col, c["value"]), False)
+        elif op == ">=":
+            bad = pc.fill_null(pc.less(col, c["value"]), False)
+        elif op == "max_len":
+            bad = pc.fill_null(
+                pc.greater(pc.utf8_length(col), c["value"]), False
+            )
+        else:  # unknown op from a future writer: conservative pass
+            continue
+        viol = pc.or_(viol, bad)
+    if "op" in t.column_names:
+        viol = pc.and_(
+            viol, pc.not_equal(t["op"].fill_null(""), "delete")
+        )
+    return viol
+
+
+def _gate_constraints(
+    ds: "ray.data.Dataset", constraints: list[dict], on_violation: str
+):
+    """Enforce the manifest's CHECK constraints on incoming events —
+    the same gate shape as _gate_invalid: 'raise' fails the apply with
+    a sample naming the violated constraints, 'drop' filters violating
+    rows out and records ``applied_constraint_dropped``."""
+    import pyarrow.compute as pc
+
+    if on_violation == "raise":
+
+        def check(t: pa.Table) -> pa.Table:
+            bad = _constraint_mask(t, constraints)
+            nbad = pc.sum(pc.cast(bad, pa.int64())).as_py() or 0
+            if nbad:
+                keycols = [
+                    c
+                    for c in ("lsn", "op", "repo", "path")
+                    if c in t.column_names
+                ]
+                sample = t.filter(bad).select(keycols).slice(0, 3).to_pylist()
+                names = [c["name"] for c in constraints]
+                raise ValueError(
+                    f"{nbad} event rows violate table constraints "
+                    f"{names}; sample: {sample}"
+                )
+            return t
+
+        return ds.map_batches(check, batch_format="pyarrow"), None
+    if on_violation == "drop":
+
+        def count_bad(t: pa.Table) -> pa.Table:
+            n = (
+                pc.sum(
+                    pc.cast(_constraint_mask(t, constraints), pa.int64())
+                ).as_py()
+                or 0
+            )
+            return pa.Table.from_pydict({"n": pa.array([n], type=pa.int64())})
+
+        n_bad = int(
+            ds.map_batches(count_bad, batch_format="pyarrow").sum("n") or 0
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(_constraint_mask(t, constraints)))
+
+        gated = ds.map_batches(keep, batch_format="pyarrow")
+        return gated, (
+            {"applied_constraint_dropped": n_bad} if n_bad else None
+        )
+    raise ValueError(
+        f"on_violation must be 'raise' or 'drop', got {on_violation!r}"
+    )
+
+
 def apply_incremental(
     lake_dir: str,
     txn_id: str,
@@ -153,6 +252,7 @@ def apply_incremental(
     store: "LakeStore | None" = None,
     mode: str = "cow",
     on_invalid: str | None = None,
+    on_violation: str = "raise",
 ) -> Manifest:
     """One exactly-once incremental CDC apply:
 
@@ -201,6 +301,16 @@ def apply_incremental(
     extra_metrics = None
     if on_invalid is not None:
         compiled_events, extra_metrics = _gate_invalid(compiled_events, on_invalid)
+    # CHECK constraints as of the apply's start (set_constraint):
+    # registered entries gate every incoming event; ``on_violation``
+    # picks raise-with-sample or drop-and-count
+    _m0 = read_manifest(lake_dir, branch=branch, store=store)
+    if _m0.constraints:
+        compiled_events, _cm = _gate_constraints(
+            compiled_events, _m0.constraints, on_violation
+        )
+        if _cm:
+            extra_metrics = {**(extra_metrics or {}), **_cm}
     last: CommitConflict | None = None
     for _ in range(max_attempts):
         try:
@@ -1043,6 +1153,7 @@ def compact(
         # lineage metrics survive compaction even though the txns they
         # describe are vacuumed — they are history, not file references
         metrics=_retain_metrics(m.metrics),
+        constraints=m.constraints,
     )
     _publish(lake_dir, final, store=store)
     # reclaim the txns THIS commit provably superseded without waiting

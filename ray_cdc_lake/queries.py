@@ -780,6 +780,63 @@ def q_cdc_zorder_scan(sf_dir: str):
 _ZORDERED: dict = {}
 
 
+def q_cdc_constraints(sf_dir: str):
+    """Declarative table CHECK constraints (sink.set_constraint — the
+    Delta ALTER TABLE ADD CONSTRAINT analog): a metadata-only commit
+    registers ``lang IN ('de','en','fr')`` on an empty lake; both
+    ingest txns then run with ``on_violation='drop'`` so violating
+    events are filtered AND counted in the txn metrics before the
+    merge. Result: the final live state of the constrained replay —
+    the oracle replays with the same predicate applied pre-ranking
+    (deletes and NULL lang exempt, SQL three-valued CHECK logic).
+    Dropping an update resurrects the key's older image, which the
+    shared LWW ranking reproduces naturally."""
+    import shutil
+
+    from .checkpoint import apply_incremental
+    from .events import STRIDE
+    from .schemas import COMPILED_SCHEMA
+    from .sink import read_lake, set_constraint
+
+    lake = f"/tmp/ray_cdc_lake_constraintq/{sf_dir.strip('/').replace('/', '_')}"
+    if not _CONSTRAINED.get(lake):
+        shutil.rmtree(lake, ignore_errors=True)
+        set_constraint(lake, "lang_allowed", "lang", "in", ["de", "en", "fr"])
+        cut = 2 * STRIDE
+        ev = compiled_log(sf_dir, E).materialize()
+        seg1 = ev.map_batches(
+            lambda t: t.filter(pc.less(t["lsn"], cut)), batch_format="pyarrow"
+        )
+        seg2 = ev.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["lsn"], cut)),
+            batch_format="pyarrow",
+        )
+        apply_incremental(
+            lake,
+            "txn-0001",
+            seg1,
+            events_schema=COMPILED_SCHEMA,
+            on_violation="drop",
+        )
+        apply_incremental(
+            lake,
+            "txn-0002",
+            seg2,
+            events_schema=COMPILED_SCHEMA,
+            on_violation="drop",
+        )
+        _CONSTRAINED[lake] = True
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.select(["repo", "path", "commit", "lang", "content", "lsn"])
+        return add_sha256(t, column="content", out="content_sha256")
+
+    return read_lake(lake).map_batches(finish, batch_format="pyarrow")
+
+
+_CONSTRAINED: dict = {}
+
+
 def q_cdc_change_batch_compile(sf_dir: str):
     """The reference's NATIVE input path (M2, ReorderFiles.kt:304-327):
     change-batch JSON documents -> rename instructions. One batch per
@@ -1724,6 +1781,29 @@ CDC_SQL: dict[str, str] = {
         FROM ranked
         WHERE rn = 1 AND op <> 'delete'
           AND lang >= 'de' AND lang <= 'es'""",
+    # the constrained replay: CHECK 'lang IN (de,en,fr)' gates every
+    # non-delete event pre-merge (NULL passes — SQL CHECK semantics);
+    # ranking over the gated stream is the oracle final state
+    "cdc_constraints": f"""
+        WITH {{EVENTS_CTE}}, {{COMPILED_ONLY_CTE}},
+        gated AS (
+          SELECT * FROM compiled
+          WHERE op = 'delete' OR lang IS NULL
+             OR lang IN ('de', 'en', 'fr')),
+        normalized AS (
+          SELECT lsn, op, repo, path, "commit", lang,
+                 nfc_normalize(replace(replace(content, chr(13)||chr(10), chr(10)),
+                                       chr(13), chr(10))) AS content
+          FROM gated),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+              ORDER BY lsn DESC, (op <> 'delete') DESC, "commit" DESC) AS rn
+          FROM normalized)
+        SELECT repo, path, "commit", lang, content,
+               sha256(content) AS content_sha256, lsn
+        FROM ranked WHERE rn = 1 AND op <> 'delete'""".format(
+        EVENTS_CTE=EVENTS_CTE, COMPILED_ONLY_CTE=COMPILED_ONLY_CTE
+    ),
     # live winners under docs/en/* below the rename epoch — what the
     # z-ordered two-column pruned scan must return
     "cdc_zorder_scan": f"""
@@ -4145,6 +4225,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "cdc_final_state_spill": q_cdc_final_state_spill,
         "cdc_compact_state": q_cdc_compact_state,
         "cdc_zorder_scan": q_cdc_zorder_scan,
+        "cdc_constraints": q_cdc_constraints,
         "cdc_rescale_online": q_cdc_rescale_online,
         "cdc_replicate": q_cdc_replicate,
         "cdc_idempotent_replay": q_cdc_idempotent_replay,

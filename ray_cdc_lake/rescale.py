@@ -97,6 +97,7 @@ def rescale_start(
         version=m.version + 1,
         buckets=m.buckets,
         txns=m.txns,
+        constraints=m.constraints,
         schema_version=m.schema_version,
         schema_fields=m.schema_fields,
         num_buckets=m.num_buckets,
@@ -220,6 +221,7 @@ def _rescale_step_once(
         version=m.version + 1,
         buckets=new_buckets,
         txns=[*m.txns, txn] if with_data else m.txns,
+        constraints=m.constraints,
         schema_version=m.schema_version,
         schema_fields=m.schema_fields,
         num_buckets=to if done else M,

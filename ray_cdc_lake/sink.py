@@ -405,6 +405,14 @@ class Manifest:
     # compact, fold) clears its delta list — the rewrite merged them in.
     # Old manifests read back as {}.
     deltas: dict[str, list[dict]] = field(default_factory=dict)
+    # declarative table CHECK constraints (the Delta ALTER TABLE ADD
+    # CONSTRAINT analog): [{"name", "column", "op", "value"}] — enforced
+    # on every apply's incoming events (checkpoint._gate_constraints).
+    # Ops: not_null, in, <=, >=, max_len. Value constraints follow SQL
+    # CHECK three-valued logic: NULL passes (not_null is the null catcher).
+    # Old manifests read back as []. Metadata-only commits
+    # (set_constraint / drop_constraint) add or remove entries.
+    constraints: list[dict] = field(default_factory=list)
     # in-flight ONLINE RESCALE state (None = not rescaling):
     # {"to": target modulus, "split": sorted old-bucket ids already split}.
     # While set, bucket assignment is MIXED: a key whose OLD bucket
@@ -450,6 +458,7 @@ def _manifest_from_dict(d: dict) -> Manifest:
         metrics=d.get("metrics", {}),
         deletes=d.get("deletes", []),
         deltas=d.get("deltas", {}),
+        constraints=d.get("constraints", []),
         rescale=d.get("rescale"),
     )
 
@@ -566,6 +575,7 @@ def _publish(
         "metrics": m.metrics,
         "deletes": m.deletes,
         "deltas": m.deltas,
+        "constraints": m.constraints,
         "rescale": m.rescale,
         "committed_at": time.time(),
     }
@@ -718,6 +728,7 @@ def merge_branch(lake_dir: str, name: str, store: LakeStore | None = None) -> Ma
         metrics=b.metrics,
         deletes=b.deletes,
         deltas=b.deltas,
+        constraints=b.constraints,
         rescale=b.rescale,
     )
     _publish(lake_dir, merged, store=store)
@@ -890,6 +901,7 @@ def commit_txn(
             e for e in manifest.deletes if _active_delete_buckets(e, new_buckets)
         ],
         deltas=new_deltas,
+        constraints=manifest.constraints,
         # an in-flight online rescale rides through ordinary applies
         # untouched — the apply bucketed its winners with the mixed rule
         rescale=manifest.rescale,
@@ -1008,12 +1020,117 @@ def delete_where(
             ]
             + [entry],
             deltas=manifest.deltas,
+            constraints=manifest.constraints,
             rescale=manifest.rescale,
         )
         try:
             _publish(lake_dir, new, store=store, branch=branch)
             return new
         except CommitConflict as exc:  # another writer won this version
+            last = exc
+    raise last
+
+
+#: CHECK-constraint operators. Small on purpose (mirrors DELETE_OPS):
+#: every op must be evaluable as a vectorized Arrow kernel at apply time
+#: AND by the downstream SQL oracles. Value ops use SQL three-valued
+#: logic (NULL passes); ``not_null`` is the null catcher.
+CONSTRAINT_OPS = ("not_null", "in", "<=", ">=", "max_len")
+
+
+def set_constraint(
+    lake_dir: str,
+    name: str,
+    column: str,
+    op: str,
+    value=None,
+    store: LakeStore | None = None,
+    branch: str | None = None,
+    max_attempts: int = 5,
+) -> Manifest:
+    """Register a declarative CHECK constraint (the Delta ``ALTER TABLE
+    ADD CONSTRAINT`` analog) as a METADATA-ONLY commit: manifest v+1
+    carries the entry; every subsequent ``apply_incremental`` enforces
+    it against incoming events (checkpoint._gate_constraints) — raise or
+    drop-and-count per the apply's ``on_violation``. Existing committed
+    data is NOT retro-checked (same contract as Delta: the constraint
+    governs writes from its commit forward). Re-registering the same
+    name replaces the entry (idempotent for identical specs)."""
+    if op not in CONSTRAINT_OPS:
+        raise ValueError(f"op must be one of {CONSTRAINT_OPS}, got {op!r}")
+    if op == "not_null" and value is not None:
+        raise ValueError("not_null takes no value")
+    if op == "in" and not isinstance(value, (list, tuple)):
+        raise ValueError("'in' needs a list value")
+    if op in ("<=", ">=", "max_len") and value is None:
+        raise ValueError(f"{op!r} needs a value")
+    store = store or _DEFAULT_STORE
+    entry = {
+        "name": name,
+        "column": column,
+        "op": op,
+        "value": list(value) if isinstance(value, tuple) else value,
+    }
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        m = read_manifest(lake_dir, store=store, branch=branch)
+        if entry in m.constraints:
+            return m  # identical spec already registered
+        kept = [c for c in m.constraints if c["name"] != name]
+        new = Manifest(
+            version=m.version + 1,
+            buckets=m.buckets,
+            txns=m.txns,
+            schema_version=m.schema_version,
+            schema_fields=m.schema_fields,
+            num_buckets=m.num_buckets,
+            metrics=m.metrics,
+            deletes=m.deletes,
+            deltas=m.deltas,
+            constraints=[*kept, entry],
+            rescale=m.rescale,
+        )
+        try:
+            _publish(lake_dir, new, store=store, branch=branch)
+            return new
+        except CommitConflict as exc:
+            last = exc
+    raise last
+
+
+def drop_constraint(
+    lake_dir: str,
+    name: str,
+    store: LakeStore | None = None,
+    branch: str | None = None,
+    max_attempts: int = 5,
+) -> Manifest:
+    """Remove a registered CHECK constraint (metadata-only commit;
+    dropping an unknown name is a no-op returning the current manifest)."""
+    store = store or _DEFAULT_STORE
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        m = read_manifest(lake_dir, store=store, branch=branch)
+        kept = [c for c in m.constraints if c["name"] != name]
+        if len(kept) == len(m.constraints):
+            return m
+        new = Manifest(
+            version=m.version + 1,
+            buckets=m.buckets,
+            txns=m.txns,
+            schema_version=m.schema_version,
+            schema_fields=m.schema_fields,
+            num_buckets=m.num_buckets,
+            metrics=m.metrics,
+            deletes=m.deletes,
+            deltas=m.deltas,
+            constraints=kept,
+            rescale=m.rescale,
+        )
+        try:
+            _publish(lake_dir, new, store=store, branch=branch)
+            return new
+        except CommitConflict as exc:
             last = exc
     raise last
 

@@ -128,3 +128,21 @@ def test_cli_compact_zorder(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["txns"] == [f"compact-{out['version']:06d}"]
     assert read_lake(lake).count() == before
+
+
+def test_cli_constraint_roundtrip(tmp_path, capsys):
+    lake = str(tmp_path / "lake")
+    assert (
+        main(
+            [
+                "constraint", "--lake", lake,
+                "--set", "langs", "lang", "in", "--value", '["py", "md"]',
+            ]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"][0]["value"] == ["py", "md"]
+    assert main(["constraint", "--lake", lake, "--drop", "langs"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["constraints"] == []
