@@ -192,6 +192,46 @@ def cmd_delete_where(a) -> int:
     return 0
 
 
+def cmd_sigindex(a) -> int:
+    from .nearindex import (
+        index_append,
+        index_compact,
+        index_probe,
+        index_vacuum,
+        read_index_manifest,
+    )
+
+    def docs():
+        from .sources import read_table
+
+        return read_table(a.sf_dir, "documents", columns=["doc_id", "text"])
+
+    if a.append:
+        _ray_up()
+        m = index_append(a.root, a.append, docs())
+        out = {"root": a.root, "version": m.version, "txns": m.txns}
+    elif a.probe:
+        _ray_up()
+        n = index_probe(a.root, docs(), threshold=a.threshold).count()
+        out = {"root": a.root, "duplicates": n}
+    elif a.compact:
+        _ray_up()
+        m = index_compact(a.root)
+        out = {"root": a.root, "version": m.version, "txns": m.txns}
+    elif a.vacuum:
+        removed = index_vacuum(a.root, grace_s=a.grace_s)
+        out = {"root": a.root, "removed": removed}
+    else:
+        m = read_index_manifest(a.root)
+        out = {
+            "root": a.root,
+            "version": m.version if m else 0,
+            "txns": m.txns if m else [],
+        }
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_constraint(a) -> int:
     from .sink import drop_constraint, read_manifest, set_constraint
 
@@ -428,6 +468,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("op", choices=["==", "prefix"])
     sp.add_argument("value")
     sp.set_defaults(fn=cmd_delete_where)
+
+    sp = sub.add_parser(
+        "sigindex",
+        help="persisted LSH signature index: --append TXN (exactly-once) "
+        "/ --probe (near-dup verdicts for --sf-dir docs) / --compact / "
+        "--vacuum / no flag = show manifest",
+    )
+    sp.add_argument("--root", required=True, help="index directory")
+    sp.add_argument("--sf-dir", default=None, help="documents source")
+    sp.add_argument("--append", metavar="TXN", default=None)
+    sp.add_argument("--probe", action="store_true")
+    sp.add_argument("--threshold", type=float, default=0.5)
+    sp.add_argument("--compact", action="store_true")
+    sp.add_argument("--vacuum", action="store_true")
+    sp.add_argument("--grace-s", type=float, default=86400.0)
+    sp.set_defaults(fn=cmd_sigindex)
 
     sp = sub.add_parser(
         "constraint",

@@ -146,3 +146,20 @@ def test_cli_constraint_roundtrip(tmp_path, capsys):
     assert main(["constraint", "--lake", lake, "--drop", "langs"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["constraints"] == []
+
+
+def test_cli_sigindex_lifecycle(tmp_path, capsys):
+    root = str(tmp_path / "sigidx")
+    assert main(["sigindex", "--root", root, "--sf-dir", SF, "--append", "base"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["txns"] == ["base"]
+    assert main(["sigindex", "--root", root, "--sf-dir", SF, "--append", "b2"]) == 0
+    capsys.readouterr()
+    # probing the SAME docs against the index finds every doc duplicated
+    assert main(["sigindex", "--root", root, "--sf-dir", SF, "--probe"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["duplicates"] > 0
+    assert main(["sigindex", "--root", root, "--compact"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["txns"]) == 1 and out["txns"][0].startswith("compact-")
+    assert main(["sigindex", "--root", root, "--vacuum"]) == 0
