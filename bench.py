@@ -75,6 +75,7 @@ SECONDARY = [
     "text_bpe_encode",  # encode with the trained merge table
     "text_classify_nb",  # distributed NB train + vectorized predict
     "corpus_route_nb",  # classifier-driven keep/quarantine routing
+    "text_classify_eval",  # confusion-matrix aggregate of the NB model
     "mm_resize",
     "mm_feature_extract",
     "corpus_contamination_ngram",

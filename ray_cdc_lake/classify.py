@@ -286,11 +286,78 @@ ROUTE_SQL = (
 )
 
 
+def q_text_classify_eval(sf_dir: str):
+    """Classifier EVALUATION as a distributed aggregate: the confusion
+    matrix (lang x predicted_lang -> count) of the trained NB model over
+    its training corpus — the quality report a curation pipeline ships
+    next to the routed output. One vectorized predict pass + one
+    combiner-first count aggregation; oracle = the NB score SQL joined
+    back to documents and grouped."""
+    from ray.data.aggregate import Sum
+
+    from .sources import read_table
+
+    model = _NB_CACHE.get(sf_dir)
+    if model is None:
+        model = nb_train(
+            read_table(sf_dir, "documents", columns=["lang", "text"]), "lang"
+        )
+        _NB_CACHE[sf_dir] = model
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    scored = nb_predict(docs, model, keep_cols=("lang",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = np.char.add(
+            np.char.add(
+                np.asarray(t["lang"].to_pandas(), dtype=object).astype(str),
+                "\x1f",
+            ),
+            np.asarray(
+                t["predicted_lang"].to_pandas(), dtype=object
+            ).astype(str),
+        )
+        uk, counts = np.unique(key, return_counts=True)
+        langs = [k.split("\x1f")[0] for k in uk]
+        preds = [k.split("\x1f")[1] for k in uk]
+        return pa.Table.from_arrays(
+            [
+                pa.array(langs, type=pa.string()),
+                pa.array(preds, type=pa.string()),
+                pa.array(counts.astype("int64")),
+            ],
+            names=["lang", "predicted_lang", "n_docs"],
+        )
+
+    return (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "predicted_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+EVAL_SQL = (
+    NB_SQL.replace(
+        "SELECT doc_id, lang AS predicted_lang FROM (",
+        """SELECT d.lang, p.lang AS predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (""",
+    ).replace(
+        "FROM scores) WHERE rn = 1",
+        "FROM scores) p JOIN documents d USING (doc_id) "
+        "WHERE p.rn = 1 GROUP BY d.lang, p.lang",
+    )
+)
+
+
 def registry():
     return {
         "text_classify_nb": q_text_classify_nb,
         "corpus_route_nb": q_corpus_route_nb,
+        "text_classify_eval": q_text_classify_eval,
     }, {
         "text_classify_nb": NB_SQL,
         "corpus_route_nb": ROUTE_SQL,
+        "text_classify_eval": EVAL_SQL,
     }

@@ -260,4 +260,44 @@ def fsck(
             )
         )
 
+    # -- registered CHECK constraints vs committed live data ----------------
+    # (data=True only; constraints gate WRITES from their registration
+    # forward, so pre-existing violations are possible — this check is
+    # the retro-audit that finds them)
+    if data and m.constraints and m.buckets:
+        from .checkpoint import _constraint_mask
+        from .sink import read_lake
+
+        cols = sorted({c["column"] for c in m.constraints})
+        cons = m.constraints
+
+        def viol_count(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = (
+                pc.sum(
+                    pc.cast(_constraint_mask(t, cons), pa.int64())
+                ).as_py()
+                or 0
+            )
+            return pa.Table.from_pydict(
+                {"n": pa.array([int(n)], type=pa.int64())}
+            )
+
+        nviol = int(
+            read_lake(lake_dir, store=store, columns=cols, branch=branch)
+            .map_batches(viol_count, batch_format="pyarrow")
+            .sum("n")
+            or 0
+        )
+        out.append(
+            (
+                "constraints",
+                "ok" if nviol == 0 else "fail",
+                f"{len(cons)} constraints hold over live data"
+                if nviol == 0
+                else f"{nviol} live rows violate registered constraints",
+            )
+        )
+
     return _rows(out)

@@ -111,3 +111,18 @@ def test_cli_fsck(tmp_path, capsys):
         )
     )
     assert main(["fsck", "--lake", lake]) == 1
+
+
+def test_constraints_audit(tmp_path):
+    """Registered AFTER data exists: fsck --data retro-audits committed
+    rows; pre-existing violations surface as a fail, a satisfied
+    constraint as ok."""
+    from ray_cdc_lake.sink import set_constraint
+
+    lake = _lake(tmp_path)
+    set_constraint(lake, "short", "content", "max_len", 1000)
+    rep = _report(lake, data=True)
+    assert rep["constraints"][0] == "ok"
+    set_constraint(lake, "tiny", "content", "max_len", 1)
+    rep = _report(lake, data=True)
+    assert rep["constraints"][0] == "fail"
