@@ -293,6 +293,13 @@ def apply_incremental(
     extra pass over the micro-batch for the count). Default ``None``
     adds zero cost and trusts the compiler's output — the right setting
     when events come from this engine's own ``compile_changes``.
+
+    ``on_violation`` picks the enforcement mode for registered CHECK
+    constraints (sink.set_constraint): ``"raise"`` (default) fails the
+    apply with a key sample naming the violated constraints;
+    ``"drop"`` filters violating rows and records
+    ``applied_constraint_dropped`` in the txn metrics. Ignored when the
+    manifest carries no constraints (zero cost).
     """
     from .sink import CommitConflict
 
