@@ -160,11 +160,18 @@ def _constraint_mask(t: "pa.Table", constraints: list[dict]):
         if op == "not_null":
             bad = pc.is_null(col)
         elif op == "in":
-            vs = pa.array(c["value"])
-            bad = pc.and_(
-                pc.invert(pc.fill_null(pc.is_in(col, value_set=vs), False)),
-                pc.is_valid(col),
-            )
+            if not c["value"]:
+                # empty allow-list: every non-null value violates (an
+                # empty pa.array is null-typed and is_in would raise)
+                bad = pc.is_valid(col)
+            else:
+                vs = pa.array(c["value"])
+                bad = pc.and_(
+                    pc.invert(
+                        pc.fill_null(pc.is_in(col, value_set=vs), False)
+                    ),
+                    pc.is_valid(col),
+                )
         elif op == "<=":
             bad = pc.fill_null(pc.greater(col, c["value"]), False)
         elif op == ">=":

@@ -121,6 +121,13 @@ def zorder_key(
             r[~mask] = 0
         else:
             r = np.searchsorted(bnd, vals, side="right").astype(np.uint64)
+        # normalize to the FULL bit range: a low-cardinality column's
+        # raw ranks would occupy only the low (finest-grained) bit
+        # lanes and contribute no file-level locality; scaling by a
+        # positive constant preserves order and spreads its distinct
+        # values across the high bits
+        scale = np.uint64(max(1, ((1 << bits) - 1) // len(bnd)))
+        r = np.minimum(r * scale, np.uint64((1 << bits) - 1))
         ranks.append(r)
     for i in range(bits):
         for c, r in enumerate(ranks):

@@ -156,3 +156,30 @@ def test_maybe_compact_zorder_passthrough(tmp_path):
     m = maybe_compact(lake, max_txns=2, zorder=("path", "lsn"))
     assert m is not None and m.txns[0].startswith("compact-")
     assert lake_state(lake) == before
+
+
+def test_zorder_three_columns(tmp_path):
+    """k=3 interleave: state preserved and every z column's file bounds
+    participate in pruning."""
+    lake = str(tmp_path / "lake")
+    rows = _rows()
+    apply_incremental(lake, "txn-a", ev_ds(rows), num_buckets=2)
+    before = lake_state(lake)
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.target_max_block_size
+    ctx.target_max_block_size = 16 * 1024
+    try:
+        compact(lake, zorder=("repo", "path", "lsn"))
+    finally:
+        ctx.target_max_block_size = prev
+    assert lake_state(lake) == before
+    m = read_manifest(lake)
+    for rng_ in (
+        {"repo": ("r1", "r2")},
+        {"path": ("f0050", "f0150")},
+        {"lsn": (50, 150)},
+    ):
+        _, acct = _plan_scan(m, lake, rng_)
+        assert acct["files_pruned"] > 0, rng_
