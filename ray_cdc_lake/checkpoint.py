@@ -320,6 +320,14 @@ def apply_incremental(
     # picks raise-with-sample or drop-and-count
     _m0 = read_manifest(lake_dir, branch=branch, store=store)
     if _m0.constraints:
+        if events_schema is None:
+            # the gate's map_batches hides the input schema from the
+            # mor path's evolution check — pin the ARROW schema before
+            # wrapping (Ray's Schema wrapper is not a pa.Schema)
+            _s = compiled_events.schema(fetch_if_missing=True)
+            events_schema = getattr(_s, "base_schema", None) or pa.schema(
+                list(zip(_s.names, _s.types))
+            )
         compiled_events, _cm = _gate_constraints(
             compiled_events, _m0.constraints, on_violation
         )

@@ -133,3 +133,20 @@ def test_constraints_survive_compact_and_delete(tmp_path):
             ev_ds([(9, "insert", "r3", "x.py", "Z" * 200)]),
             num_buckets=2,
         )
+
+
+def test_constraints_gate_mor_applies(tmp_path):
+    """The gate sits above the commit mode: a merge-on-read delta apply
+    is constrained exactly like copy-on-write."""
+    lake = str(tmp_path / "lake")
+    set_constraint(lake, "short", "content", "max_len", 10)
+    base = [(1, "insert", "r1", "a.py", "A1")]
+    apply_incremental(lake, "t1", ev_ds(base), num_buckets=2)
+    bad = [(2, "update", "r1", "a.py", "B" * 50)]
+    with pytest.raises(Exception, match="short"):
+        apply_incremental(lake, "t2", ev_ds(bad), num_buckets=2, mode="mor")
+    m = apply_incremental(
+        lake, "t2", ev_ds(bad), num_buckets=2, mode="mor", on_violation="drop"
+    )
+    assert m.metrics["t2"]["applied_constraint_dropped"] == 1
+    assert lake_state(lake)[("r1", "a.py")][1] == "A1"  # update was dropped
