@@ -160,22 +160,27 @@ def test_maybe_compact_zorder_passthrough(tmp_path):
 
 def test_zorder_three_columns(tmp_path):
     """k=3 interleave: state preserved and every z column's file bounds
-    participate in pruning."""
+    participate in pruning. The LOWEST-priority column only localizes
+    one bit per log2(files)/k of partition depth, so the fixture forces
+    enough files (~4 KiB blocks -> ~40) that even lsn's top bit maps to
+    whole files."""
     lake = str(tmp_path / "lake")
     rows = _rows()
-    apply_incremental(lake, "txn-a", ev_ds(rows), num_buckets=2)
+    apply_incremental(lake, "txn-a", ev_ds(rows), num_buckets=1)
     before = lake_state(lake)
     import ray.data
 
     ctx = ray.data.DataContext.get_current()
     prev = ctx.target_max_block_size
-    ctx.target_max_block_size = 16 * 1024
+    ctx.target_max_block_size = 4 * 1024
     try:
         compact(lake, zorder=("repo", "path", "lsn"))
     finally:
         ctx.target_max_block_size = prev
     assert lake_state(lake) == before
     m = read_manifest(lake)
+    n_files = sum(len(b["files"]) for b in m.buckets.values())
+    assert n_files >= 24, n_files
     for rng_ in (
         {"repo": ("r1", "r2")},
         {"path": ("f0050", "f0150")},
