@@ -970,6 +970,12 @@ def run_sustained_maintained() -> dict:
 
     m = read_manifest(lake)
     live_rows = read_lake(lake).count()
+    # close the loop: the survivor of 64 txns of ingest + interleaved
+    # compaction/expiry must pass its own integrity audit (untimed)
+    from ray_cdc_lake.fsck import fsck as _fsck
+
+    fsck_rows = _fsck(lake, data=True).to_pylist()
+    fsck_fails = [r["check"] for r in fsck_rows if r["status"] == "fail"]
     ray.shutdown()
     eps = total_events / tail_wall
     return {
@@ -989,6 +995,8 @@ def run_sustained_maintained() -> dict:
             "metrics_entries_final": len(m.metrics),
             "manifest_version_final": m.version,
             "live_rows": live_rows,
+            "fsck_checks": len(fsck_rows),
+            "fsck_fails": fsck_fails,
         },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
