@@ -196,7 +196,17 @@ def _gate_constraints(
     """Enforce the manifest's CHECK constraints on incoming events —
     the same gate shape as _gate_invalid: 'raise' fails the apply with
     a sample naming the violated constraints, 'drop' filters violating
-    rows out and records ``applied_constraint_dropped``."""
+    rows out and records ``applied_constraint_dropped``.
+
+    Called INSIDE the apply's optimistic-commit attempt, on the
+    post-watermark stream: the constraint set comes from the same
+    manifest read that pins the commit's expected_version, so a
+    concurrent ``set_constraint`` landing mid-apply forces a
+    CommitConflict retry that re-gates with the fresh set — no window
+    where rows violating an already-committed constraint slip in. The
+    count in 'drop' mode therefore reflects rows that would actually
+    have entered the merge (below-hwm redeliveries are already gone).
+    """
     import pyarrow.compute as pc
 
     if on_violation == "raise":
@@ -220,6 +230,12 @@ def _gate_constraints(
 
         return ds.map_batches(check, batch_format="pyarrow"), None
     if on_violation == "drop":
+        # Single upstream execution for count + filter: materialize the
+        # post-watermark micro-batch once (bounded by the incoming delta,
+        # never the lake — same class as the apply's own combined-delta
+        # materialize), then both passes read the cached blocks instead
+        # of re-running the compile/normalize pipeline.
+        ds = ds.materialize()
 
         def count_bad(t: pa.Table) -> pa.Table:
             n = (
@@ -312,27 +328,29 @@ def apply_incremental(
 
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if on_violation not in ("raise", "drop"):
+        raise ValueError(
+            f"on_violation must be 'raise' or 'drop', got {on_violation!r}"
+        )
     extra_metrics = None
     if on_invalid is not None:
         compiled_events, extra_metrics = _gate_invalid(compiled_events, on_invalid)
-    # CHECK constraints as of the apply's start (set_constraint):
-    # registered entries gate every incoming event; ``on_violation``
-    # picks raise-with-sample or drop-and-count
+    # CHECK constraints (set_constraint) are enforced INSIDE each commit
+    # attempt from that attempt's own manifest read — a concurrent
+    # set_constraint advancing the manifest triggers CommitConflict and
+    # the retry re-gates with the fresh constraint set (a stale pre-loop
+    # snapshot could let rows violate an already-committed constraint).
+    # The pre-read below is only a perf HINT: when constraints will gate
+    # and no schema was passed, pin the ARROW schema before any
+    # map_batches wrapping hides it from the mor path's evolution check
+    # (Ray's Schema wrapper is not a pa.Schema). Pinning from the data is
+    # correctness-neutral, so a stale hint costs at most a schema fetch.
     _m0 = read_manifest(lake_dir, branch=branch, store=store)
-    if _m0.constraints:
-        if events_schema is None:
-            # the gate's map_batches hides the input schema from the
-            # mor path's evolution check — pin the ARROW schema before
-            # wrapping (Ray's Schema wrapper is not a pa.Schema)
-            _s = compiled_events.schema(fetch_if_missing=True)
-            events_schema = getattr(_s, "base_schema", None) or pa.schema(
-                list(zip(_s.names, _s.types))
-            )
-        compiled_events, _cm = _gate_constraints(
-            compiled_events, _m0.constraints, on_violation
+    if _m0.constraints and events_schema is None:
+        _s = compiled_events.schema(fetch_if_missing=True)
+        events_schema = getattr(_s, "base_schema", None) or pa.schema(
+            list(zip(_s.names, _s.types))
         )
-        if _cm:
-            extra_metrics = {**(extra_metrics or {}), **_cm}
     last: CommitConflict | None = None
     for _ in range(max_attempts):
         try:
@@ -348,6 +366,7 @@ def apply_incremental(
                 store=store,
                 mode=mode,
                 extra_metrics=extra_metrics,
+                on_violation=on_violation,
             )
         except CommitConflict as exc:
             last = exc
@@ -366,6 +385,7 @@ def _apply_incremental_once(
     store: "LakeStore | None" = None,
     mode: str = "cow",
     extra_metrics: dict | None = None,
+    on_violation: str = "raise",
 ) -> Manifest:
     manifest = read_manifest(lake_dir, branch=branch, store=store)
     if num_buckets is None:  # follow the lake's committed modulus
@@ -396,6 +416,12 @@ def _apply_incremental_once(
     ds = compiled_events.map_batches(assign, batch_format="pyarrow")
     if dedup_below_hwm:
         ds = ds.map_batches(filter_after_hwm(manifest.hwm()), batch_format="pyarrow")
+    if manifest.constraints:
+        # gate with THIS attempt's constraint set (same manifest read
+        # that pins expected_version below) on the post-watermark stream
+        ds, _cm = _gate_constraints(ds, manifest.constraints, on_violation)
+        if _cm:
+            extra_metrics = {**(extra_metrics or {}), **_cm}
 
     if mode == "mor" and manifest.buckets:
         return _apply_mor_once(

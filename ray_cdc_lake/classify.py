@@ -47,6 +47,11 @@ class NBModel:
     log_unseen: np.ndarray  # (C,) ln(1/(tot_c+V)) for out-of-vocab words
 
 
+# (label, word) shuffle-key pack separator: ASCII unit separator, which
+# no space-split token can contain and labels are validated against
+_SEP = "\x1f"
+
+
 def _tokens(col: pa.ChunkedArray) -> pa.ChunkedArray:
     # split on single spaces, drop empties — matches the SQL oracle's
     # string_split(text, ' ') + <> '' filter exactly
@@ -76,17 +81,24 @@ def nb_train(
         ]
         # doc-count partial rides along with an out-of-band empty word
         # so the whole train pass is ONE shuffle: (label, word, n) plus
-        # (label, "", docs). Separator is a SPACE: tokens are space-split
-        # so no word can contain one (np.char would strip a NUL).
-        key = np.char.add(
-            np.char.add(owner.astype(str), " "), words.astype(str)
-        )
+        # (label, "", docs). Separator is US (\x1f) — it cannot appear
+        # in a word (tokens are space-split, but words may carry ANY
+        # non-space byte) and labels carrying it are rejected below, so
+        # the (label, word) pack round-trips losslessly even for labels
+        # that contain spaces (same convention as q_text_classify_eval).
+        lbl = owner.astype(str)
+        if np.char.find(np.unique(labels.astype(str)), _SEP).max(initial=-1) >= 0:
+            raise ValueError(
+                f"label values must not contain {_SEP!r} (the internal "
+                "(label, word) pack separator)"
+            )
+        key = np.char.add(np.char.add(lbl, _SEP), words.astype(str))
         uk, counts = np.unique(key, return_counts=True)
         lk, ln_ = np.unique(labels.astype(str), return_counts=True)
         return pa.Table.from_arrays(
             [
                 pa.array(
-                    np.concatenate([uk, np.char.add(lk, " ")]),
+                    np.concatenate([uk, np.char.add(lk, _SEP)]),
                     type=pa.string(),
                 ),
                 pa.array(
@@ -105,7 +117,7 @@ def nb_train(
     lw_counts: dict[tuple[str, str], int] = {}
     doc_counts: dict[str, int] = {}
     for r in model_rows:
-        label, word = r["key"].split(" ", 1)
+        label, word = r["key"].split(_SEP, 1)
         if word == "":
             doc_counts[label] = int(r["n"])
         else:

@@ -80,6 +80,15 @@ def interval_join(
     left_names = list(ls.names)
     if any(n.startswith("r_") for n in left_names):
         raise ValueError("left columns may not start with the r_ prefix")
+    _reserved = {"_s", "_e", "_side", "cell"}
+    for side_name, cols_ in (("left", left_names), ("right", list(rs.names))):
+        clash = _reserved & set(cols_)
+        if clash:
+            raise ValueError(
+                f"{side_name} columns {sorted(clash)} collide with "
+                "interval_join's internal union-schema columns "
+                "('_s', '_e', '_side', 'cell') — rename them first"
+            )
     payload = [n for n in rs.names if n not in keys]
 
     fields = [pa.field(n, ty) for n, ty in zip(ls.names, ls.types)]

@@ -4421,9 +4421,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 
 # Flagship anchors: always first, so every round re-confirms the core CDC
 # path with a hard driver row no matter how the rotation shuffles the rest.
+# cdc_extension_discovery (rebuilt r4, change_batches.py:219) and
+# corpus_curation (restructured r4, dedup.py:1115) are pinned so the r5
+# driver stamps the CURRENT implementations — their green rows predate
+# their rewrites (VERDICT r4 "What's wrong" #1).
 _WINDOW_ANCHORS: tuple[str, ...] = (
     "cdc_final_state",
     "cdc_replay_committed",
+    "cdc_extension_discovery",
+    "corpus_curation",
 )
 
 

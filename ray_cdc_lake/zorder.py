@@ -50,6 +50,28 @@ def _as_numpy(col: pa.ChunkedArray) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+def _as_numpy_masked(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray | None]:
+    """(values, null_mask) with the DTYPE preserved for numeric columns:
+    nulls are filled at the Arrow level with an arbitrary in-type value
+    (their ranks are forced to 0 downstream, so the fill never shows),
+    which keeps int64-with-nulls as int64 instead of degrading to
+    float64 NaN — to_numpy's NaN both loses integer precision above
+    2^53 and would rank at the END under searchsorted, contradicting
+    the documented 'nulls rank lowest'."""
+    arr = col.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # object path: zorder_key detects None per element itself
+        return np.asarray(arr.to_pylist(), dtype=object), None
+    if not arr.null_count:
+        return arr.to_numpy(zero_copy_only=False), None
+    mask = np.asarray(arr.is_null())
+    non_null = arr.drop_null()
+    if len(non_null) == 0:  # all null: every rank is 0 anyway
+        return np.zeros(len(arr), dtype=np.int64), mask
+    arr = arr.fill_null(non_null[0])
+    return arr.to_numpy(zero_copy_only=False), mask
+
+
 def sample_bounds(
     ds: "ray.data.Dataset", cols: list[str], bits: int = 10
 ) -> dict[str, np.ndarray]:
@@ -90,6 +112,8 @@ def sample_bounds(
     bounds: dict[str, np.ndarray] = {}
     for c in cols:
         v = np.sort(_as_numpy(combined[c].drop_null()))
+        if v.dtype.kind == "f":  # genuine NaN data values rank as nulls,
+            v = v[~np.isnan(v)]  # never as boundaries
         if len(v) == 0:
             bounds[c] = v
             continue
@@ -99,28 +123,44 @@ def sample_bounds(
 
 
 def zorder_key(
-    columns: list[np.ndarray], bounds: list[np.ndarray], bits: int = 10
+    columns: list[np.ndarray],
+    bounds: list[np.ndarray],
+    bits: int = 10,
+    null_masks: "list[np.ndarray | None] | None" = None,
 ) -> np.ndarray:
     """Vectorized Morton key: rank each column against its boundaries,
     then interleave the rank bits round-robin (column 0 owns the most
     significant bit of each round).  ``len(columns) * bits`` must fit
-    in 63 bits."""
+    in 63 bits.  Nulls rank lowest on EVERY dtype: object columns
+    detect None per element, numeric columns force rank 0 wherever the
+    caller's ``null_masks`` entry (the Arrow null mask) or a NaN value
+    marks a hole — without the explicit checks, to_numpy's NaN would
+    searchsorted to the END, contradicting this contract."""
     k = len(columns)
     if k * bits > 63:
         raise ValueError("k * bits must be <= 63")
     z = np.zeros(len(columns[0]) if columns else 0, dtype=np.uint64)
     ranks = []
-    for vals, bnd in zip(columns, bounds):
+    for j, (vals, bnd) in enumerate(zip(columns, bounds)):
+        nm = null_masks[j] if null_masks is not None else None
         if len(bnd) == 0:
             ranks.append(np.zeros(len(vals), dtype=np.uint64))
             continue
         if vals.dtype == object:
             mask = np.array([x is not None for x in vals], dtype=bool)
+            if nm is not None:
+                mask &= ~nm
             safe = np.where(mask, vals, bnd[0])
             r = np.searchsorted(bnd, safe, side="right").astype(np.uint64)
             r[~mask] = 0
         else:
             r = np.searchsorted(bnd, vals, side="right").astype(np.uint64)
+            if vals.dtype.kind == "f":
+                nan = np.isnan(vals)
+                if nan.any():
+                    r[nan] = 0
+            if nm is not None:
+                r[nm] = 0
         # normalize to the FULL bit range: a low-cardinality column's
         # raw ranks would occupy only the low (finest-grained) bit
         # lanes and contribute no file-level locality; scaling by a
@@ -149,7 +189,13 @@ def apply_zorder(
     blist = [bounds[c] for c in cols]
 
     def add_z(t: pa.Table) -> pa.Table:
-        z = zorder_key([_as_numpy(t[c]) for c in cols], blist, bits=bits)
+        pairs = [_as_numpy_masked(t[c]) for c in cols]
+        z = zorder_key(
+            [v for v, _ in pairs],
+            blist,
+            bits=bits,
+            null_masks=[m for _, m in pairs],
+        )
         return t.append_column(out, pa.array(z))
 
     return ds.map_batches(add_z, batch_format="pyarrow")

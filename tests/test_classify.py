@@ -107,3 +107,31 @@ def test_keep_cols_pass_through_and_routing():
     # disagrees on the mislabeled doc — the corpus_route_nb quarantine case
     assert got[10] == ("en", "en")
     assert got[11] == ("de", "en")
+
+
+def test_labels_with_spaces_train_correctly():
+    """The (label, word) shuffle pack uses \\x1f, so a label containing a
+    space must round-trip intact instead of silently corrupting counts."""
+    import numpy as np
+    import pytest
+
+    train = [
+        {"doc_id": 1, "lang": "en US", "text": "cat dog cat"},
+        {"doc_id": 2, "lang": "en US", "text": "dog cat"},
+        {"doc_id": 3, "lang": "de DE", "text": "katze hund"},
+    ]
+    m = nb_train(_ds(train), "lang")
+    assert list(m.labels) == ["de DE", "en US"]
+    assert set(m.vocab) == {"cat", "dog", "katze", "hund"}
+    got = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in nb_predict(
+            _ds([{"doc_id": 9, "lang": "x", "text": "cat cat"}]), m
+        ).iter_rows()
+    }
+    assert got[9] == "en US"
+
+    # a label carrying the separator itself is rejected loudly
+    bad = [{"doc_id": 1, "lang": "a\x1fb", "text": "w"}]
+    with pytest.raises(Exception, match="separator|\\\\x1f"):
+        nb_train(_ds(bad), "lang")

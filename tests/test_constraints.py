@@ -96,12 +96,18 @@ def test_tombstones_exempt_and_null_passes(tmp_path):
     assert m.metrics["t1"].get("applied_constraint_dropped") is None
     assert lake_state(lake) == {}  # delete won
 
-    # not_null DOES catch the null (non-delete rows only)
+    # not_null DOES catch the null (non-delete rows only). The gate runs
+    # on the post-watermark stream, so the probe row must carry an lsn
+    # ABOVE the committed hwm (a below-hwm redelivery never enters the
+    # merge and is not the gate's business).
     set_constraint(lake, "lang_required", "lang", "not_null")
+    t3 = t.slice(0, 1).set_column(
+        t.schema.get_field_index("lsn"),
+        "lsn",
+        pa.array([9], type=t.schema.field("lsn").type),
+    )
     with pytest.raises(Exception, match="lang_required"):
-        apply_incremental(
-            lake, "t2", rd.from_arrow(t.slice(0, 1)), num_buckets=2
-        )
+        apply_incremental(lake, "t2", rd.from_arrow(t3), num_buckets=2)
 
 
 def test_bound_ops(tmp_path):
@@ -133,6 +139,74 @@ def test_constraints_survive_compact_and_delete(tmp_path):
             ev_ds([(9, "insert", "r3", "x.py", "Z" * 200)]),
             num_buckets=2,
         )
+
+
+def test_constraint_registered_mid_apply_gates_the_retry(tmp_path, monkeypatch):
+    """A set_constraint landing between an apply's merge and its publish
+    advances the manifest -> CommitConflict -> the retry must re-gate
+    with the FRESH constraint set (a stale pre-loop snapshot would let
+    the violating row land even though the constraint's manifest version
+    precedes the apply's commit)."""
+    import ray.data as rd
+
+    import ray_cdc_lake.checkpoint as cp
+    from ray_cdc_lake.sink import CommitConflict
+
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t0", ev_ds([(1, "insert", "r1", "a.py", "A1")]),
+                      num_buckets=2)
+
+    real_commit = cp.commit_txn
+    state = {"raced": 0}
+
+    def racy_commit(lake_dir, txn_id, winners, **kw):
+        if txn_id == "t1" and state["raced"] == 0:
+            state["raced"] += 1
+            set_constraint(lake, "short", "content", "max_len", 10)
+            raise CommitConflict("simulated race with set_constraint")
+        return real_commit(lake_dir, txn_id, winners, **kw)
+
+    monkeypatch.setattr(cp, "commit_txn", racy_commit)
+    bad = [(2, "insert", "r1", "b.py", "B" * 50),
+           (3, "insert", "r2", "c.py", "C1")]
+    m = apply_incremental(lake, "t1", ev_ds(bad), num_buckets=2,
+                          on_violation="drop")
+    assert state["raced"] == 1
+    assert m.metrics["t1"]["applied_constraint_dropped"] == 1
+    st = lake_state(lake)
+    assert set(k[1] for k in st) == {"a.py", "c.py"}  # b.py gated on retry
+
+    # 'raise' mode: the retry fails loudly instead of committing the row
+    monkeypatch.setattr(cp, "commit_txn", real_commit)
+    set_constraint(lake, "tiny", "content", "max_len", 1)
+    with pytest.raises(Exception, match="tiny"):
+        apply_incremental(lake, "t2",
+                          ev_ds([(4, "insert", "r3", "d.py", "DD")]),
+                          num_buckets=2)
+
+
+def test_drop_count_excludes_below_hwm_redeliveries(tmp_path):
+    """applied_constraint_dropped counts rows the gate actually kept out
+    of the merge: a redelivered below-watermark event that also violates
+    a constraint is discarded by hwm dedup first and must NOT inflate
+    the count."""
+    lake = str(tmp_path / "lake")
+    apply_incremental(lake, "t0",
+                      ev_ds([(5, "insert", "r1", "a.py", "A1")]),
+                      num_buckets=2)
+    set_constraint(lake, "short", "content", "max_len", 10)
+    rows = [
+        # same key as the committed row so it lands in a bucket with a
+        # watermark (hwm is per-bucket): below hwm AND violating
+        (3, "insert", "r1", "a.py", "X" * 50),
+        (6, "insert", "r1", "b.py", "B" * 50),    # above hwm, violating
+        (7, "insert", "r2", "c.py", "C1"),        # above hwm, clean
+    ]
+    m = apply_incremental(lake, "t1", ev_ds(rows), num_buckets=2,
+                          on_violation="drop")
+    assert m.metrics["t1"]["applied_constraint_dropped"] == 1
+    st = lake_state(lake)
+    assert set(k[1] for k in st) == {"a.py", "c.py"}
 
 
 def test_constraints_gate_mor_applies(tmp_path):

@@ -126,3 +126,24 @@ def test_interval_join_rejects_reversed_span():
     right = pd.DataFrame({"k": ["x"], "rid": [0], "rs": [0], "re": [1]})
     with pytest.raises(Exception):
         _run(left, right, tile=8)
+
+
+def test_interval_join_rejects_reserved_internal_columns():
+    """Columns named '_s', '_e', '_side', or 'cell' on EITHER side would
+    collide with the internal union schema — reject upfront with a clear
+    message instead of a KeyError deep inside conform/per_cell."""
+    left = pd.DataFrame({"k": [1], "lid": [1], "ls": [0], "le": [5]})
+    right = pd.DataFrame({"k": [1], "rid": [1], "rs": [0], "re": [5]})
+    for col in ("_s", "_e", "_side", "cell"):
+        bad_l = left.copy()
+        bad_l[col] = 0
+        with pytest.raises(ValueError, match="internal union-schema"):
+            interval_join(_ds(bad_l), _ds(right), keys=("k",),
+                          left_span=("ls", "le"), right_span=("rs", "re"),
+                          tile_width=10)
+        bad_r = right.copy()
+        bad_r[col] = 0
+        with pytest.raises(ValueError, match="internal union-schema"):
+            interval_join(_ds(left), _ds(bad_r), keys=("k",),
+                          left_span=("ls", "le"), right_span=("rs", "re"),
+                          tile_width=10)

@@ -63,6 +63,49 @@ def test_zorder_key_handles_strings_and_nulls():
     assert list(z) == [0, 1, 1, 2, 3, 0]  # nulls rank lowest
 
 
+def test_zorder_numeric_nulls_rank_lowest_and_keep_int_precision():
+    """Numeric nulls must rank 0 like the string path (searchsorted
+    would otherwise send to_numpy's NaN to the TOP rank), and an int64
+    column with nulls must not round-trip through float64 — values
+    above 2^53 keep exact ranks."""
+    from ray_cdc_lake.zorder import _as_numpy_masked, apply_zorder
+
+    # NaN values in a float column rank 0, not top
+    bounds = [np.array([10.0, 20.0, 30.0])]
+    vals = np.array([5.0, 15.0, np.nan, 35.0])
+    z = zorder_key([vals], bounds, bits=2)
+    assert list(z) == [0, 1, 0, 3]
+
+    # Arrow null mask forces rank 0 regardless of the filled value
+    z2 = zorder_key(
+        [np.array([35.0, 35.0])], bounds, bits=2,
+        null_masks=[np.array([False, True])],
+    )
+    assert list(z2) == [3, 0]
+
+    # int64 with nulls: dtype preserved, >2^53 neighbors stay distinct
+    big = 1 << 60
+    col = pa.chunked_array([pa.array([big, big + 1, None], type=pa.int64())])
+    v, m = _as_numpy_masked(col)
+    assert v.dtype == np.int64 and list(m) == [False, False, True]
+    ib = [np.array([big, big + 1], dtype=np.int64)]
+    z3 = zorder_key([v], ib, bits=2, null_masks=[m])
+    assert list(z3) == [1, 2, 0]  # exact ranks; null lowest
+
+    # end-to-end through apply_zorder on a table with numeric nulls
+    import ray.data
+
+    t = pa.table({"a": pa.array([1, None, 100], type=pa.int64())})
+    out = apply_zorder(
+        ray.data.from_arrow(t), ["a"], {"a": np.array([50], dtype=np.int64)},
+        bits=2,
+    ).to_pandas()
+    za = dict(zip(out["a"].astype("Int64").tolist(), out["_z"].tolist()))
+    assert za[1] == 0 and za[100] > 0
+    null_z = out.loc[out["a"].isna(), "_z"].tolist()
+    assert null_z == [0]
+
+
 def test_zorder_compaction_preserves_state_and_prunes_both_columns(tmp_path):
     import ray.data
 
