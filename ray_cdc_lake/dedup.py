@@ -253,6 +253,44 @@ def _runs(sorted_keys: np.ndarray) -> list[tuple[int, int]]:
     return list(zip(starts, ends))
 
 
+# Per-run verify cap: pairwise triangles are built over at most this many
+# DISTINCT signatures at a time, so one degenerate band bucket (e.g. an
+# all-identical-text corpus puts every doc in the same bucket on every
+# band) can never allocate an O(u^2) index array in a single task.
+# Identical-signature docs are collapsed to a representative FIRST (star
+# pairs, below), so the cap only bites when one band key collects more
+# than RUN_VERIFY_CAP genuinely distinct signatures; those are verified
+# in signature-sorted chunks and cross-chunk pairs of the SAME band are
+# forfeited deterministically — the other bands still offer those pairs
+# their own buckets.
+RUN_VERIFY_CAP = 1024
+# simhash compares one u64 per doc (no (pairs x hashes) matrix), so its
+# triangle is ~16x cheaper per pair and the cap can sit higher
+SIMHASH_RUN_CAP = 4096
+
+
+def _identity_star(uids: np.ndarray, inv: np.ndarray):
+    """Collapse identical-signature docs inside one equal-band-key run.
+
+    ``uids`` is ascending; ``inv[i]`` is the identity-group id of
+    ``uids[i]`` (docs with byte-identical signatures share a group).
+    Returns ``(rep_idx, star_rep, star_member)``: per-group index (into
+    ``uids``) of its smallest-id member, plus star pairs linking that
+    representative to every OTHER member.  A g-member identity group
+    thus contributes g-1 pairs instead of g(g-1)/2 — the degenerate
+    100%-duplicate corpus costs Theta(u), not Theta(u^2), and connected
+    components over the star equal those over the full clique."""
+    order = np.argsort(inv, kind="stable")
+    g = inv[order]
+    change = np.nonzero(g[1:] != g[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    counts = np.diff(np.concatenate((starts, [len(g)])))
+    rep_idx = order[starts]  # stable + uids ascending => min id per group
+    rep_of = np.repeat(rep_idx, counts)
+    m = order != rep_of
+    return rep_idx, rep_of[m], order[m]
+
+
 _MINHASH_WORKER: MinHashLSH | None = None
 
 
@@ -269,7 +307,24 @@ def minhash_lsh_fn(batch: pa.Table) -> pa.Table:
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    """Banded MinHash-LSH near-dup pairs.  Pair semantics: docs with
+    byte-identical signatures link through their group's smallest-id
+    representative (star, est 1.0) rather than as a full clique — same
+    connected components, Theta(dups) instead of Theta(dups^2) output
+    and memory under duplicate skew; pairs between DISTINCT signatures
+    are verified exhaustively up to RUN_VERIFY_CAP per band run."""
     ds = corpus_ds(sf_dir).map_batches(minhash_lsh_fn, batch_format="pyarrow")
+    pairs = ds.groupby("bucket").map_groups(
+        minhash_pairs_kernel(threshold), batch_format="pyarrow"
+    )
+    return _dedup_pairs(pairs)
+
+
+def minhash_pairs_kernel(threshold: float):
+    """Group kernel for the banded-LSH pair verify (factored out so the
+    degenerate-skew property suite can drive it on synthetic band
+    tables): star-collapse identical signatures, then capped pairwise
+    triangles over distinct ones."""
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         keys = group["band_key"].to_numpy(zero_copy_only=False)
@@ -291,13 +346,32 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
             if u < 2:
                 continue
             sig = sig_all[s:e][first]
-            # pairwise signature agreement on the upper triangle only
-            iu, ju = np.triu_indices(u, k=1)
-            est = (sig[iu] == sig[ju]).mean(axis=1)
-            hit = est >= threshold
-            out_a.append(uids[iu[hit]])
-            out_b.append(uids[ju[hit]])
-            out_j.append(est[hit])
+            # 1) collapse byte-identical signatures: star pairs (rep ->
+            #    member, est exactly 1.0) bound the duplicate-heavy case
+            #    to Theta(u) — a member's pairs route through its rep
+            _, inv = np.unique(sig, axis=0, return_inverse=True)
+            rep_idx, sa, sb = _identity_star(uids, inv)
+            if len(sa):
+                out_a.append(uids[sa])
+                out_b.append(uids[sb])
+                out_j.append(np.ones(len(sa), dtype=np.float64))
+            # 2) pairwise agreement between DISTINCT signatures only, in
+            #    capped chunks (signature-lex order keeps similar sigs
+            #    adjacent, so an over-cap run degrades gracefully)
+            v = len(rep_idx)
+            rsig = sig[rep_idx]
+            ruid = uids[rep_idx]
+            for c0 in range(0, v, RUN_VERIFY_CAP):
+                c1 = min(c0 + RUN_VERIFY_CAP, v)
+                if c1 - c0 < 2:
+                    continue
+                iu, ju = np.triu_indices(c1 - c0, k=1)
+                est = (rsig[c0:c1][iu] == rsig[c0:c1][ju]).mean(axis=1)
+                hit = est >= threshold
+                ra, rb = ruid[c0:c1][iu[hit]], ruid[c0:c1][ju[hit]]
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
+                out_j.append(est[hit])
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         j = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
@@ -310,8 +384,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.5):
             names=["id_a", "id_b", "jaccard_est"],
         )
 
-    pairs = ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    return _dedup_pairs(pairs)
+    return pairs_in_bucket
 
 
 def _dedup_pairs(pairs, num_buckets: int = 64):
@@ -407,7 +480,20 @@ def simhash_bands_fn(batch: pa.Table) -> pa.Table:
 
 
 def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
+    """4x16-bit banded SimHash near-dup pairs.  Same bounded pair
+    semantics as q_dedup_minhash: equal-hash docs star through their
+    smallest-id representative (hamming 0), distinct hashes verify in
+    SIMHASH_RUN_CAP-sized chunks."""
     ds = corpus_ds(sf_dir).map_batches(simhash_bands_fn, batch_format="pyarrow")
+    pairs = ds.groupby("bucket").map_groups(
+        simhash_pairs_kernel(max_hamming), batch_format="pyarrow"
+    )
+    return _dedup_pairs(pairs)
+
+
+def simhash_pairs_kernel(max_hamming: int):
+    """Group kernel for the simhash band verify (factored out for the
+    degenerate-skew property suite, like minhash_pairs_kernel)."""
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
         keys = group["band_key"].to_numpy(zero_copy_only=False)
@@ -426,14 +512,31 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
             if u < 2:
                 continue
             h = hashes[s_:e_][first]
-            # pairwise hamming on the upper triangle: XOR -> byte popcount
-            iu, ju = np.triu_indices(u, k=1)
-            x = (h[iu] ^ h[ju]).view(np.uint8).reshape(-1, 8)
-            hd = _POPCOUNT[x].sum(axis=1).astype(np.int64)
-            hit = hd <= max_hamming
-            out_a.append(uids[iu[hit]])
-            out_b.append(uids[ju[hit]])
-            out_d.append(hd[hit])
+            # same bounded shape as the minhash kernel: equal-hash docs
+            # collapse to star pairs (hamming 0), then the pairwise XOR
+            # popcount triangle runs over DISTINCT hashes in capped,
+            # value-sorted chunks
+            _, inv = np.unique(h, return_inverse=True)
+            rep_idx, sa, sb = _identity_star(uids, inv)
+            if len(sa):
+                out_a.append(uids[sa])
+                out_b.append(uids[sb])
+                out_d.append(np.zeros(len(sa), dtype=np.int64))
+            v = len(rep_idx)
+            rh = h[rep_idx]
+            ruid = uids[rep_idx]
+            for c0 in range(0, v, SIMHASH_RUN_CAP):
+                c1 = min(c0 + SIMHASH_RUN_CAP, v)
+                if c1 - c0 < 2:
+                    continue
+                iu, ju = np.triu_indices(c1 - c0, k=1)
+                x = (rh[c0:c1][iu] ^ rh[c0:c1][ju]).view(np.uint8).reshape(-1, 8)
+                hd = _POPCOUNT[x].sum(axis=1).astype(np.int64)
+                hit = hd <= max_hamming
+                ra, rb = ruid[c0:c1][iu[hit]], ruid[c0:c1][ju[hit]]
+                out_a.append(np.minimum(ra, rb))
+                out_b.append(np.maximum(ra, rb))
+                out_d.append(hd[hit])
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         d = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
@@ -446,8 +549,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
             names=["id_a", "id_b", "hamming"],
         )
 
-    pairs = ds.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pyarrow")
-    return _dedup_pairs(pairs)
+    return pairs_in_bucket
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,13 @@ from dataclasses import dataclass, field
 import numpy as np
 import pyarrow as pa
 
-from .dedup import NUM_HASHES, NUM_PAIR_BUCKETS, _runs, minhash_lsh_fn
+from .dedup import (
+    NUM_HASHES,
+    NUM_PAIR_BUCKETS,
+    RUN_VERIFY_CAP,
+    _runs,
+    minhash_lsh_fn,
+)
 from .kernels import import_polars as _pl
 
 DATA_DIR = "data"
@@ -352,6 +358,16 @@ def index_probe(root: str, docs, threshold: float = 0.5, store=None):
         both = probe
 
     def verify(group: pa.Table) -> pa.Table:
+        """Per band run: find each NEW doc its best valid partner (an
+        indexed doc, or an earlier new doc with smaller id).  Bounded
+        under duplicate skew: docs with byte-identical signatures are
+        collapsed to identity groups first — a new doc whose group holds
+        a valid partner gets it directly (est exactly 1.0, and the
+        group's MINIMUM valid partner id, which is also the global
+        tie-break winner since cross-group est < 1.0).  Only the docs
+        their own group cannot serve run the cross-group scan, in
+        (doc x group) chunks with a running per-doc best, so no task
+        ever allocates an O(u^2) pair index."""
         keys = group["band_key"].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         keys = keys[order]
@@ -365,6 +381,8 @@ def index_probe(root: str, docs, threshold: float = 0.5, store=None):
             .to_numpy(zero_copy_only=False)
             .reshape(len(sc), NUM_HASHES)
         )[order]
+        INF = np.iinfo(np.int64).max
+        DOC_CHUNK = 256
         out_d, out_p, out_j = [], [], []
         for s, e in _runs(keys):
             if e - s < 2:
@@ -377,29 +395,59 @@ def index_probe(root: str, docs, threshold: float = 0.5, store=None):
             if not (uside == 1).any():
                 continue
             sig = sig_all[s:e][first]
-            iu, ju = np.triu_indices(len(uk), k=1)
-            est = (sig[iu] == sig[ju]).mean(axis=1)
-            a_id, b_id = uids[iu], uids[ju]
-            a_s, b_s = uside[iu], uside[ju]
-            # orient each pair as (new doc, partner); a valid partner is
-            # an indexed doc or an EARLIER new doc (smaller id)
-            for new_first in (True, False):
-                if new_first:
-                    nmask = (a_s == 1) & (
-                        (b_s == 0) | ((b_s == 1) & (b_id < a_id))
+            # identity groups over byte-identical signatures
+            _, inv = np.unique(sig, axis=0, return_inverse=True)
+            v = int(inv.max()) + 1
+            idx_min = np.full(v, INF, dtype=np.int64)
+            new_min = np.full(v, INF, dtype=np.int64)
+            np.minimum.at(idx_min, inv[uside == 0], uids[uside == 0])
+            np.minimum.at(new_min, inv[uside == 1], uids[uside == 1])
+            g_first = np.unique(inv, return_index=True)[1]
+            gsig = sig[g_first]
+            new_mask = uside == 1
+            nid_all = uids[new_mask]
+            ng = inv[new_mask]
+            # within-group: best partner = min(indexed id, earlier new id)
+            earlier = np.where(new_min[ng] < nid_all, new_min[ng], INF)
+            p_star = np.minimum(idx_min[ng], earlier)
+            have = p_star != INF
+            if have.any():
+                out_d.append(nid_all[have])
+                out_p.append(p_star[have])
+                out_j.append(np.ones(int(have.sum()), dtype=np.float64))
+            # cross-group scan only for docs their own group can't serve
+            nid = nid_all[~have]
+            if len(nid) == 0 or v < 2:
+                continue
+            nsig = sig[new_mask][~have]
+            best_est = np.full(len(nid), -1.0)
+            best_p = np.full(len(nid), INF, dtype=np.int64)
+            for g0 in range(0, v, RUN_VERIFY_CAP):
+                g1 = min(g0 + RUN_VERIFY_CAP, v)
+                gs = gsig[g0:g1]
+                gi = idx_min[g0:g1]
+                gn = new_min[g0:g1]
+                for d0 in range(0, len(nid), DOC_CHUNK):
+                    d1 = min(d0 + DOC_CHUNK, len(nid))
+                    est = (nsig[d0:d1, None, :] == gs[None, :, :]).mean(axis=2)
+                    p = np.where(
+                        gn[None, :] < nid[d0:d1, None], gn[None, :], INF
                     )
-                    d, p = a_id[nmask], b_id[nmask]
-                    j = est[nmask]
-                else:
-                    nmask = (b_s == 1) & (
-                        (a_s == 0) | ((a_s == 1) & (a_id < b_id))
+                    p = np.minimum(p, gi[None, :])
+                    est = np.where(p == INF, -1.0, est)
+                    me = est.max(axis=1)
+                    pm = np.where(est == me[:, None], p, INF).min(axis=1)
+                    sl = slice(d0, d1)
+                    better = (me > best_est[sl]) | (
+                        (me == best_est[sl]) & (pm < best_p[sl])
                     )
-                    d, p = b_id[nmask], a_id[nmask]
-                    j = est[nmask]
-                hit = j >= threshold
-                out_d.append(d[hit])
-                out_p.append(p[hit])
-                out_j.append(j[hit])
+                    best_est[sl] = np.where(better, me, best_est[sl])
+                    best_p[sl] = np.where(better, pm, best_p[sl])
+            hit = (best_est >= threshold) & (best_p != INF)
+            if hit.any():
+                out_d.append(nid[hit])
+                out_p.append(best_p[hit])
+                out_j.append(best_est[hit])
         dd = np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64)
         pp = np.concatenate(out_p) if out_p else np.empty(0, dtype=np.int64)
         jj = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
