@@ -62,6 +62,7 @@ def enable_self_contained_pickling() -> None:
         textstats,
         transforms,
         validate,
+        xsd,
         zorder,
     )
 

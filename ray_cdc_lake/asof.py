@@ -31,6 +31,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .kernels import hash_utf8_u64
+
 if TYPE_CHECKING:
     import ray.data
 
@@ -43,11 +45,10 @@ def _joined_keys(t: pa.Table, keys: tuple[str, ...]) -> pa.ChunkedArray:
 
 
 def _bucket_of(joined, num_buckets: int) -> np.ndarray:
-    import pandas as pd
-
-    arr = np.asarray(joined.to_pandas(), dtype=object)
-    h = pd.util.hash_array(arr, categorize=False)
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    # vectorized over the raw Arrow byte buffer — no pandas object-array
+    # round-trip per batch on the join hot path (kernels.hash_utf8_u64);
+    # transient per-query buckets, so no persisted-layout stability needed
+    return (hash_utf8_u64(joined) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def asof_join(

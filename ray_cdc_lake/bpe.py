@@ -348,8 +348,18 @@ def q_text_bpe_train(sf_dir: str) -> pa.Table:
     """Distributed BPE tokenizer training (train_bpe): the learned merge
     table over the documents corpus, trained to convergence.  Iterative
     — no SQL expression; the driver records the rows-only check, and
-    tests/test_bpe.py pins the semantics against a brute-force model."""
-    return _trained_merges(sf_dir)
+    tests/test_bpe.py pins the semantics against a brute-force model.
+
+    Always trains memo-COLD: a prior cached table never short-circuits
+    this query, so any timing of it measures real training work (the r4
+    bench recorded a misleading 0.0 s from a memo hit).  The memo is
+    only REFRESHED here, for q_text_bpe_encode to share."""
+    from .sources import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    merges = train_bpe(word_frequencies(docs), num_merges=4096, min_freq=2)
+    _MERGES_CACHE[sf_dir] = merges
+    return merges
 
 
 def q_text_bpe_encode(sf_dir: str):

@@ -120,6 +120,77 @@ def md5_hex_prefix(values, nbytes: int = 8, byteorder: str = "little"):
     return pa.array(hexes, type=pa.string()), np.array(out, dtype=np.uint64)
 
 
+_POLY = np.uint64(1099511628211)  # FNV-1a 64-bit prime (odd -> invertible mod 2^64)
+_LEN_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: diffuses the polynomial hash's low-entropy
+    high bits before a modulus takes the low bits."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def hash_utf8_u64(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Deterministic uint64 hash of a utf8 Arrow column — fully
+    vectorized over the RAW Arrow byte buffer: no pandas round-trip, no
+    per-row Python objects (the join hot paths hash every batch's key
+    column; materializing an object ndarray per batch costs more than
+    the hash itself).  Polynomial hash (byte+1)*P^pos summed per string
+    mod 2^64 (natural uint64 wraparound), xor'd with the length and
+    splitmix-finalized.  Equal strings always hash equal; stability is
+    per-process-version only — use ``transforms.key_hash_u64`` for
+    PERSISTED layouts (committed lakes depend on its exact values)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        col = pc.cast(col, pa.string())
+        off_dtype = np.int32
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else (
+        np.empty(0, dtype=np.uint8)
+    )
+    lens = np.diff(off)
+    start, stop = int(off[0]), int(off[-1])
+    seg = data[start:stop].astype(np.uint64) + np.uint64(1)
+    if stop > start:
+        pos = np.arange(stop - start, dtype=np.int64) - np.repeat(
+            off[:-1] - start, lens
+        )
+        max_len = int(lens.max())
+        powers = np.empty(max_len, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if max_len > 1:
+            np.cumprod(
+                np.full(max_len - 1, _POLY, dtype=np.uint64), out=powers[1:]
+            )
+        terms = seg * powers[pos]
+        cs = np.concatenate(
+            (np.zeros(1, dtype=np.uint64), np.cumsum(terms, dtype=np.uint64))
+        )
+        sums = cs[off[1:] - start] - cs[off[:-1] - start]
+    else:
+        sums = np.zeros(n, dtype=np.uint64)
+    return _mix64(sums ^ (lens.astype(np.uint64) * _LEN_MIX))
+
+
 def import_polars():
     """Import polars capped to ONE internal thread per process (must be
     set before the first import anywhere in the process; a no-op if

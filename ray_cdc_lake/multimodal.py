@@ -98,6 +98,47 @@ class FakeDecoder:
         )
 
 
+class RealDecoder:
+    """Actor-pool decode stage with a REAL image decode (Pillow).  Same
+    output schema as FakeDecoder — real_* dims replace the fake ones
+    column-for-column, so the two are drop-in interchangeable.
+    ``__init__`` imports PIL ONCE per actor and fails fast when the
+    library is absent (the same env gate as decode_image); ``__call__``
+    decodes each payload.  Exercised by a skipif-gated test so the gate
+    is TESTED wherever image libraries exist, not just documented."""
+
+    def __init__(self):
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "RealDecoder requires Pillow; use FakeDecoder in "
+                "containers without image libraries"
+            ) from exc
+        self._Image = Image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+
+        payloads = batch["payload"].to_pylist()
+        widths, heights, sha = [], [], []
+        for p in payloads:
+            img = self._Image.open(io.BytesIO(p))
+            widths.append(img.width)
+            heights.append(img.height)
+            sha.append(hashlib.sha256(p).hexdigest())
+        return pa.Table.from_arrays(
+            [
+                batch["doc_id"],
+                batch["n_bytes"],
+                pa.array(widths, type=pa.int64()),
+                pa.array(heights, type=pa.int64()),
+                pa.array(sha, type=pa.string()),
+            ],
+            names=["doc_id", "n_bytes", "fake_width", "fake_height", "bin_sha256"],
+        )
+
+
 def q_mm_decode_meta(sf_dir: str):
     import ray.data as rd
 

@@ -2802,6 +2802,90 @@ def q_doc_xml_validate(sf_dir: str):
     return out.select_columns(["doc_id", "xsd_route", "xsd_valid", "xsd_n_errors"])
 
 
+def q_doc_xsd_validate(sf_dir: str):
+    """GRAMMAR validation from a real, committed ``.xsd`` document
+    (ray_cdc_lake/jhove.xsd, parsed by xsd.parse_xsd — the full
+    XsdValidator.kt:17-45 analog, mirroring MetsXsdValidationTest.kt):
+    beyond q_doc_xml_validate's structure+facet checks, the corruptions
+    here include violations ONLY a content-model grammar catches —
+    sequence ORDER (all elements present, wrong order), maxOccurs
+    (duplicated element), and an exclusive xs:choice fed both branches.
+    The schema text is read driver-side and shipped into the actor pool
+    by value, so workers never resolve anything (the offline-resolver
+    discipline)."""
+    from .sources import actor_pool_size
+    from .validate import build_jhove_xml
+    from .xsd import XsdGrammarValidator, load_default_xsd
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    ds = ds.map_batches(build_jhove_xml, batch_format="pyarrow")
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        xmls = batch["jhove_xml"].to_pylist()
+        out = []
+        for d, x in zip(ids, xmls):
+            if d % 7 == 3:  # unparseable
+                out.append(x[:-10])
+            elif d % 11 == 5:  # sequence: required element missing
+                i = x.index("<size>")
+                j = x.index("</size>") + len("</size>")
+                out.append(x[:i] + x[j:])
+            elif d % 13 == 7:  # ORDER violation: format after status —
+                # every element present, a pure presence check passes,
+                # only the sequence grammar rejects
+                i = x.index("<format>")
+                j = x.index("</format>") + len("</format>")
+                fmt = x[i:j]
+                y = x[:i] + x[j:]
+                k = y.index("</status>") + len("</status>")
+                out.append(y[:k] + fmt + y[k:])
+            elif d % 17 == 2:  # maxOccurs violation: <status> twice
+                k = x.index("</status>") + len("</status>")
+                out.append(
+                    x[:k] + "<status>Well-Formed and valid</status>" + x[k:]
+                )
+            elif d % 19 == 4:  # facet: width beyond xs:maxInclusive
+                i = x.index("<width>") + len("<width>")
+                j = x.index("</width>")
+                out.append(x[:i] + "999999" + x[j:])
+            elif d % 23 == 6:  # xs:choice fed BOTH branches — exclusive
+                out.append(x.replace(
+                    "</properties>",
+                    "<colorSpace>sRGB</colorSpace>"
+                    "<grayScale>8</grayScale></properties>",
+                ))
+            elif d % 5 == 0:  # one choice branch: valid
+                out.append(x.replace(
+                    "</properties>",
+                    "<colorSpace>sRGB</colorSpace></properties>",
+                ))
+            elif d % 5 == 1:  # optional repeated mix block: valid
+                out.append(x.replace(
+                    "</properties>",
+                    "<mix><ImageWidth>100</ImageWidth>"
+                    "<ImageHeight>200</ImageHeight></mix>"
+                    "<mix><ImageWidth>300</ImageWidth>"
+                    "<ImageHeight>400</ImageHeight></mix></properties>",
+                ))
+            else:
+                out.append(x)
+        return batch.set_column(
+            batch.schema.get_field_index("jhove_xml"),
+            "jhove_xml",
+            pa.array(out, type=pa.string()),
+        )
+
+    ds = ds.map_batches(corrupt, batch_format="pyarrow")
+    out = ds.map_batches(
+        XsdGrammarValidator,
+        batch_format="pyarrow",
+        concurrency=actor_pool_size(),
+        fn_constructor_kwargs={"xsd_text": load_default_xsd()},
+    )
+    return out.select_columns(["doc_id", "xsd_route", "xsd_valid"])
+
+
 DOC_SQL: dict[str, str] = {
     # mirrors q_doc_xml_validate's corruption rules (same precedence);
     # every corrupted row carries exactly one validation error
@@ -2821,6 +2905,21 @@ DOC_SQL: dict[str, str] = {
                          OR doc_id % 13 = 7 OR doc_id % 17 = 2
                          OR doc_id % 19 = 4 OR doc_id % 5 = 0
                     THEN 1 ELSE 0 END AS BIGINT) AS xsd_n_errors
+        FROM documents""",
+    # mirrors q_doc_xsd_validate's corruption precedence; grammar-only
+    # violations (order, maxOccurs, exclusive choice) are invalid too
+    "doc_xsd_validate": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN 'malformed'
+                    WHEN doc_id % 11 = 5 THEN 'schema_invalid'
+                    WHEN doc_id % 13 = 7 THEN 'schema_invalid'
+                    WHEN doc_id % 17 = 2 THEN 'schema_invalid'
+                    WHEN doc_id % 19 = 4 THEN 'schema_invalid'
+                    WHEN doc_id % 23 = 6 THEN 'schema_invalid'
+                    ELSE 'ok' END AS xsd_route,
+               NOT (doc_id % 7 = 3 OR doc_id % 11 = 5 OR doc_id % 13 = 7
+                    OR doc_id % 17 = 2 OR doc_id % 19 = 4
+                    OR doc_id % 23 = 6) AS xsd_valid
         FROM documents""",
     "doc_validate_actor": """
         SELECT doc_id,
@@ -4270,6 +4369,7 @@ def registry() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "doc_validate_actor": q_doc_validate_actor,
         "doc_xml_extract": q_doc_xml_extract,
         "doc_xml_validate": q_doc_xml_validate,
+        "doc_xsd_validate": q_doc_xsd_validate,
         "validation_summary": q_validation_summary,
         "semi_join_users": q_semi_join_users,
         "user_sessions": q_user_sessions,

@@ -147,3 +147,23 @@ def test_interval_join_rejects_reserved_internal_columns():
             interval_join(_ds(left), _ds(bad_r), keys=("k",),
                           left_span=("ls", "le"), right_span=("rs", "re"),
                           tile_width=10)
+
+
+def test_hash_utf8_u64_properties():
+    """The join-bucket hash: equal strings hash equal across chunked and
+    sliced layouts, nulls hash as empty, buckets are reasonably level."""
+    import pyarrow as pa
+
+    from ray_cdc_lake.kernels import hash_utf8_u64
+
+    a = pa.array(["", "k", "kk", "a\x00b", "a\x00c", None, "k"])
+    h = hash_utf8_u64(a)
+    assert h[1] == h[6] and h[5] == h[0]
+    assert len({int(x) for x in h[:5]}) == 5  # all distinct here
+    chunked = pa.chunked_array([a[:4], a[4:]])
+    assert (hash_utf8_u64(chunked) == h).all()
+    assert (hash_utf8_u64(a.slice(1, 4)) == h[1:5]).all()
+    keys = pa.array([f"r{i % 13}\x00p/{i}" for i in range(10000)])
+    b = hash_utf8_u64(keys) % np.uint64(16)
+    counts = np.bincount(b.astype(np.int64), minlength=16)
+    assert counts.min() > 400  # no empty/starved bucket (mean 625)
