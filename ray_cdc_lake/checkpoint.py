@@ -100,9 +100,10 @@ def _gate_invalid(ds: "ray.data.Dataset", on_invalid: str):
     reborn at the sink: Jhove.kt routes unparseable inputs to a failure
     output instead of poisoning the batch). Returns (gated_ds,
     extra_metrics | None). 'raise' fails the apply loudly with a key
-    sample; 'drop' filters invalid rows out and counts them — the count
-    costs ONE extra pass over the micro-batch (deterministic across
-    crash retries, so idempotent re-publishes still compare equal)."""
+    sample; 'drop' filters invalid rows out and counts them — count and
+    filter share one materialized pass over the micro-batch
+    (deterministic across crash retries, so idempotent re-publishes
+    still compare equal)."""
     import pyarrow.compute as pc
 
     if on_invalid == "raise":
@@ -121,6 +122,11 @@ def _gate_invalid(ds: "ray.data.Dataset", on_invalid: str):
 
         return ds.map_batches(check, batch_format="pyarrow"), None
     if on_invalid == "drop":
+        # single upstream execution for count + filter (same shape as
+        # _gate_constraints): materialize the incoming micro-batch once
+        # — bounded by the delta, never the lake — so the count pass
+        # reads cached blocks instead of re-running the compile pipeline
+        ds = ds.materialize()
 
         def count_bad(t: pa.Table) -> pa.Table:
             n = pc.sum(pc.cast(_invalid_mask(t), pa.int64())).as_py() or 0
@@ -312,8 +318,8 @@ def apply_incremental(
     ``on_invalid`` gates malformed events (null key/lsn, unknown op)
     BEFORE they can poison the merge: ``"raise"`` fails the apply with
     a sample, ``"drop"`` filters them out and records
-    ``applied_invalid_dropped`` in the txn's ingest metrics (costs one
-    extra pass over the micro-batch for the count). Default ``None``
+    ``applied_invalid_dropped`` in the txn's ingest metrics (count and
+    filter share one materialized micro-batch pass). Default ``None``
     adds zero cost and trusts the compiler's output — the right setting
     when events come from this engine's own ``compile_changes``.
 
