@@ -68,17 +68,16 @@ def nb_train(
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        labels = np.asarray(t[label_col].to_pandas(), dtype=object)
+        # fully Arrow-native: no per-batch object ndarrays, no np.char —
+        # tokenize, pack and count with pyarrow kernels (the same
+        # discipline as textstats)
+        lab = t[label_col].cast(pa.string())
         toks = pc.split_pattern(
             t[text_col].cast(pa.string()).fill_null(""), " "
         )
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
         keep = pc.not_equal(flat, "")
-        words = np.asarray(flat.filter(keep).to_pandas(), dtype=object)
-        owner = np.repeat(labels, lens)[
-            keep.to_numpy(zero_copy_only=False)
-        ]
         # doc-count partial rides along with an out-of-band empty word
         # so the whole train pass is ONE shuffle: (label, word, n) plus
         # (label, "", docs). Separator is US (\x1f) — it cannot appear
@@ -86,23 +85,33 @@ def nb_train(
         # non-space byte) and labels carrying it are rejected below, so
         # the (label, word) pack round-trips losslessly even for labels
         # that contain spaces (same convention as q_text_classify_eval).
-        lbl = owner.astype(str)
-        if np.char.find(np.unique(labels.astype(str)), _SEP).max(initial=-1) >= 0:
+        lab_u = pc.unique(lab)
+        if pc.any(pc.match_substring(lab_u, _SEP)).as_py():
             raise ValueError(
                 f"label values must not contain {_SEP!r} (the internal "
                 "(label, word) pack separator)"
             )
-        key = np.char.add(np.char.add(lbl, _SEP), words.astype(str))
-        uk, counts = np.unique(key, return_counts=True)
-        lk, ln_ = np.unique(labels.astype(str), return_counts=True)
+        idx = np.repeat(np.arange(t.num_rows), lens)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        owner = pc.take(lab, pa.array(idx))
+        if isinstance(owner, pa.ChunkedArray):
+            owner = owner.combine_chunks()
+        words = flat.filter(keep)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        key = pc.binary_join_element_wise(owner, words, _SEP)
+        vc = pc.value_counts(key)
+        lab_vc = pc.value_counts(lab)
+        empty = pa.array([""] * len(lab_vc), type=pa.string())
+        lab_keys = pc.binary_join_element_wise(
+            lab_vc.field("values").cast(pa.string()), empty, _SEP
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(
-                    np.concatenate([uk, np.char.add(lk, _SEP)]),
-                    type=pa.string(),
-                ),
-                pa.array(
-                    np.concatenate([counts, ln_]).astype(np.int64)
+                pa.concat_arrays([vc.field("values").cast(pa.string()), lab_keys]),
+                pa.concat_arrays(
+                    [vc.field("counts").cast(pa.int64()), lab_vc.field("counts").cast(pa.int64())]
                 ),
             ],
             names=["key", "n"],
@@ -162,6 +171,9 @@ def nb_predict(
         model.log_like,
         model.log_unseen,
     )
+    # vocab lookups run through pc.index_in against this broadcast
+    # Arrow array — no per-batch object ndarray, no searchsorted
+    vocab_pa = pa.array(vocab.astype(str) if len(vocab) else [], type=pa.string())
 
     def score(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -170,20 +182,17 @@ def nb_predict(
         )
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
-        keep_np = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        words = np.asarray(
-            flat.filter(pc.not_equal(flat, "")).to_pandas(), dtype=object
-        )
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        words = flat.filter(keep)
         doc_of = np.repeat(np.arange(n), lens)[keep_np]
         scores = np.tile(log_prior, (n, 1))
         if len(words):
-            wi = np.searchsorted(vocab, words)
-            wi_c = np.minimum(wi, len(vocab) - 1)
-            seen = (
-                (vocab[wi_c] == words) if len(vocab) else np.zeros(len(words), bool)
-            )
+            wi = pc.fill_null(pc.index_in(words, value_set=vocab_pa), -1)
+            wi = wi.to_numpy(zero_copy_only=False).astype(np.int64)
+            seen = wi >= 0
             ll = np.where(
-                seen[:, None], log_like[wi_c], log_unseen[None, :]
+                seen[:, None], log_like[np.maximum(wi, 0)], log_unseen[None, :]
             )
             for c in range(len(labels)):
                 scores[:, c] += np.bincount(
