@@ -954,6 +954,9 @@ def q_dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8):
 EMB_LSH_BANDS = 24
 EMB_LSH_ROWS = 4  # bits per band
 EMB_LSH_SEED = 1234
+# tile edge for the blocked per-run cosine triangle: 2048^2 float64
+# block = 32 MB peak per tile, independent of run size
+EMB_RUN_BLOCK = 2048
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
@@ -1041,12 +1044,42 @@ def q_dedup_embedding_lsh(sf_dir: str, threshold: float = 0.45):
             if len(uids) < 2:
                 continue
             mat = mat_all[s:e][first]
-            cos = mat @ mat.T  # run members only — never all-pairs global
-            iu, ju = np.triu_indices(len(uids), k=1)
-            hit = cos[iu, ju] >= threshold
-            out_a.append(uids[iu[hit]])
-            out_b.append(uids[ju[hit]])
-            out_c.append(cos[iu, ju][hit])
+            # byte-identical vectors collapse to star pairs (cos exactly
+            # 1.0) through the group's smallest-id rep — the duplicate-
+            # heavy degenerate bucket costs Theta(u), not Theta(u^2)
+            _, inv = np.unique(mat, axis=0, return_inverse=True)
+            rep_idx, sa, sb = _identity_star(uids, inv)
+            if len(sa):
+                out_a.append(uids[sa])
+                out_b.append(uids[sb])
+                out_c.append(np.ones(len(sa), dtype=np.float64))
+            v = len(rep_idx)
+            if v < 2:
+                continue
+            rm = mat[rep_idx]
+            ru = uids[rep_idx]
+            # BLOCKED cosine triangle over distinct vectors: unlike the
+            # hash kernels (which forfeit cross-chunk pairs), matmul
+            # tiles cover EVERY rep pair exactly — memory is O(block^2)
+            # per tile while time stays the inherent O(v^2 * dim)
+            B = EMB_RUN_BLOCK
+            for i0 in range(0, v, B):
+                i1 = min(i0 + B, v)
+                for j0 in range(i0, v, B):
+                    j1 = min(j0 + B, v)
+                    blk = rm[i0:i1] @ rm[j0:j1].T
+                    mask = blk >= threshold
+                    if i0 == j0:
+                        mask &= np.triu(
+                            np.ones(blk.shape, dtype=bool), k=1
+                        )
+                    ii, jj = np.nonzero(mask)
+                    if len(ii) == 0:
+                        continue
+                    ra, rb = ru[i0 + ii], ru[j0 + jj]
+                    out_a.append(np.minimum(ra, rb))
+                    out_b.append(np.maximum(ra, rb))
+                    out_c.append(blk[ii, jj])
         if not out_a:
             return pa.Table.from_arrays(
                 [
@@ -1153,13 +1186,20 @@ def q_dedup_semantic(
         )
 
     def prune(group: pa.Table) -> pa.Table:
+        # bounded under duplicate skew, same design as the LSH kernels:
+        # byte-identical vectors collapse to identity groups (star
+        # union through the smallest id — an all-identical cluster is
+        # Theta(c), not Theta(c^2)); DISTINCT vectors run a BLOCKED
+        # cosine triangle (EMB_RUN_BLOCK tiles, union applied per tile)
+        # so no task allocates a cluster-sized cos matrix. The union
+        # result is identical to the full clique's components.
         ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         vecs = group["vec"].to_pylist()
         mat = np.stack([np.frombuffer(vecs[i], dtype=np.float64) for i in order])
-        cos = mat @ mat.T  # cluster-local only — never the global matrix
-        ai, bj = np.nonzero(cos >= threshold)
+        _, inv = np.unique(mat, axis=0, return_inverse=True)
+        rep_idx, star_rep, star_mem = _identity_star(ids, inv)
         parent = np.arange(len(ids))
 
         def find(x: int) -> int:
@@ -1168,11 +1208,27 @@ def q_dedup_semantic(
                 x = parent[x]
             return x
 
-        for i, j in zip(ai, bj):
-            if i < j:
-                ri, rj = find(int(i)), find(int(j))
-                if ri != rj:  # ids sorted ascending: keep the smaller root
-                    parent[max(ri, rj)] = min(ri, rj)
+        def union(i: int, j: int) -> None:
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:  # ids sorted ascending: keep the smaller root
+                parent[max(ri, rj)] = min(ri, rj)
+
+        for i, j in zip(star_rep, star_mem):
+            union(i, j)
+        v = len(rep_idx)
+        rm = mat[rep_idx]
+        B = EMB_RUN_BLOCK
+        for i0 in range(0, v, B):
+            i1 = min(i0 + B, v)
+            for j0 in range(i0, v, B):
+                j1 = min(j0 + B, v)
+                blk = rm[i0:i1] @ rm[j0:j1].T
+                mask = blk >= threshold
+                if i0 == j0:
+                    mask &= np.triu(np.ones(blk.shape, dtype=bool), k=1)
+                ii, jj = np.nonzero(mask)
+                for i, j in zip(rep_idx[i0 + ii], rep_idx[j0 + jj]):
+                    union(i, j)
         roots = np.array([find(int(i)) for i in range(len(ids))])
         keep = (roots == np.arange(len(ids))).astype(np.int64)
         bucket = (ids * 2654435761 % CC_NUM_BUCKETS).astype(np.int64)

@@ -187,3 +187,48 @@ def test_index_probe_all_identical_batch(tmp_path):
     assert len(got) == len(new)
     assert set(got["dup_of"]) == {7}
     assert set(got["jaccard_est"]) == {1.0}
+
+
+def test_embedding_lsh_all_identical_is_linear(tmp_path):
+    """The embedding-LSH near-dup path on a 100%-identical-vector
+    corpus: every vector lands in one bucket on all 24 bands; the
+    identity-star collapse emits exactly n-1 final pairs (the clique
+    would be ~2M per band) with cos 1.0 through the smallest id."""
+    import pyarrow.parquet as pq_
+
+    from ray_cdc_lake.dedup import q_dedup_embedding_lsh
+
+    n, dim = 2000, 16
+    vec = np.arange(1, dim + 1, dtype=np.float64)
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(n), type=pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n, type=pa.list_(pa.float64())),
+        "label": pa.array(["x"] * n),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(emb, f"{sf}/embeddings.parquet")
+    got = q_dedup_embedding_lsh(sf).to_pandas()
+    assert len(got) == n - 1
+    assert set(got["vec_id_a"]) == {0}
+    assert set(got["vec_id_b"]) == set(range(1, n))
+
+
+def test_semantic_dedup_all_identical_keeps_one(tmp_path):
+    """SemDeDup on a 100%-identical-vector corpus: one k-means cluster
+    holds everything; the identity-star union (no cluster-sized cos
+    matrix) must keep exactly the smallest vec_id."""
+    import pyarrow.parquet as pq_
+
+    from ray_cdc_lake.dedup import q_dedup_semantic
+
+    n, dim = 1500, 16
+    vec = np.linspace(1.0, 2.0, dim)
+    emb = pa.table({
+        "vec_id": pa.array(np.arange(5, 5 + n), type=pa.int64()),
+        "embedding": pa.array([vec.tolist()] * n, type=pa.list_(pa.float64())),
+        "label": pa.array(["x"] * n),
+    })
+    sf = str(tmp_path)
+    pq_.write_table(emb, f"{sf}/embeddings.parquet")
+    got = q_dedup_semantic(sf).to_pandas()
+    assert list(got["vec_id"]) == [5]
