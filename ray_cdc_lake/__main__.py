@@ -196,6 +196,7 @@ def cmd_sigindex(a) -> int:
     from .nearindex import (
         index_append,
         index_compact,
+        index_fsck,
         index_probe,
         index_vacuum,
         read_index_manifest,
@@ -206,6 +207,10 @@ def cmd_sigindex(a) -> int:
 
         return read_table(a.sf_dir, "documents", columns=["doc_id", "text"])
 
+    if getattr(a, "fsck", False):
+        rep = index_fsck(a.root, data=a.data)
+        print(json.dumps({"root": a.root, **rep}))
+        return 0 if not rep["fails"] else 1
     if a.append:
         _ray_up()
         m = index_append(a.root, a.append, docs())
@@ -473,7 +478,8 @@ def main(argv: list[str] | None = None) -> int:
         "sigindex",
         help="persisted LSH signature index: --append TXN (exactly-once) "
         "/ --probe (near-dup verdicts for --sf-dir docs) / --compact / "
-        "--vacuum / no flag = show manifest",
+        "--vacuum / --fsck [--data] (integrity audit) / no flag = show "
+        "manifest",
     )
     sp.add_argument("--root", required=True, help="index directory")
     sp.add_argument("--sf-dir", default=None, help="documents source")
@@ -483,6 +489,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--compact", action="store_true")
     sp.add_argument("--vacuum", action="store_true")
     sp.add_argument("--grace-s", type=float, default=86400.0)
+    sp.add_argument("--fsck", action="store_true")
+    sp.add_argument(
+        "--data", action="store_true",
+        help="with --fsck: also verify per-file schema and band_key sort",
+    )
     sp.set_defaults(fn=cmd_sigindex)
 
     sp = sub.add_parser(

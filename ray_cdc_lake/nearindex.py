@@ -281,6 +281,95 @@ def index_vacuum(
     return removed
 
 
+def index_fsck(root: str, store=None, data: bool = False) -> dict:
+    """Integrity audit for the signature index — the index-side analog
+    of the lake's ``fsck``:
+
+    * ``manifest_chain``: the manifest directory parses, the version
+      file sequence is contiguous 1..V (claims mint every version), and
+      the current manifest lists no duplicate txn ids;
+    * ``txn_dirs``: every committed txn id owns an existing data dir
+      (a manifest entry whose data vanished means lost rows);
+    * ``orphans`` (informational, never a failure): data dirs no
+      manifest references and staging leftovers — the age-gated
+      ``index_vacuum`` targets;
+    * with ``data=True``: every referenced parquet carries exactly the
+      index schema (band_key, doc_id, sig + the bucket partition), and
+      ``band_key`` is non-decreasing WITHIN each file — the invariant
+      the probe's row-group isin() pushdown prunes by; a violated sort
+      silently degrades probes to full-file scans, so it is a failure.
+
+    Returns ``{"fails": [...], "orphan_data": [...],
+    "stale_staging": [...], "files_checked": n}`` — empty ``fails``
+    means healthy."""
+    import pyarrow.parquet as pq
+
+    store = _store(store)
+    fails: list[str] = []
+    out: dict = {"fails": fails, "orphan_data": [], "stale_staging": [], "files_checked": 0}
+    mdir = os.path.join(root, MANIFEST_DIR)
+    if not store.isdir(mdir):
+        fails.append(f"no manifest directory at {mdir}")
+        return out
+    versions = sorted(
+        int(f[len("manifest-") : -len(".json")])
+        for f in store.listdir(mdir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    if not versions:
+        fails.append("manifest directory holds no manifest files")
+        return out
+    if versions != list(range(versions[0], versions[-1] + 1)) or versions[0] != 1:
+        fails.append(f"manifest version sequence not contiguous from 1: {versions}")
+    try:
+        m = read_index_manifest(root, store)
+    except (ValueError, KeyError, OSError) as exc:
+        fails.append(f"current manifest unreadable: {exc}")
+        return out
+    if len(set(m.txns)) != len(m.txns):
+        fails.append(f"duplicate txn ids in manifest: {m.txns}")
+
+    live = set(m.txns)
+    ddir = os.path.join(root, DATA_DIR)
+    present = set(store.listdir(ddir)) if store.isdir(ddir) else set()
+    for t in m.txns:
+        if t not in present:
+            fails.append(f"manifest txn {t!r} has no data directory")
+    out["orphan_data"] = sorted(present - live)
+    sdir = os.path.join(root, STAGING_DIR)
+    out["stale_staging"] = sorted(store.listdir(sdir)) if store.isdir(sdir) else []
+
+    if data:
+        want_cols = {"band_key", "doc_id", "sig"}
+        for t in m.txns:
+            tdir = os.path.join(ddir, t)
+            if not store.isdir(tdir):
+                continue
+            for entry in sorted(store.listdir(tdir)):
+                bdir = os.path.join(tdir, entry)
+                for f in sorted(store.listdir(bdir)):
+                    if not f.endswith(".parquet"):
+                        continue
+                    path = os.path.join(bdir, f)
+                    pf = pq.ParquetFile(path, filesystem=getattr(store, "fs", None))
+                    cols = set(pf.schema_arrow.names)
+                    if cols != want_cols:
+                        fails.append(
+                            f"{path}: schema {sorted(cols)} != {sorted(want_cols)}"
+                        )
+                        continue
+                    keys = pf.read(columns=["band_key"])["band_key"].to_numpy(
+                        zero_copy_only=False
+                    )
+                    if len(keys) > 1 and not (keys[1:] >= keys[:-1]).all():
+                        fails.append(
+                            f"{path}: band_key not sorted within file — "
+                            "row-group pruning invariant violated"
+                        )
+                    out["files_checked"] += 1
+    return out
+
+
 def index_probe(root: str, docs, threshold: float = 0.5, store=None):
     """Check a new batch against the committed index (and itself).
     Returns one row per duplicate new doc: (doc_id, dup_of,

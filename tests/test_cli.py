@@ -163,3 +163,8 @@ def test_cli_sigindex_lifecycle(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["txns"]) == 1 and out["txns"][0].startswith("compact-")
     assert main(["sigindex", "--root", root, "--vacuum"]) == 0
+    capsys.readouterr()
+    # integrity audit (structural + data invariants) is green post-cycle
+    assert main(["sigindex", "--root", root, "--fsck", "--data"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fails"] == [] and out["files_checked"] > 0

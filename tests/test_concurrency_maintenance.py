@@ -177,6 +177,13 @@ def test_index_compact_races_appends(tmp_path):
     ).to_pandas()
     assert len(got2) == len(probes)
 
+    # closing integrity audit (the lake bench's fsck discipline): the
+    # surviving index passes every structural AND data invariant
+    from ray_cdc_lake.nearindex import index_fsck
+
+    rep = index_fsck(root, data=True)
+    assert rep["fails"] == [], rep
+
 
 REPLICATOR = r"""
 import sys, time, os

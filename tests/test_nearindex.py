@@ -259,3 +259,48 @@ def test_index_compact_carries_concurrent_append(tmp_path):
     assert "t-late" in m.txns and m.txns[0].startswith("compact-")
     got = _verdicts(root, {99: late[40]})
     assert got[99] == (40, 1.0)
+
+
+def test_index_fsck_healthy_and_detects_damage(tmp_path):
+    """index_fsck: green on a healthy append+compact chain; catches a
+    manifest txn whose data dir vanished and a file whose band_key sort
+    (the probe's row-group pruning invariant) was broken."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ray_cdc_lake.nearindex import (
+        DATA_DIR,
+        index_compact,
+        index_fsck,
+        read_index_manifest,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    root = str(tmp_path / "sigidx")
+    index_append(root, "t1", _docs_ds(_mk_corpus(rng, 12, vocab)))
+    index_append(root, "t2", _docs_ds(_mk_corpus(rng, 12, vocab)))
+    rep = index_fsck(root, data=True)
+    assert rep["fails"] == [] and rep["files_checked"] > 0
+    index_compact(root)
+    index_append(root, "t3", _docs_ds(_mk_corpus(rng, 6, vocab)))
+    rep = index_fsck(root, data=True)
+    assert rep["fails"] == [] and rep["orphan_data"] == []
+
+    # damage 1: break the within-file band_key sort of one live file
+    m = read_index_manifest(root)
+    tdir = os.path.join(root, DATA_DIR, m.txns[0])
+    bdir = os.path.join(tdir, sorted(os.listdir(tdir))[0])
+    f = os.path.join(bdir, sorted(os.listdir(bdir))[0])
+    t = pq.read_table(f)
+    if t.num_rows > 1:
+        rev = t.take(list(range(t.num_rows - 1, -1, -1)))
+        pq.write_table(rev.select(["band_key", "doc_id", "sig"]), f)
+        rep = index_fsck(root, data=True)
+        assert any("not sorted" in x for x in rep["fails"]), rep
+
+    # damage 2: a committed txn loses its data dir entirely
+    shutil.rmtree(os.path.join(root, DATA_DIR, m.txns[-1]))
+    rep = index_fsck(root)
+    assert any("no data directory" in x for x in rep["fails"]), rep
