@@ -157,17 +157,30 @@ def index_compact(root: str, store=None) -> IndexManifest:
     returns it to 1).  Concurrent-append-safe: the manifest claim loop
     carries FORWARD any txn committed after the fold's snapshot (the
     fold covers exactly the snapshot's txns, newcomers stay listed), so
-    no append is ever silently dropped.  Superseded dirs are reclaimed
-    immediately (their manifest race is decided); crash before the
-    claim leaves the fold dir unreferenced and age-gated vacuumable."""
+    no append is ever silently dropped.  Concurrent-COMPACTOR-safe: if
+    the claim-time manifest no longer lists every base txn of this
+    fold's snapshot, another compactor already folded them — committing
+    ours too would list the same rows twice, so the stale fold aborts
+    (dir removed) and the winner's manifest is adopted.  Superseded
+    dirs are NOT deleted here — a reader that planned from the prior
+    manifest may still be mid-read; the age-gated ``index_vacuum``
+    reclaims them (crashed folds too) after the grace window."""
     import ray.data as rd
+
+    import uuid
 
     store = _store(store)
     m = read_index_manifest(root, store) or IndexManifest()
     if len(m.txns) <= 1:
         return m
     base = list(m.txns)
-    txn = f"compact-{m.version + 1:06d}"
+    # NONCE'd fold id (the rescale.py step-dir discipline): two
+    # compactors racing from the same snapshot would otherwise derive
+    # the SAME name, and the loser's staging prologue rmtree would
+    # delete the winner's committed fold. Compact ids need no
+    # idempotence — a crashed fold is redone under a fresh id and the
+    # unreferenced dir is age-gated vacuumable.
+    txn = f"compact-{m.version + 1:06d}-{uuid.uuid4().hex[:8]}"
     staging = os.path.join(root, STAGING_DIR, txn)
     final = os.path.join(root, DATA_DIR, txn)
     for d in (staging, final):
@@ -206,6 +219,14 @@ def index_compact(root: str, store=None) -> IndexManifest:
     base_set = set(base)
     while True:
         cur = read_index_manifest(root, store) or IndexManifest()
+        if not base_set <= set(cur.txns):
+            # a CONCURRENT COMPACTOR already folded part of our snapshot
+            # (its compact txn replaced some base ids): committing our
+            # fold now would list the same rows twice — once in ours,
+            # once carried in theirs.  Our fold is stale; abort it and
+            # adopt the winner's manifest (the rows are all there).
+            store.rmtree(final)
+            return cur
         carried = [t for t in cur.txns if t not in base_set]
         new = IndexManifest(version=cur.version + 1, txns=[txn, *carried])
         tmp = os.path.join(root, MANIFEST_DIR, f".tmp-{txn}-{new.version}")
@@ -222,8 +243,13 @@ def index_compact(root: str, store=None) -> IndexManifest:
                 store.delete_file(tmp)
             except OSError:
                 pass
-    for t in base:
-        store.rmtree(os.path.join(root, DATA_DIR, t))
+    # superseded base dirs are NOT reclaimed here: an in-flight reader
+    # (a probe, or a competing compactor) that planned its file list
+    # from the prior manifest may still be reading them — immediate
+    # deletion turns that race into FileNotFoundError mid-read.  The
+    # age-gated ``index_vacuum`` reclaims them once the grace window
+    # says no planned read can still reference them (the lake's vacuum
+    # discipline).
     return new
 
 

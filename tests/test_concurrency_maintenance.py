@@ -126,7 +126,10 @@ def test_index_compact_races_appends(tmp_path):
     with open(cmp_, "w") as f:
         f.write(COMPACTOR % {"repo": REPO})
 
-    procs_args = [[app, root, go], [cmp_, root, go]]
+    # TWO compactors race each other AND the appender: nonce'd fold ids
+    # + the stale-fold abort keep any interleaving duplicate- and
+    # loss-free
+    procs_args = [[app, root, go], [cmp_, root, go], [cmp_, root, go]]
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)
     procs = [

@@ -213,8 +213,14 @@ def test_index_compact_folds_and_preserves_verdicts(tmp_path):
     m = index_compact(root)
     assert len(m.txns) == 1 and m.txns[0].startswith("compact-")
     assert _verdicts(root, probe) == before
-    # superseded dirs reclaimed, fold dir present
+    # superseded dirs SURVIVE the fold (in-flight readers may still be
+    # on them); the age-gated vacuum is what reclaims them
+    assert set(m.txns) < set(os.listdir(os.path.join(root, "data")))
+    from ray_cdc_lake.nearindex import index_vacuum
+
+    index_vacuum(root, grace_s=0)
     assert set(os.listdir(os.path.join(root, "data"))) == set(m.txns)
+    assert _verdicts(root, probe) == before
     # compacting a single-txn index is a no-op
     assert index_compact(root).version == m.version
 
@@ -286,6 +292,12 @@ def test_index_fsck_healthy_and_detects_damage(tmp_path):
     index_compact(root)
     index_append(root, "t3", _docs_ds(_mk_corpus(rng, 6, vocab)))
     rep = index_fsck(root, data=True)
+    # the folded-away t1/t2 dirs are orphans (informational, vacuumable)
+    assert rep["fails"] == [] and rep["orphan_data"] == ["t1", "t2"]
+    from ray_cdc_lake.nearindex import index_vacuum
+
+    index_vacuum(root, grace_s=0)
+    rep = index_fsck(root, data=True)
     assert rep["fails"] == [] and rep["orphan_data"] == []
 
     # damage 1: break the within-file band_key sort of one live file
@@ -304,3 +316,65 @@ def test_index_fsck_healthy_and_detects_damage(tmp_path):
     shutil.rmtree(os.path.join(root, DATA_DIR, m.txns[-1]))
     rep = index_fsck(root)
     assert any("no data directory" in x for x in rep["fails"]), rep
+
+
+def test_two_compactors_never_duplicate_rows(tmp_path, monkeypatch):
+    """Two compactors fold the same snapshot; the loser's claim-time
+    manifest no longer lists its base txns, so it must ABORT its stale
+    fold instead of committing it alongside the winner's (which would
+    list every row twice)."""
+    import ray_cdc_lake.nearindex as ni
+
+    rng = np.random.default_rng(9)
+    vocab = np.array([f"w{i}" for i in range(30)], dtype=object)
+    root = str(tmp_path / "sigidx")
+    corpus = _mk_corpus(rng, 10, vocab)
+    index_append(root, "t1", _docs_ds(corpus))
+    index_append(
+        root, "t2", _docs_ds({100 + k: t for k, t in list(corpus.items())[:5]})
+    )
+    stale = ni.read_index_manifest(root)  # both compactors' snapshot
+
+    # compactor A wins outright; superseded base dirs stay on disk for
+    # in-flight readers (age-gated vacuum reclaims them later)
+    m_a = ni.index_compact(root)
+    assert m_a.txns[0].startswith("compact-") and len(m_a.txns) == 1
+    for t in stale.txns:
+        assert os.path.isdir(os.path.join(root, ni.DATA_DIR, t))
+
+    # compactor B raced: its SNAPSHOT read happened before A's claim
+    real_read = ni.read_index_manifest
+    calls = {"n": 0}
+
+    def stale_first(root_, store=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real_read(root_, store)
+
+    monkeypatch.setattr(ni, "read_index_manifest", stale_first)
+    m_b = ni.index_compact(root)
+    monkeypatch.setattr(ni, "read_index_manifest", real_read)
+
+    # B adopted A's manifest instead of double-listing the fold
+    assert m_b.txns == m_a.txns, (m_b.txns, m_a.txns)
+    # and no doc is reported duplicated against itself twice: a probe
+    # with one exact copy per indexed doc yields exactly one verdict per
+    # probe doc, est 1.0 (duplicated index rows would still dedup in the
+    # verdict, so ALSO check the raw committed row total)
+    import pyarrow.parquet as pq
+
+    rows = 0
+    for t in real_read(root).txns:
+        tdir = os.path.join(root, ni.DATA_DIR, t)
+        for b in os.listdir(tdir):
+            for f in os.listdir(os.path.join(tdir, b)):
+                if f.endswith(".parquet"):
+                    rows += pq.ParquetFile(
+                        os.path.join(tdir, b, f)
+                    ).metadata.num_rows
+    from ray_cdc_lake.dedup import BANDS
+
+    assert rows == 15 * BANDS  # one band row per (doc, band), nothing twice
+    rep = ni.index_fsck(root, data=True)
+    assert rep["fails"] == [], rep
