@@ -456,6 +456,32 @@ def _apply_incremental_once(
         else:
             s_new = ds.schema()
         s_old = prior.schema()
+        if s_old is None:
+            # the prior read planned ZERO files — e.g. a metadata
+            # predicate delete wiped every live row and the manifest's
+            # column bounds pruned every file from the scan. No prior
+            # state participates in the merge: commit the micro-batch's
+            # own winners, still PINNED to the manifest version the
+            # (empty) read observed, so a concurrent writer conflicts
+            # normally. Untouched bucket entries keep their (all-dead)
+            # files; touched ones are replaced by this txn's rewrite.
+            combined = ds.map_batches(
+                partial_lww, batch_format="pyarrow"
+            ).materialize()
+            nb = max(1, combined.size_bytes() // _DELTA_TARGET_BLOCK_BYTES)
+            if combined.num_blocks() > 2 * nb:
+                combined = combined.repartition(int(nb)).materialize()
+            return commit_txn(
+                lake_dir,
+                txn_id,
+                lww_winners_keep_bucket(combined, combined=True),
+                fail_before_publish=fail_before_publish,
+                expected_version=manifest.version,
+                num_buckets=num_buckets,
+                branch=branch,
+                store=store,
+                extra_metrics=extra_metrics,
+            )
         types: dict[str, pa.DataType] = {}
         for s in (s_old, s_new):  # new wins on retype (promotion)
             for n, t in zip(s.names, s.types):

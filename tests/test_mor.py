@@ -384,3 +384,38 @@ def test_mor_on_branch_and_merge(tmp_path):
     assert state(mor) == dev
     assert any(read_manifest(mor).deltas.values())
     assert read_key(mor, "r1", "d.py")["content"] == "D1"
+
+
+def test_cow_apply_after_full_metadata_wipe(tmp_path):
+    """A metadata predicate delete that kills EVERY live row lets the
+    manifest's column bounds prune every file from the next apply's
+    prior read — schema() is None on the empty plan. The apply must
+    commit the micro-batch's own winners (found by hypothesis in
+    test_property_replicate; regression pinned here deterministically).
+    Exercised both without and WITH an explicit events_schema, and with
+    a follow-up apply to prove the lake keeps working."""
+    lake = str(tmp_path / "lake")
+    apply_seg(lake, "t0", [(1, "insert", "r1", "a.py", "A1"),
+                           (2, "insert", "r1", "b.py", "B1")], "cow",
+              num_buckets=4)
+    delete_where(lake, "del-all", "repo", "==", "r1")
+    assert state(lake) == []
+
+    # events_schema=None forces the s_old/s_new unify path
+    import ray.data as rd
+
+    apply_incremental(lake, "t1",
+                      rd.from_arrow(ev_table([(5, "insert", "r1", "a.py", "A2")])),
+                      num_buckets=4)
+    assert state(lake) == [("r1", "a.py", 5, "A2")]
+
+    delete_where(lake, "del-all-2", "repo", "==", "r1")
+    assert state(lake) == []
+    apply_seg(lake, "t2", [(8, "insert", "r1", "b.py", "B2")], "cow",
+              num_buckets=4)
+    assert state(lake) == [("r1", "b.py", 8, "B2")]
+    # normal merging resumes against the re-populated lake
+    apply_seg(lake, "t3", [(9, "update", "r1", "b.py", "B3"),
+                           (10, "insert", "r2", "c.py", "C1")], "cow",
+              num_buckets=4)
+    assert state(lake) == [("r1", "b.py", 9, "B3"), ("r2", "c.py", 10, "C1")]
