@@ -419,3 +419,43 @@ def test_cow_apply_after_full_metadata_wipe(tmp_path):
                            (10, "insert", "r2", "c.py", "C1")], "cow",
               num_buckets=4)
     assert state(lake) == [("r1", "b.py", 9, "B3"), ("r2", "c.py", 10, "C1")]
+
+
+def test_wipe_edge_states_mor_evolve_empty(tmp_path):
+    """Companions to test_cow_apply_after_full_metadata_wipe: the
+    merge-on-read tail, a schema-EVOLVING apply, and an empty window
+    each behave after a full metadata wipe / against a live lake."""
+    import ray.data as rd
+
+    # mor tail lands above the wipe's lsn snapshot
+    lake = str(tmp_path / "mor")
+    apply_seg(lake, "t0", SEG_A, "cow", num_buckets=2)
+    delete_where(lake, "wipe", "repo", "==", "r1")
+    apply_seg(lake, "t1", [(10, "insert", "r1", "a.py", "A9")], "mor",
+              num_buckets=2)
+    got = state(lake)
+    assert ("r1", "a.py", 10, "A9") in got
+    assert not any(p == "b.py" for (_, p, _, _) in got)  # wiped, stays gone
+
+    # schema evolution when the prior read plans zero files: the new
+    # column commits and reads back
+    lake2 = str(tmp_path / "evolve")
+    apply_seg(lake2, "t0", SEG_A, "cow", num_buckets=2)
+    delete_where(lake2, "wipe", "repo", "==", "r1")
+    delete_where(lake2, "wipe2", "repo", "==", "r2")
+    t = ev_table([(20, "insert", "r1", "n.py", "N1")]).append_column(
+        "stars", pa.array([7], type=pa.int64())
+    )
+    apply_incremental(lake2, "t1", rd.from_arrow(t), num_buckets=2)
+    df = read_lake(lake2).to_pandas()
+    assert list(df["stars"]) == [7] and list(df["path"]) == ["n.py"]
+
+    # an empty micro-batch window commits as an applied txn, both modes
+    lake3 = str(tmp_path / "empty")
+    apply_seg(lake3, "t0", SEG_A, "cow", num_buckets=2)
+    empty = rd.from_arrow(ev_table([]))
+    for mode, txn in (("cow", "t-e1"), ("mor", "t-e2")):
+        m = apply_incremental(lake3, txn, empty, num_buckets=2, mode=mode,
+                              events_schema=COMPILED_SCHEMA)
+        assert txn in m.txns
+    assert len(state(lake3)) == 3  # SEG_A's live keys, untouched
