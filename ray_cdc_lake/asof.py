@@ -41,6 +41,18 @@ def _joined_keys(t: pa.Table, keys: tuple[str, ...]) -> pa.ChunkedArray:
     cols = [t[k].cast(pa.string()) for k in keys]
     if len(cols) == 1:
         return cols[0]
+    # the in-kernel grouping compares the PACKED string, so a NUL inside
+    # a key value would alias distinct multi-key rows (("a", "b\0c") ==
+    # ("a\0b", "c")) and silently mis-join — reject loudly instead (the
+    # engine's own path-safety already bans NUL; this guards the
+    # operator's generic-key surface)
+    for k, c in zip(keys, cols):
+        if pc.any(pc.match_substring(c, "\x00")).as_py():
+            raise ValueError(
+                f"join key column {k!r} contains NUL (\\x00), the "
+                "multi-key pack separator — NUL-bearing keys would alias "
+                "across columns; sanitize them first"
+            )
     return pc.binary_join_element_wise(*cols, "\x00")
 
 

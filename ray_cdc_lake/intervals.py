@@ -46,6 +46,16 @@ def _joined_keys(t: pa.Table, keys: tuple[str, ...]) -> pa.ChunkedArray:
     cols = [t[k].cast(pa.string()) for k in keys]
     if len(cols) == 1:
         return cols[0]
+    # same NUL-aliasing guard as asof._joined_keys: the per-cell kernel
+    # groups by the packed string, so NUL inside a key value would
+    # silently merge distinct multi-key rows
+    for k, c in zip(keys, cols):
+        if pc.any(pc.match_substring(c, "\x00")).as_py():
+            raise ValueError(
+                f"join key column {k!r} contains NUL (\\x00), the "
+                "multi-key pack separator — NUL-bearing keys would alias "
+                "across columns; sanitize them first"
+            )
     return pc.binary_join_element_wise(*cols, "\x00")
 
 

@@ -186,3 +186,28 @@ def test_asof_join_rejects_asof_prefixed_left():
     )
     with pytest.raises(ValueError, match="asof_"):
         asof_join(probes, hist)
+
+
+def test_multi_key_nul_values_rejected():
+    """A NUL inside a key value would alias distinct multi-key rows in
+    the packed grouping ( ('a','b\\0c') == ('a\\0b','c') ) — rejected
+    loudly; single-key joins take the column verbatim, so NUL is fine."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "repo": ["a"], "path": ["b\x00c"], "qlsn": [5],
+    }))
+    right = rd.from_arrow(pa.table({
+        "repo": ["a\x00b"], "path": ["c"], "lsn": [1], "v": [10],
+    }))
+    with pytest.raises(Exception, match="NUL"):
+        asof_join(left, right, keys=("repo", "path"),
+                  left_on="qlsn", right_on="lsn").materialize()
+    # single key: passes through, no pack, no alias
+    l1 = rd.from_arrow(pa.table({"k": ["x\x00y"], "qlsn": [5]}))
+    r1 = rd.from_arrow(pa.table({"k": ["x\x00y"], "lsn": [1], "v": [10]}))
+    out = asof_join(l1, r1, keys=("k",), left_on="qlsn",
+                    right_on="lsn").to_pandas()
+    assert list(out["asof_v"]) == [10]
