@@ -328,27 +328,16 @@ def q_text_classify_eval(sf_dir: str):
     scored = nb_predict(docs, model, keep_cols=("lang",))
 
     def partial(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        key = np.char.add(
-            np.char.add(
-                np.asarray(t["lang"].to_pandas(), dtype=object).astype(str),
-                "\x1f",
-            ),
-            np.asarray(
-                t["predicted_lang"].to_pandas(), dtype=object
-            ).astype(str),
+        # two-column Arrow group_by — no separator pack to alias, no
+        # object ndarrays (a raw label containing \x1f would have
+        # mis-split the old packed form)
+        g = (
+            t.select(["lang", "predicted_lang"])
+            .group_by(["lang", "predicted_lang"])
+            .aggregate([([], "count_all")])
         )
-        uk, counts = np.unique(key, return_counts=True)
-        langs = [k.split("\x1f")[0] for k in uk]
-        preds = [k.split("\x1f")[1] for k in uk]
-        return pa.Table.from_arrays(
-            [
-                pa.array(langs, type=pa.string()),
-                pa.array(preds, type=pa.string()),
-                pa.array(counts.astype("int64")),
-            ],
-            names=["lang", "predicted_lang", "n_docs"],
+        return g.rename_columns(["lang", "predicted_lang", "n_docs"]).set_column(
+            2, "n_docs", g["count_all"].cast(pa.int64())
         )
 
     return (
