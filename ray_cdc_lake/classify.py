@@ -72,6 +72,15 @@ def nb_train(
         # tokenize, pack and count with pyarrow kernels (the same
         # discipline as textstats)
         lab = t[label_col].cast(pa.string())
+        if lab.null_count:
+            # a null label would pack into a null shuffle key and crash
+            # the driver-side unpack with an unrelated-looking error —
+            # fail HERE with the real cause instead
+            raise ValueError(
+                f"label column {label_col!r} contains "
+                f"{lab.null_count} null(s) — drop or impute them before "
+                "training"
+            )
         toks = pc.split_pattern(
             t[text_col].cast(pa.string()).fill_null(""), " "
         )

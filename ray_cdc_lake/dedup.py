@@ -269,6 +269,23 @@ RUN_VERIFY_CAP = 1024
 SIMHASH_RUN_CAP = 4096
 
 
+def _log_overcap(kernel: str, v: int, cap: int) -> None:
+    """One warning per over-cap band run: chunked verification forfeits
+    cross-chunk pairs of THIS band (other bands still offer them their
+    own buckets), and that recall trade must show up in worker logs
+    rather than pass silently."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s band run holds %d distinct signatures (> cap %d): verifying "
+        "in signature-sorted chunks; cross-chunk pairs of this band are "
+        "forfeited deterministically",
+        kernel,
+        v,
+        cap,
+    )
+
+
 def _identity_star(uids: np.ndarray, inv: np.ndarray):
     """Collapse identical-signature docs inside one equal-band-key run.
 
@@ -359,6 +376,10 @@ def minhash_pairs_kernel(threshold: float):
             #    capped chunks (signature-lex order keeps similar sigs
             #    adjacent, so an over-cap run degrades gracefully)
             v = len(rep_idx)
+            if v > RUN_VERIFY_CAP:
+                # forfeited cross-chunk pairs must be OBSERVABLE, not a
+                # silent recall cliff — the worker log names the run
+                _log_overcap("minhash", v, RUN_VERIFY_CAP)
             rsig = sig[rep_idx]
             ruid = uids[rep_idx]
             for c0 in range(0, v, RUN_VERIFY_CAP):
@@ -523,6 +544,8 @@ def simhash_pairs_kernel(max_hamming: int):
                 out_b.append(uids[sb])
                 out_d.append(np.zeros(len(sa), dtype=np.int64))
             v = len(rep_idx)
+            if v > SIMHASH_RUN_CAP:
+                _log_overcap("simhash", v, SIMHASH_RUN_CAP)
             rh = h[rep_idx]
             ruid = uids[rep_idx]
             for c0 in range(0, v, SIMHASH_RUN_CAP):

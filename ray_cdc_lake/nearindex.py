@@ -373,6 +373,14 @@ def index_fsck(root: str, store=None, data: bool = False) -> dict:
                 continue
             for entry in sorted(store.listdir(tdir)):
                 bdir = os.path.join(tdir, entry)
+                if not store.isdir(bdir):
+                    # the layout is bucket=N directories only — a stray
+                    # regular file IS the kind of damage this audit
+                    # exists to surface, not a reason to crash it
+                    fails.append(
+                        f"{bdir}: unexpected non-directory entry in txn dir"
+                    )
+                    continue
                 for f in sorted(store.listdir(bdir)):
                     if not f.endswith(".parquet"):
                         continue

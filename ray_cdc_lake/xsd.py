@@ -268,11 +268,23 @@ def _try_match(children, i: int, particle: dict, path: str):
             j = r
         return j, errs
     if kind == "choice":
+        # branch-level backtracking: a branch that matched CLEANLY wins
+        # immediately — choice(seq(A,B), seq(A,C)) against [A, C] picks
+        # seq(A,C) instead of committing a failed seq(A,B). When no
+        # branch is clean, the deepest-progress branch (first on ties)
+        # is committed so the document's actual choice reports its
+        # specific inner error (a matched element with a bad attribute,
+        # say) rather than a generic missing-choice.
+        best = None
         for sub in particle["children"]:
             r = _try_match(children, i, sub, path)
-            if r is not None:
+            if r is None:
+                continue
+            if not r[1]:
                 return r
-        return None
+            if best is None or r[0] > best[0]:
+                best = r
+        return best
     raise AssertionError(kind)
 
 

@@ -378,3 +378,22 @@ def test_two_compactors_never_duplicate_rows(tmp_path, monkeypatch):
     assert rows == 15 * BANDS  # one band row per (doc, band), nothing twice
     rep = ni.index_fsck(root, data=True)
     assert rep["fails"] == [], rep
+
+
+def test_index_fsck_reports_stray_file_instead_of_crashing(tmp_path):
+    """A stray regular file inside a committed txn dir is exactly the
+    damage the audit surveys — it must land in fails, not crash the
+    walk with NotADirectoryError."""
+    from ray_cdc_lake.nearindex import DATA_DIR, index_fsck, read_index_manifest
+
+    rng = np.random.default_rng(2)
+    vocab = np.array([f"w{i}" for i in range(20)], dtype=object)
+    root = str(tmp_path / "sigidx")
+    index_append(root, "t1", _docs_ds(_mk_corpus(rng, 6, vocab)))
+    m = read_index_manifest(root)
+    stray = os.path.join(root, DATA_DIR, m.txns[0], "stray.marker")
+    with open(stray, "w") as f:
+        f.write("x")
+    rep = index_fsck(root, data=True)
+    assert any("non-directory" in x for x in rep["fails"]), rep
+    assert rep["files_checked"] > 0  # the walk continued past the stray

@@ -182,3 +182,46 @@ def test_query_matches_duckdb_oracle():
     )
     assert list(got["xsd_route"]) == list(want["xsd_route"])
     assert list(got["xsd_valid"]) == list(want["xsd_valid"])
+
+
+def test_choice_backtracks_over_partially_matching_branches():
+    """choice(seq(A,B), seq(A,C)) against [A, C]: the first branch
+    partially matches (consumes A, fails on B) — the matcher must back
+    out and accept the clean second branch, not commit the failure."""
+    xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="root">
+        <xs:complexType>
+          <xs:choice>
+            <xs:sequence>
+              <xs:element name="A" type="xs:string"/>
+              <xs:element name="B" type="xs:string"/>
+            </xs:sequence>
+            <xs:sequence>
+              <xs:element name="A" type="xs:string"/>
+              <xs:element name="C" type="xs:string"/>
+            </xs:sequence>
+          </xs:choice>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>"""
+    v = XsdGrammarValidator(xsd)
+    assert v.validate_one("<root><A>x</A><C>y</C></root>") == ("ok", [])
+    assert v.validate_one("<root><A>x</A><B>y</B></root>") == ("ok", [])
+    # neither branch: invalid, and the deepest branch's error surfaces
+    route, errs = v.validate_one("<root><A>x</A><D>y</D></root>")
+    assert route == "schema_invalid"
+
+
+def test_nb_train_rejects_null_labels():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ray_cdc_lake.classify import nb_train
+
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["en", None, "de"]),
+        "text": pa.array(["a b", "c", "d e"]),
+    }))
+    with pytest.raises(Exception, match="null"):
+        nb_train(ds, "lang")

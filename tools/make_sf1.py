@@ -25,9 +25,14 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 K = 10
 
-# per-copy shift constants, comfortably above each key's sf0.1 range
+# per-copy shift constants, comfortably above each key's sf0.1 range.
+# doc_id must stay <= 6 digits: build_jhove_xml's uri facet is
+# docs/xx/doc_\d{6}.txt (lpad never truncates), so a 7+-digit id would
+# make the xsd/xml-validate queries disagree with their modulo-only SQL
+# oracles. 100k per copy -> max 904,999; the in-query planted-dup ids
+# (+1M/+2M) stay disjoint from every shifted table id.
 SHIFTS = {
-    "doc_id": 10_000_000,  # planted-dup arithmetic (+1M/+2M) stays in-band
+    "doc_id": 100_000,
     "vec_id": 10_000_000,
     "event_id": 10_000_000,
     "user_id": 1_000_000,
