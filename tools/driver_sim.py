@@ -17,7 +17,12 @@ import __ray_entry__ as e
 import duckdb
 import pandas as pd
 
-SF = "/root/testdata/sf0.01"
+import os
+
+# default = the real driver's sf0.01; override for deeper one-off soaks
+# (e.g. GRAFT_SIM_SF=/root/testdata/sf0.1). SIM_SLICE="k/n" runs the
+# k-th of n alphabetical query chunks so a big-sf soak fits timeouts.
+SF = os.environ.get("GRAFT_SIM_SF", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -38,9 +43,14 @@ assert len(df) > 0
 
 Q = e.queries()
 S = e.oracle_sql()
-print(f"{len(Q)} queries, {len(S)} with oracle")
+items = sorted(Q.items())
+slc = os.environ.get("SIM_SLICE")
+if slc:
+    k, n = (int(x) for x in slc.split("/"))
+    items = items[(k - 1) * len(Q) // n : k * len(Q) // n]
+print(f"{len(Q)} queries ({len(items)} in this slice), {len(S)} with oracle")
 fails = []
-for name, fn in sorted(Q.items()):
+for name, fn in items:
     t0 = time.time()
     try:
         got = fn(SF)
