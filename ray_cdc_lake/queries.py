@@ -2286,20 +2286,21 @@ def q_steps_pipeline(sf_dir: str):
         ext = np.select(
             [ids % 3 == 0, ids % 3 == 1], [".jp2", ".tiff"], default=".tif"
         )
-        # pad width 5 covers every doc_id in the corpora; DuckDB's lpad
-        # TRUNCATES beyond the width (pyarrow's does not), so the width
-        # must exceed the longest id on BOTH sides of the oracle compare
+        # pad width 7 covers ids through 9,999,999 (the sf1 tool shifts
+        # ids to 6 digits); DuckDB's lpad TRUNCATES beyond the width
+        # (pyarrow's does not), so the width must exceed the longest id
+        # on BOTH sides of the oracle compare
         fname = pc.binary_join_element_wise(
             "tekst_",
             pc.cast(batch["source"], pa.string()),
             "_",
-            pc.utf8_lpad(pc.cast(batch["doc_id"] , pa.string()), 5, "0"),
+            pc.utf8_lpad(pc.cast(batch["doc_id"] , pa.string()), 7, "0"),
             pa.array(ext.tolist(), type=pa.string()),
             "",
         )
         # per-record step parameter: zero-pad width read from this column
         # row-by-row (the evaluateAttributeExpressions analog)
-        pad_width = np.where(ids % 2 == 0, 5, 6).astype(np.int64)
+        pad_width = np.where(ids % 2 == 0, 7, 8).astype(np.int64)
         bad = ids % 13 == 5
         prefix = np.where(bad, "../", "")
         path = pc.binary_join_element_wise(
@@ -3032,7 +3033,7 @@ DOC_SQL: dict[str, str] = {
         WITH prepped AS (
           SELECT doc_id, text,
                  'tekst_' || source || '_' ||
-                 lpad(CAST(doc_id AS VARCHAR), 5, '0') ||
+                 lpad(CAST(doc_id AS VARCHAR), 7, '0') ||
                  CASE WHEN doc_id % 3 = 0 THEN '.jp2'
                       WHEN doc_id % 3 = 1 THEN '.tiff'
                       ELSE '.tif' END AS filename
@@ -3043,7 +3044,7 @@ DOC_SQL: dict[str, str] = {
                regexp_replace(filename, '\\.(jp2|tiff)$', '.tif') AS canonical_name,
                TRUE AS is_safe,
                lpad(CAST(doc_id AS VARCHAR),
-                    CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 6 END, '0') AS padded_id,
+                    CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 8 END, '0') AS padded_id,
                sha256(nfc_normalize(replace(replace(text, chr(13)||chr(10), chr(10)),
                                             chr(13), chr(10)))) AS text_sha256
         FROM prepped""",

@@ -398,16 +398,26 @@ def distributed_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     import ray
     import pyarrow.parquet as pq
 
-    # strided init WITHOUT a full-table load: row count from the parquet
-    # footer, then predicate-pushdown read of exactly the k seed rows
-    # (vec_id is the file-order row index in this table)
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    # strided init WITHOUT a full-table load and WITHOUT assuming
+    # vec_id == row index (shifted/replicated tables break that): seed
+    # rows are addressed by FILE POSITION via row-group arithmetic —
+    # at most k row-group reads of the embedding column, O(k) driver
+    # IO regardless of table size
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_rows = pf.metadata.num_rows
     init_idx = np.linspace(0, n_rows - 1, k).astype(int)
-    seed_ids, seed_mat = _load_embeddings(
-        sf_dir, filters=[("vec_id", "in", sorted({int(i) for i in init_idx}))]
+    rg_starts = np.cumsum(
+        [0] + [pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)]
     )
-    id_to_row = {int(i): seed_mat[j] for j, i in enumerate(seed_ids)}
-    cents = np.stack([id_to_row[int(i)] for i in init_idx]).astype(np.float64)
+    rg_cache: dict[int, "pa.Table"] = {}
+    seeds = []
+    for p in init_idx:
+        g = int(np.searchsorted(rg_starts, int(p), side="right") - 1)
+        if g not in rg_cache:
+            rg_cache[g] = pf.read_row_group(g, columns=["embedding"])
+        emb = rg_cache[g]["embedding"][int(p - rg_starts[g])].as_py()
+        seeds.append(np.asarray(emb, dtype=np.float64))
+    cents = np.stack(seeds)
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

@@ -58,11 +58,17 @@ for name, fn in items:
         if name in S:
             want = con.sql(S[name]).df()
             g, w = canon(got), canon(want)
-            ok = (
-                list(g.columns) == list(w.columns)
-                and len(g) == len(w)
-                and g.fillna("<N>").equals(w.fillna("<N>"))
-            )
+            if len(g) == 0 and len(w) == 0:
+                # an all-empty Ray result loses its schema at to_pandas
+                # (union of 0-row datasets) — both sides agreeing on
+                # ZERO rows is a match; column names are unverifiable
+                ok = True
+            else:
+                ok = (
+                    list(g.columns) == list(w.columns)
+                    and len(g) == len(w)
+                    and g.fillna("<N>").equals(w.fillna("<N>"))
+                )
             status = "MATCH" if ok else "MISMATCH"
             if not ok:
                 fails.append(name)
