@@ -1485,8 +1485,8 @@ SQL = {
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
-    # mirrors q_dedup_clusters' edge construction: exact pairs
-    # (d    # honest edge model: exact stars from the REAL content hash over the
+    # mirrors q_dedup_clusters' honest edge model: exact stars from the
+    # REAL content hash over the
     # corpus (coincidental duplicate texts included — sf0.1 has them) ∪
     # planted near pairs with jaccard >= 0.8, resolved to components by
     # a recursive min-label propagation (DuckDB's transitive closure of

@@ -398,26 +398,31 @@ def distributed_kmeans(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
     import ray
     import pyarrow.parquet as pq
 
-    # strided init WITHOUT a full-table load and WITHOUT assuming
-    # vec_id == row index (shifted/replicated tables break that): seed
-    # rows are addressed by FILE POSITION via row-group arithmetic —
-    # at most k row-group reads of the embedding column, O(k) driver
-    # IO regardless of table size
+    # strided init WITHOUT assuming vec_id == row index (shifted /
+    # replicated tables break that): seed rows are addressed by FILE
+    # POSITION via row-group arithmetic. Driver IO is at most
+    # min(k, n_row_groups) row-group reads of the embedding column —
+    # bounded by the FILE'S row-group size, not the table — and every
+    # decoded group is freed before the distributed iterations start.
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     n_rows = pf.metadata.num_rows
     init_idx = np.linspace(0, n_rows - 1, k).astype(int)
     rg_starts = np.cumsum(
         [0] + [pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)]
     )
-    rg_cache: dict[int, "pa.Table"] = {}
-    seeds = []
-    for p in init_idx:
-        g = int(np.searchsorted(rg_starts, int(p), side="right") - 1)
-        if g not in rg_cache:
-            rg_cache[g] = pf.read_row_group(g, columns=["embedding"])
-        emb = rg_cache[g]["embedding"][int(p - rg_starts[g])].as_py()
-        seeds.append(np.asarray(emb, dtype=np.float64))
-    cents = np.stack(seeds)
+
+    def _seed_rows() -> np.ndarray:
+        rg_cache: dict[int, "pa.Table"] = {}
+        seeds = []
+        for p in init_idx:
+            g = int(np.searchsorted(rg_starts, int(p), side="right") - 1)
+            if g not in rg_cache:
+                rg_cache[g] = pf.read_row_group(g, columns=["embedding"])
+            emb = rg_cache[g]["embedding"][int(p - rg_starts[g])].as_py()
+            seeds.append(np.asarray(emb, dtype=np.float64))
+        return np.stack(seeds)  # caches die with this frame
+
+    cents = _seed_rows()
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 

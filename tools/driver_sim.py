@@ -46,8 +46,15 @@ S = e.oracle_sql()
 items = sorted(Q.items())
 slc = os.environ.get("SIM_SLICE")
 if slc:
-    k, n = (int(x) for x in slc.split("/"))
+    try:
+        k, n = (int(x) for x in slc.split("/"))
+    except ValueError:
+        sys.exit(f"SIM_SLICE must be 'k/n' (got {slc!r})")
+    if not (1 <= k <= n):
+        sys.exit(f"SIM_SLICE k out of range: {slc!r} (need 1 <= k <= n)")
     items = items[(k - 1) * len(Q) // n : k * len(Q) // n]
+    if not items:
+        sys.exit(f"SIM_SLICE {slc!r} selected zero queries — refusing a vacuous pass")
 print(f"{len(Q)} queries ({len(items)} in this slice), {len(S)} with oracle")
 fails = []
 for name, fn in items:
@@ -59,10 +66,11 @@ for name, fn in items:
             want = con.sql(S[name]).df()
             g, w = canon(got), canon(want)
             if len(g) == 0 and len(w) == 0:
-                # an all-empty Ray result loses its schema at to_pandas
-                # (union of 0-row datasets) — both sides agreeing on
-                # ZERO rows is a match; column names are unverifiable
-                ok = True
+                # both sides agree on ZERO rows. An all-empty Ray result
+                # can lose its schema at to_pandas (union of 0-row
+                # datasets) — only then is the column check waived;
+                # when the Ray frame DOES carry columns they must match
+                ok = len(g.columns) == 0 or list(g.columns) == list(w.columns)
             else:
                 ok = (
                     list(g.columns) == list(w.columns)
