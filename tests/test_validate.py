@@ -242,3 +242,41 @@ def test_format_dispatch_override_replaces_defaults():
     # txt now maps; tif (a DEFAULT) no longer does — not merged
     assert out["module"].to_pylist() == ["TXT-hul", None]
     assert out["status"].to_pylist() == [STATUS_VALID, STATUS_NO_MODULE]
+
+
+def test_normalize_sha_unicode_edges_match_duckdb():
+    """normalize_content + add_sha256 must stay byte-identical to the
+    SQL oracle expression sha256(nfc_normalize(crlf-fix)) on unicode
+    edge cases: decomposed combining sequences, CR/CRLF/lone-CR mixes,
+    astral-plane emoji, BOM, NBSP, and pure-ASCII fast paths."""
+    import duckdb
+    import pyarrow as pa
+
+    from ray_cdc_lake.transforms import add_sha256, normalize_content
+
+    texts = [
+        "plain ascii only",
+        "café composed",             # é precomposed (NFC already)
+        "caf\u0065\u0301 decomposed",          # e + combining acute -> NFC composes
+        "mixed\r\nline\rendings\n",
+        "\r\r\n\r",                       # pathological CR runs
+        "emoji \U0001F600 astral",
+        "﻿BOM prefix",
+        "nbsp and ls ps",
+        "Å ring A",            # A + combining ring -> Å
+        "ﬁ ligature fi",             # NFC keeps the ligature
+        "",
+    ]
+    batch = pa.table({"content": pa.array(texts, type=pa.string())})
+    out = add_sha256(normalize_content(batch))
+    got = out["content_sha256"].to_pylist()
+
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT sha256(nfc_normalize(replace(replace(?, chr(13)||chr(10),"
+            " chr(10)), chr(13), chr(10))))", [t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
